@@ -1,0 +1,35 @@
+"""Crawl configuration — one frozen dataclass shared by engine and oracle.
+
+``config_hash`` goes into every round manifest so resume (EP2) can refuse to
+mix outputs produced under different semantics.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    # partitioning
+    num_buckets: int = 256            # P — pk = pmod(xxhash64(host), P)
+    # politeness (SEMANTICS.md §Round)
+    default_budget: int = 8           # B — per-host per-round
+    round_limit: int = 1000           # K — global per-round cap
+    batch_size: int = 100             # urls per emitted batch_id
+    max_depth: int = 5
+    user_agent: str = "indigo-spark"
+    robots_enabled: bool = True
+    # membership prefilter (perf layer; must not change results)
+    filter_kind: str = "bloom"        # "bloom" | "cuckoo" | "none"
+    bloom_fpr: float = 1e-3
+    # skew (M4): hosts with more eligible candidates than this get salted
+    salt_threshold: int = 10_000
+    num_salts: int = 8
+
+    def config_hash(self) -> str:
+        return hashlib.sha256(
+            json.dumps(asdict(self), sort_keys=True).encode()
+        ).hexdigest()[:16]

@@ -1,0 +1,128 @@
+"""URL canonicalization kernel — SEMANTICS.md §Canonicalization.
+
+Pure Python, stdlib only. This is the normative definition; the Spark engine
+wraps it in a scalar ``pandas_udf`` (Arrow-vectorized batches, never classic
+per-row ``udf``) and the oracle calls it directly, so both sides agree
+byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urlsplit
+
+_UNRESERVED = frozenset(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+_HEX = frozenset("0123456789abcdefABCDEF")
+_DEFAULT_PORT = {"http": "80", "https": "443"}
+
+
+def _percent_normalize(path: str) -> str:
+    """Decode %XX for unreserved bytes; uppercase hex of the rest.
+
+    A lone or malformed ``%`` is kept verbatim (we never reject on it).
+    """
+    if "%" not in path:
+        return path
+    out: list[str] = []
+    i, n = 0, len(path)
+    while i < n:
+        c = path[i]
+        if c == "%" and i + 2 < n:
+            h1, h2 = path[i + 1], path[i + 2]
+            if h1 in _HEX and h2 in _HEX:
+                byte = int(h1 + h2, 16)
+                ch = chr(byte)
+                if ch in _UNRESERVED:
+                    out.append(ch)
+                else:
+                    out.append("%" + h1.upper() + h2.upper())
+                i += 3
+                continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 remove_dot_segments, verbatim state machine."""
+    inp = path
+    out: list[str] = []
+    while inp:
+        if inp.startswith("../"):
+            inp = inp[3:]
+        elif inp.startswith("./"):
+            inp = inp[2:]
+        elif inp.startswith("/./"):
+            inp = "/" + inp[3:]
+        elif inp == "/.":
+            inp = "/"
+        elif inp.startswith("/../"):
+            inp = "/" + inp[4:]
+            if out:
+                out.pop()
+        elif inp == "/..":
+            inp = "/"
+            if out:
+                out.pop()
+        elif inp in (".", ".."):
+            inp = ""
+        else:
+            if inp.startswith("/"):
+                j = inp.find("/", 1)
+            else:
+                j = inp.find("/")
+            if j == -1:
+                out.append(inp)
+                inp = ""
+            else:
+                out.append(inp[:j])
+                inp = inp[j:]
+    return "".join(out)
+
+
+def canonicalize_url(url: str | None) -> str | None:
+    """Return the canonical form of *url*, or None if rejected (quarantine).
+
+    Rules pinned in SEMANTICS.md: lowercase scheme/host, strip fragment and
+    default port, percent-normalize then dot-collapse the path, empty path →
+    "/", query preserved byte-for-byte (lone "?" dropped), no IDN transform.
+    """
+    if url is None:
+        return None
+    u = url.strip()
+    if not u:
+        return None
+    try:
+        parts = urlsplit(u)
+    except ValueError:
+        return None
+    scheme = parts.scheme.lower()
+    if scheme not in ("http", "https"):
+        return None
+    try:
+        host = parts.hostname  # already lowercased by urlsplit
+        port = parts.port  # validates numeric range
+    except ValueError:
+        return None
+    if not host:
+        return None
+    if ":" in host:  # IPv6 literal — re-bracket
+        host = "[" + host + "]"
+
+    netloc = host
+    if parts.port is not None and str(port) != _DEFAULT_PORT.get(scheme):
+        netloc = f"{host}:{port}"
+    userinfo = ""
+    if "@" in parts.netloc:
+        userinfo = parts.netloc.rsplit("@", 1)[0] + "@"
+    netloc = userinfo + netloc
+
+    path = _remove_dot_segments(_percent_normalize(parts.path))
+    if not path:
+        path = "/"
+
+    query = parts.query  # byte-for-byte; urlsplit gives '' for both absent and lone '?'
+    if query:
+        return f"{scheme}://{netloc}{path}?{query}"
+    return f"{scheme}://{netloc}{path}"

@@ -1,0 +1,45 @@
+"""robots.txt gate kernel — stdlib ``urllib.robotparser``, SEMANTICS.md §Round 1.
+
+The reference validated free proxies before use; the batch analogue is the
+per-(host, fetcher) admission gate: robots.txt + politeness budget
+(BASELINE.json:6). Hosts without a robots row are allowed. Parsers are cached
+per (host, robots_txt) within a process — both the oracle loop and each
+Arrow-batch worker benefit.
+"""
+
+from __future__ import annotations
+
+from urllib.robotparser import RobotFileParser
+
+USER_AGENT = "indigo-spark"
+
+_cache: dict[tuple[str, str], RobotFileParser] = {}
+
+
+def _parser(host: str, robots_txt: str) -> RobotFileParser:
+    key = (host, robots_txt)
+    rp = _cache.get(key)
+    if rp is None:
+        rp = RobotFileParser()
+        rp.parse(robots_txt.splitlines())
+        if len(_cache) > 4096:
+            _cache.clear()
+        _cache[key] = rp
+    return rp
+
+
+def robots_allowed(url: str, robots_txt: str | None, user_agent: str = USER_AGENT) -> bool:
+    """True iff *url* may be fetched under *robots_txt* (None ⇒ allow)."""
+    if robots_txt is None:
+        return True
+    try:
+        return _parser_url_ok(url, robots_txt, user_agent)
+    except Exception:
+        return True  # unparseable robots.txt does not block the crawl
+
+
+def _parser_url_ok(url: str, robots_txt: str, user_agent: str) -> bool:
+    from urllib.parse import urlsplit
+
+    host = urlsplit(url).netloc
+    return _parser(host, robots_txt).can_fetch(user_agent, url)

@@ -1,0 +1,217 @@
+"""Single-threaded reference crawl simulator — SEMANTICS.md executed literally.
+
+This is the normative stand-in for the unavailable reference crawler
+(SURVEY.md §0): a plain-Python re-expression of indigo_crawler's
+pick-task → gate → fetch → parse → enqueue loop (SURVEY.md §3 EP3), run one
+*round* at a time so it is directly comparable to the Spark engine's EP1.
+It imports the same kernels as the engine, so "byte-identical extracted
+text" and "identical ordering/seen set" (BASELINE.json:2,15) hold by
+construction and are *verified* by pytest T2.
+
+No pyspark imports here; everything is deterministic (no RNG, no clock).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from urllib.parse import urlsplit
+
+from indigo_crawler_spark.config import CrawlConfig
+from indigo_crawler_spark.kernels.canonicalize import canonicalize_url
+from indigo_crawler_spark.kernels.priority import priority_score
+from indigo_crawler_spark.kernels.robots import robots_allowed
+from indigo_crawler_spark.kernels.textextract import extract_text_and_links
+
+
+def _host_of(canon_url: str) -> str:
+    return urlsplit(canon_url).netloc
+
+
+@dataclass
+class FrontierRow:
+    canon_url: str
+    host: str
+    depth: int
+    seed_rank: int | None
+    priority: float
+    discovered_round: int
+
+
+@dataclass
+class RoundResult:
+    round: int
+    emitted: list[dict] = field(default_factory=list)  # fetch_batches rows
+    counters: dict = field(default_factory=dict)
+    texts: dict = field(default_factory=dict)  # canon_url -> extracted text
+
+
+class OracleCrawl:
+    """State + round stepper. ``run(n)`` yields RoundResult per round."""
+
+    def __init__(self, pages, seeds, robots, host_budgets, cfg: CrawlConfig | None = None):
+        self.cfg = cfg or CrawlConfig()
+        # --- page store: canonicalize, dedup per canon_url keep min (warc_ts, url)
+        self.store: dict[str, dict] = {}
+        quarantined = 0
+        for row in pages:
+            c = canonicalize_url(row["url"])
+            if c is None:
+                quarantined += 1
+                continue
+            cur = self.store.get(c)
+            key = (row["warc_ts"], row["url"])
+            if cur is None or key < (cur["warc_ts"], cur["url"]):
+                self.store[c] = row
+        self.quarantined_pages = quarantined
+        # --- static per-host page counts (host_count in the priority formula)
+        self.host_count: dict[str, int] = {}
+        for c in self.store:
+            h = _host_of(c)
+            self.host_count[h] = self.host_count.get(h, 0) + 1
+        # --- robots / budgets keyed by host string
+        self.robots: dict[str, str] = {r["host"]: r["robots_txt"] for r in robots}
+        self.budget: dict[str, int] = {b["host"]: b["budget"] for b in host_budgets}
+        self.backoff: dict[str, int] = {
+            b["host"]: b["backoff_until_round"] for b in host_budgets
+        }
+        # --- round-0 frontier from seeds (dedup per canon_url keep min seed_rank)
+        best: dict[str, int] = {}
+        self.quarantined_seeds = 0
+        for s in seeds:
+            c = canonicalize_url(s["url"])
+            if c is None:
+                self.quarantined_seeds += 1
+                continue
+            if c not in best or s["seed_rank"] < best[c]:
+                best[c] = s["seed_rank"]
+        self.frontier: dict[str, FrontierRow] = {}
+        for c, rank in best.items():
+            h = _host_of(c)
+            self.frontier[c] = FrontierRow(
+                canon_url=c,
+                host=h,
+                depth=0,
+                seed_rank=rank,
+                priority=priority_score(0, rank, self.host_count.get(h, 0)),
+                discovered_round=0,
+            )
+        self.seen: dict[str, int] = {}  # canon_url -> first_round
+
+    # ------------------------------------------------------------------
+    def step(self, r: int) -> RoundResult:
+        cfg = self.cfg
+        res = RoundResult(round=r)
+        counters = {
+            "candidates": len(self.frontier),
+            "robots_denied": 0,
+            "backoff_skipped": 0,
+            "budget_deferred": 0,
+            "cap_deferred": 0,
+            "emitted": 0,
+            "fetched_pages": 0,
+            "links_extracted": 0,
+            "links_new": 0,
+        }
+
+        # 1-2. gates
+        eligible: list[FrontierRow] = []
+        denied: set[str] = set()
+        for row in self.frontier.values():
+            if cfg.robots_enabled:
+                rtxt = self.robots.get(row.host)
+                if not robots_allowed(row.canon_url, rtxt, cfg.user_agent):
+                    denied.add(row.canon_url)
+                    counters["robots_denied"] += 1
+                    continue
+            if self.backoff.get(row.host, 0) > r:
+                counters["backoff_skipped"] += 1
+                continue
+            eligible.append(row)
+
+        # 3. per-host politeness top-B, rank by (priority DESC, canon_url ASC)
+        eligible.sort(key=lambda x: (x.host, -x.priority, x.canon_url))
+        kept: list[tuple[FrontierRow, int]] = []
+        cur_host, rank = None, 0
+        for row in eligible:
+            if row.host != cur_host:
+                cur_host, rank = row.host, 0
+            rank += 1
+            b = self.budget.get(row.host, cfg.default_budget)
+            if rank <= b:
+                kept.append((row, rank))
+            else:
+                counters["budget_deferred"] += 1
+
+        # 4. global cap K
+        kept.sort(key=lambda t: (-t[0].priority, t[0].canon_url))
+        if len(kept) > cfg.round_limit:
+            counters["cap_deferred"] = len(kept) - cfg.round_limit
+            kept = kept[: cfg.round_limit]
+
+        # 5. emit fetch batches
+        emitted_urls: list[str] = []
+        for g, (row, rank_in_host) in enumerate(kept, start=1):
+            res.emitted.append(
+                {
+                    "round": r,
+                    "batch_id": (g - 1) // cfg.batch_size,
+                    "canon_url": row.canon_url,
+                    "host": row.host,
+                    "priority": row.priority,
+                    "rank_in_host": rank_in_host,
+                    "global_rank": g,
+                }
+            )
+            emitted_urls.append(row.canon_url)
+        counters["emitted"] = len(emitted_urls)
+
+        # 6-7. fetch + extract + discover
+        children: dict[str, FrontierRow] = {}
+        for row, _ in kept:
+            page = self.store.get(row.canon_url)
+            if page is None:
+                continue
+            counters["fetched_pages"] += 1
+            text, links = extract_text_and_links(page["html"], row.canon_url)
+            res.texts[row.canon_url] = text
+            counters["links_extracted"] += len(links)
+            d = row.depth + 1
+            if d > cfg.max_depth:
+                continue
+            for child in links:
+                prev = children.get(child)
+                if prev is None or d < prev.depth:
+                    h = _host_of(child)
+                    children[child] = FrontierRow(
+                        canon_url=child,
+                        host=h,
+                        depth=d,
+                        seed_rank=None,
+                        priority=priority_score(d, None, self.host_count.get(h, 0)),
+                        discovered_round=r + 1,
+                    )
+
+        # 8. advance state
+        for u in emitted_urls:
+            self.seen[u] = r
+            self.frontier.pop(u, None)
+        for u in denied:
+            self.frontier.pop(u, None)
+        for c, row in children.items():
+            if c in self.seen or c in self.frontier:
+                continue  # existing frontier rows win (earlier discovered_round)
+            self.frontier[c] = row
+            counters["links_new"] += 1
+
+        res.counters = counters
+        return res
+
+    def run(self, n_rounds: int) -> list[RoundResult]:
+        return [self.step(r) for r in range(n_rounds)]
+
+    # --- comparison views -------------------------------------------------
+    def ordering(self, results: list[RoundResult]) -> list[str]:
+        out: list[str] = []
+        for rr in results:
+            out.extend(e["canon_url"] for e in rr.emitted)
+        return out
