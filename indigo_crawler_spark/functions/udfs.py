@@ -1,0 +1,36 @@
+"""Arrow-vectorized UDFs wrapping the shared pure-Python kernels.
+
+These are the ONLY two Python scalar functions in the engine (BASELINE.json:15
+bans per-row classic ``udf``; a lint test enforces that repo-wide). Both are
+``pandas_udf`` — Arrow batch transfer, one Python invocation per batch:
+
+- ``canonicalize_udf``: determinism beats built-in chains here; URL
+  canonicalization must be byte-identical to the oracle (SURVEY.md F1).
+- ``robots_allowed_udf``: stdlib robotparser per distinct (host, robots_txt),
+  cached across rows within a batch and across batches within a worker.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType, StringType
+
+from indigo_crawler_spark.kernels.canonicalize import canonicalize_url
+from indigo_crawler_spark.kernels.robots import robots_allowed
+
+
+@F.pandas_udf(StringType())
+def canonicalize_udf(urls: pd.Series) -> pd.Series:
+    """Canonical URL or null (quarantine) — kernel semantics, vectorized I/O."""
+    return urls.map(lambda u: canonicalize_url(u) if isinstance(u, str) else None)
+
+
+@F.pandas_udf(BooleanType())
+def robots_allowed_udf(canon_url: pd.Series, robots_txt: pd.Series) -> pd.Series:
+    """robots.txt admission per row; null robots_txt ⇒ allow (no robots row)."""
+    out = [
+        robots_allowed(u, t if isinstance(t, str) else None)
+        for u, t in zip(canon_url, robots_txt)
+    ]
+    return pd.Series(out, dtype="boolean")

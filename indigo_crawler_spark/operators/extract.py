@@ -1,0 +1,59 @@
+"""F7/F8 — HTML → (text, out-links) over ``mapInPandas`` (SURVEY.md §2.3).
+
+One parse per page produces BOTH the extracted text (byte-identity invariant,
+BASELINE.json:15) and the canonical out-links, so the widest column (`html`
+binary) crosses the Arrow boundary exactly once and is pruned immediately
+after. Batch size is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``
+(tune down for very wide pages — SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from indigo_crawler_spark.kernels.textextract import extract_text_and_links
+
+_OUT_SCHEMA = StructType(
+    [
+        StructField("canon_url", StringType()),
+        StructField("depth", IntegerType()),
+        StructField("text", StringType()),
+        StructField("links", ArrayType(StringType())),
+    ]
+)
+
+
+def extract_pages(df: DataFrame) -> DataFrame:
+    """(canon_url, depth, html) → (canon_url, depth, text, links).
+
+    Input may carry extra columns; only the three named ones are read —
+    select them *before* calling so Parquet scans prune everything else.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts, links = [], []
+            for html, base in zip(pdf["html"], pdf["canon_url"]):
+                t, ls = extract_text_and_links(html, base)
+                texts.append(t)
+                links.append(ls)
+            yield pd.DataFrame(
+                {
+                    "canon_url": pdf["canon_url"],
+                    "depth": pdf["depth"],
+                    "text": texts,
+                    "links": links,
+                }
+            )
+
+    return df.select("canon_url", "depth", "html").mapInPandas(run, _OUT_SCHEMA)

@@ -1,0 +1,49 @@
+"""J2/J3/P2 — robots gate + politeness budget/backoff attachment.
+
+The Spark-native analogue of the reference's proxy validation: "may this
+(host, fetcher) pair fetch now?" (BASELINE.json:6). Robots texts join on the
+host key and are evaluated inside an Arrow-vectorized UDF; budgets/backoff
+are a broadcast join (dimension-sized table — SURVEY.md J3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from indigo_crawler_spark.config import CrawlConfig
+from indigo_crawler_spark.functions.udfs import robots_allowed_udf
+
+
+def split_robots(candidates: DataFrame, robots: DataFrame, cfg: CrawlConfig) -> tuple[DataFrame, DataFrame]:
+    """→ (allowed, denied). Hosts without a robots row are allowed.
+
+    Scale: robots is per-host (≲50M rows at 10^10 URLs) — joined on the host
+    key it shuffles with the frontier's own pk clustering, or broadcasts when
+    small. Denied rows leave the frontier permanently (SEMANTICS §Round 1).
+    """
+    if not cfg.robots_enabled:
+        return candidates, candidates.limit(0)
+    joined = candidates.join(
+        robots.select("host", "robots_txt"), on="host", how="left"
+    ).withColumn("_allowed", robots_allowed_udf(F.col("canon_url"), F.col("robots_txt")))
+    allowed = joined.where(F.col("_allowed")).drop("robots_txt", "_allowed")
+    denied = joined.where(~F.col("_allowed")).drop("robots_txt", "_allowed")
+    return allowed, denied
+
+
+def attach_budget(candidates: DataFrame, budgets: DataFrame, cfg: CrawlConfig, round_no: int) -> tuple[DataFrame, DataFrame]:
+    """→ (eligible_with_budget, backoff_skipped).
+
+    Broadcast-joins the per-host budget/backoff dimension; hosts without a
+    row get the default budget and no backoff. Backoff rows stay in the
+    frontier (returned separately only for counters).
+    """
+    b = F.broadcast(budgets.select("host", "budget", "backoff_until_round"))
+    joined = candidates.join(b, on="host", how="left").withColumn(
+        "budget", F.coalesce(F.col("budget"), F.lit(cfg.default_budget))
+    )
+    in_backoff = F.coalesce(F.col("backoff_until_round"), F.lit(0)) > F.lit(round_no)
+    eligible = joined.where(~in_backoff).drop("backoff_until_round")
+    skipped = joined.where(in_backoff).drop("backoff_until_round")
+    return eligible, skipped

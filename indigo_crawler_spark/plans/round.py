@@ -1,0 +1,296 @@
+"""EP1 — the scheduler round as one pure DataFrame job (SURVEY.md §3).
+
+One round of the reference's while-loop (pick task → validate proxy → fetch →
+parse → dedupe → enqueue) re-expressed over ALL tasks at once
+(BASELINE.json:6). Stage map, with where each runs:
+
+    1. gates      robots (host join + Arrow UDF) / backoff / budget  [JVM + Arrow]
+    2. politeness per-host top-B window                              [shuffle: host]
+    3. cap        bounded global top-K → batch sequencing            [≤K rows]
+    4. fetch      emitted ⋈ page store (broadcast emitted)           [scan + bcast join]
+    5. extract    html → (text, links) once per page, mapInPandas    [Arrow]
+    6. discover   explode links → dedup(min depth) → anti-join seen  [shuffle: url]
+    7. advance    frontier' / seen delta / manifest commit           [write]
+
+Scale notes (10^10 frontier, 1000 executors): the frontier never reaches a
+global sort — the only global operation is the bounded top-K (≤round_limit
+rows). The widest column (html binary) crosses Arrow exactly once per emitted
+page (≤K per round), never shuffles, and is pruned immediately after
+extraction. Frontier/seen live bucketed by pk = pmod(xxhash64(host), P) so
+the politeness window and membership checks cluster on the same key.
+Heavy-host skew: explicit two-phase salted top-k (operators/skew.py, M4)
+because AQE does not skew-split window functions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from indigo_crawler_spark.config import CrawlConfig
+from indigo_crawler_spark.functions.keys import (
+    host_expr,
+    host_hash_expr,
+    pk_expr,
+    url_hash_expr,
+)
+from indigo_crawler_spark.functions.scoring import priority_expr
+from indigo_crawler_spark.functions.udfs import canonicalize_udf
+from indigo_crawler_spark.operators.dedup import dedup_min_by
+from indigo_crawler_spark.operators.extract import extract_pages
+from indigo_crawler_spark.operators.gates import attach_budget, split_robots
+from indigo_crawler_spark.operators.politeness import politeness_topk, sequence_batches
+from indigo_crawler_spark.plans import schemas
+from indigo_crawler_spark.sources.table_io import TableIO
+
+
+@dataclass
+class CrawlState:
+    """Paths + IO for one crawl's durable state under ``io.root``.
+
+    Layout (round R):
+        page_store/, host_counts/           bootstrap-derived, static
+        robots/, host_budgets/              static dimensions
+        frontier/round=R/                   frontier ENTERING round R
+        seen/round=R/                       urls first seen (emitted) AT round R
+        fetch_batches/round=R/              the emitted ordering
+        fetched_text/round=R/               extracted text (byte-identity)
+        manifest/round_R.json               commit record — written LAST
+    """
+
+    io: TableIO
+    cfg: CrawlConfig = field(default_factory=CrawlConfig)
+
+    def frontier(self, r: int) -> DataFrame:
+        return self.io.read(f"frontier/round={r}", schemas.FRONTIER)
+
+    def seen_through(self, r: int) -> DataFrame:
+        """Union of seen deltas for rounds < r (exact membership table)."""
+        dfs = [
+            self.io.read(f"seen/round={i}", schemas.SEEN)
+            for i in range(r)
+            if self.io.exists(f"seen/round={i}")
+        ]
+        if not dfs:
+            return self.io.spark.createDataFrame([], schemas.SEEN)
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+
+def _canonicalized(df: DataFrame, url_col: str = "url") -> DataFrame:
+    return df.withColumn("canon_url", canonicalize_udf(F.col(url_col)))
+
+
+def bootstrap(
+    spark: SparkSession,
+    pages: DataFrame,
+    seeds: DataFrame,
+    robots: DataFrame,
+    host_budgets: DataFrame,
+    state: CrawlState,
+) -> dict:
+    """Derive the page store + host counts, seed the round-0 frontier.
+
+    Page store: canonicalize, quarantine rejects, dedup per canon_url keeping
+    min (warc_ts, url) — SEMANTICS.md §Page store. At 100 TB this is the one
+    full pass over `pages`; everything later touches only emitted slices.
+    """
+    cfg = state.cfg
+    pc = _canonicalized(pages).drop("text")
+    quarantined = pc.where(F.col("canon_url").isNull()).count()
+    pc = pc.where(F.col("canon_url").isNotNull())
+    store = dedup_min_by(pc, "canon_url", ["warc_ts", "url"]).select(
+        "canon_url",
+        host_expr("canon_url").alias("host"),
+        F.lit(0).alias("pk"),
+        "url",
+        "warc_ts",
+        "html",
+        "lang",
+    )
+    store = store.withColumn("pk", pk_expr(host_hash_expr(F.col("host")), cfg.num_buckets))
+    state.io.write(store, "page_store", partition_by=["pk"])
+
+    store = state.io.read("page_store", schemas.PAGE_STORE)
+    host_counts = store.groupBy("host").agg(F.count("*").alias("host_count"))
+    state.io.write(host_counts, "host_counts")
+    state.io.write(robots, "robots")
+    state.io.write(host_budgets, "host_budgets")
+
+    # round-0 frontier from seeds: dedup per canon_url keeping min seed_rank
+    sc = _canonicalized(seeds)
+    seeds_quarantined = sc.where(F.col("canon_url").isNull()).count()
+    sc = sc.where(F.col("canon_url").isNotNull())
+    sc = dedup_min_by(
+        sc.select("canon_url", "seed_rank"), "canon_url", ["seed_rank"]
+    ).withColumn("host", host_expr("canon_url"))
+    hc = state.io.read("host_counts", schemas.HOST_COUNTS)
+    frontier0 = (
+        sc.join(F.broadcast(hc), on="host", how="left")
+        .withColumn("host_count", F.coalesce(F.col("host_count"), F.lit(0)))
+        .select(
+            "canon_url",
+            "host",
+            host_hash_expr(F.col("host")).alias("host_hash"),
+            pk_expr(host_hash_expr(F.col("host")), cfg.num_buckets).alias("pk"),
+            F.lit(0).alias("depth"),
+            F.col("seed_rank").cast("int").alias("seed_rank"),
+            priority_expr(F.lit(0), F.col("seed_rank"), F.col("host_count")).alias(
+                "priority"
+            ),
+            F.lit(0).alias("discovered_round"),
+        )
+    )
+    state.io.write(frontier0, "frontier/round=0")
+    payload = {
+        "quarantined_pages": quarantined,
+        "quarantined_seeds": seeds_quarantined,
+        "config_hash": cfg.config_hash(),
+    }
+    state.io.write_manifest("bootstrap", payload)
+    return payload
+
+
+def run_round(
+    spark: SparkSession, state: CrawlState, round_no: int, with_counters: bool = True
+) -> dict:
+    """Execute round R per SEMANTICS.md; returns the manifest payload."""
+    cfg = state.cfg
+    io = state.io
+    counters: dict[str, int] = {}
+
+    frontier = state.frontier(round_no)
+    frontier.cache()
+    if with_counters:
+        counters["candidates"] = frontier.count()
+
+    robots = io.read("robots", schemas.ROBOTS)
+    budgets = io.read("host_budgets", schemas.HOST_BUDGETS)
+
+    # 1-2. gates
+    allowed, denied = split_robots(frontier, robots, cfg)
+    denied = denied.cache()
+    eligible, backoff_skipped = attach_budget(allowed, budgets, cfg, round_no)
+    if with_counters:
+        counters["robots_denied"] = denied.count()
+        counters["backoff_skipped"] = backoff_skipped.count()
+
+    # 3. per-host politeness top-B   4. global cap + sequencing
+    kept = politeness_topk(eligible, "budget").cache()
+    emitted = sequence_batches(kept, round_no, cfg.round_limit, cfg.batch_size).cache()
+    n_emitted = emitted.count()  # also materializes the cache
+    if with_counters:
+        n_eligible = eligible.count()
+        n_kept = kept.count()
+        counters["budget_deferred"] = n_eligible - n_kept
+        counters["cap_deferred"] = n_kept - n_emitted
+    counters["emitted"] = n_emitted
+
+    fetch_batches = emitted.select(
+        "round", "batch_id", "canon_url", "host", "host_hash", "priority",
+        "rank_in_host", "global_rank",
+    )
+    io.write(fetch_batches, f"fetch_batches/round={round_no}")
+
+    # 5. fetch: emitted ⋈ page store — broadcast the ≤K emitted urls into the
+    # store scan so the 100 TB side never shuffles.
+    store = io.read("page_store", schemas.PAGE_STORE)
+    fetched = store.select("canon_url", "html").join(
+        F.broadcast(emitted.select("canon_url", "depth")), on="canon_url", how="inner"
+    )
+    extracted = extract_pages(fetched).cache()
+    if with_counters:
+        counters["fetched_pages"] = extracted.count()
+        counters["links_extracted"] = (
+            extracted.select(F.sum(F.size("links")).alias("n")).collect()[0]["n"] or 0
+        )
+    io.write(extracted.select("canon_url", "text"), f"fetched_text/round={round_no}")
+
+    # 6. discover children: explode → min-depth dedup → not in seen' / frontier'
+    children = (
+        extracted.where(F.col("depth") + 1 <= cfg.max_depth)
+        .select(
+            F.explode("links").alias("canon_url"),
+            (F.col("depth") + 1).cast("int").alias("depth"),
+        )
+    )
+    children = dedup_min_by(children, "canon_url", ["depth"])
+
+    seen_prev = state.seen_through(round_no)
+    seen_delta = emitted.select(
+        "canon_url",
+        url_hash_expr(F.col("canon_url")).alias("url_hash"),
+        F.col("pk"),
+        F.lit(round_no).alias("first_round"),
+    )
+    io.write(seen_delta, f"seen/round={round_no}")
+
+    remaining = (
+        frontier.join(emitted.select("canon_url"), on="canon_url", how="left_anti")
+        .join(denied.select("canon_url"), on="canon_url", how="left_anti")
+    )
+
+    hc = io.read("host_counts", schemas.HOST_COUNTS)
+    children_full = (
+        children
+        .join(seen_prev.select("canon_url"), on="canon_url", how="left_anti")
+        .join(emitted.select("canon_url"), on="canon_url", how="left_anti")
+        .join(remaining.select("canon_url"), on="canon_url", how="left_anti")
+        .withColumn("host", host_expr("canon_url"))
+        .join(F.broadcast(hc), on="host", how="left")
+        .withColumn("host_count", F.coalesce(F.col("host_count"), F.lit(0)))
+        .select(
+            "canon_url",
+            "host",
+            host_hash_expr(F.col("host")).alias("host_hash"),
+            pk_expr(host_hash_expr(F.col("host")), cfg.num_buckets).alias("pk"),
+            "depth",
+            F.lit(None).cast("int").alias("seed_rank"),
+            priority_expr(
+                F.col("depth"), F.lit(None).cast("int"), F.col("host_count")
+            ).alias("priority"),
+            F.lit(round_no + 1).alias("discovered_round"),
+        )
+    )
+    frontier_next = remaining.select(*[f.name for f in schemas.FRONTIER.fields]).unionByName(
+        children_full
+    )
+    io.write(frontier_next, f"frontier/round={round_no + 1}")
+    if with_counters:
+        counters["links_new"] = io.read(
+            f"frontier/round={round_no + 1}", schemas.FRONTIER
+        ).where(F.col("discovered_round") == round_no + 1).count()
+
+    payload = {"round": round_no, "counters": counters, "config_hash": cfg.config_hash()}
+    io.write_manifest(f"round_{round_no:05d}", payload)
+
+    for df in (frontier, denied, kept, emitted, extracted):
+        df.unpersist()
+    return payload
+
+
+def last_complete_round(state: CrawlState) -> int | None:
+    """EP2 resume anchor: max round with a committed manifest, else None."""
+    rounds = [
+        int(m.split("_")[1]) for m in state.io.list_manifests() if m.startswith("round_")
+    ]
+    return max(rounds) if rounds else None
+
+
+def run_rounds(
+    spark: SparkSession, state: CrawlState, n_rounds: int, with_counters: bool = True
+) -> list[dict]:
+    """Run/resume rounds up to n_rounds. A round whose manifest exists is
+    skipped (its outputs are committed); a partially-written round is
+    recomputed from its committed inputs — bit-exactly, because every
+    operator is deterministic (SEMANTICS.md §Round, tie-breaks total)."""
+    done = last_complete_round(state)
+    start = 0 if done is None else done + 1
+    out = []
+    for r in range(start, n_rounds):
+        out.append(run_round(spark, state, r, with_counters=with_counters))
+    return out

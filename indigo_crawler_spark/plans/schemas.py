@@ -1,0 +1,120 @@
+"""Explicit StructTypes for every engine table (SURVEY.md §1.2 —
+never schema-inferred in production paths)."""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+PAGES = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("html", BinaryType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ]
+)
+
+SEEDS = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("seed_rank", IntegerType()),
+    ]
+)
+
+ROBOTS = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("host_hash", LongType()),
+        StructField("robots_txt", StringType()),
+        StructField("fetched_ts", TimestampType()),
+    ]
+)
+
+HOST_BUDGETS = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("host_hash", LongType()),
+        StructField("budget", IntegerType()),
+        StructField("backoff_until_round", IntegerType()),
+    ]
+)
+
+FRONTIER = StructType(
+    [
+        StructField("canon_url", StringType()),
+        StructField("host", StringType()),
+        StructField("host_hash", LongType()),
+        StructField("pk", IntegerType()),
+        StructField("depth", IntegerType()),
+        StructField("seed_rank", IntegerType()),  # null for discovered URLs
+        StructField("priority", DoubleType()),
+        StructField("discovered_round", IntegerType()),
+    ]
+)
+
+SEEN = StructType(
+    [
+        StructField("canon_url", StringType()),
+        StructField("url_hash", BinaryType()),
+        StructField("pk", IntegerType()),
+        StructField("first_round", IntegerType()),
+    ]
+)
+
+FETCH_BATCHES = StructType(
+    [
+        StructField("round", IntegerType()),
+        StructField("batch_id", IntegerType()),
+        StructField("canon_url", StringType()),
+        StructField("host", StringType()),
+        StructField("host_hash", LongType()),
+        StructField("priority", DoubleType()),
+        StructField("rank_in_host", IntegerType()),
+        StructField("global_rank", IntegerType()),
+    ]
+)
+
+FETCHED_TEXT = StructType(
+    [
+        StructField("canon_url", StringType()),
+        StructField("text", StringType()),
+    ]
+)
+
+PAGE_STORE = StructType(
+    [
+        StructField("canon_url", StringType()),
+        StructField("host", StringType()),
+        StructField("pk", IntegerType()),
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("html", BinaryType()),
+        StructField("lang", StringType()),
+    ]
+)
+
+HOST_COUNTS = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("host_count", LongType()),
+    ]
+)
+
+SEEN_BLOOM = StructType(
+    [
+        StructField("pk", IntegerType()),
+        StructField("nbits", LongType()),
+        StructField("k", IntegerType()),
+        StructField("bits", BinaryType()),
+    ]
+)

@@ -1,0 +1,86 @@
+"""TableIO — one seam for Iceberg vs Parquet-directory storage (SURVEY.md §4.4).
+
+BASELINE.json names Iceberg; this sandbox has no Iceberg runtime jar and no
+network to fetch one (SURVEY.md §0), so the default backend is a Parquet
+directory tree with the same commit discipline: data files first, the round
+manifest last (atomic rename), so a partially-written round is invisible to
+readers and resume (EP2) recomputes it. With an Iceberg catalog configured,
+``format='iceberg'`` maps reads/writes to ``spark.read.table`` /
+``df.writeTo(t).append()`` and round commits to snapshot commits — nothing
+above this seam changes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+@dataclass
+class TableIO:
+    spark: SparkSession
+    root: str
+    fmt: str = "parquet"  # "parquet" | "iceberg"
+
+    def path(self, *parts: str) -> str:
+        return os.path.join(self.root, *parts)
+
+    # ---- data ------------------------------------------------------------
+    def write(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
+        if self.fmt == "iceberg":
+            df.writeTo(f"{self.root}.{table}").createOrReplace()
+            return
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(table))
+
+    def read(self, table: str, schema: StructType | None = None) -> DataFrame:
+        if self.fmt == "iceberg":
+            return self.spark.read.table(f"{self.root}.{table}")
+        p = self.path(table)
+        if not self._exists(p):
+            if schema is None:
+                raise FileNotFoundError(p)
+            return self.spark.createDataFrame([], schema)
+        r = self.spark.read
+        if schema is not None:
+            r = r.schema(schema)
+        return r.parquet(p)
+
+    def _exists(self, p: str) -> bool:
+        return os.path.exists(p)
+
+    def exists(self, table: str) -> bool:
+        return self._exists(self.path(table))
+
+    # ---- manifests (the commit record — written LAST, atomically) --------
+    def write_manifest(self, name: str, payload: dict) -> None:
+        os.makedirs(self.path("manifest"), exist_ok=True)
+        final = self.path("manifest", f"{name}.json")
+        fd, tmp = tempfile.mkstemp(dir=self.path("manifest"), suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(payload, f, indent=2, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, final)  # POSIX-atomic publish
+
+    def read_manifest(self, name: str) -> dict | None:
+        p = self.path("manifest", f"{name}.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def list_manifests(self) -> list[str]:
+        d = self.path("manifest")
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            f[: -len(".json")] for f in os.listdir(d) if f.endswith(".json")
+        )
