@@ -1,0 +1,152 @@
+"""Headline benchmark — prints ONE JSON line for the driver.
+
+Two parts:
+  A. The flagship crawl loop at web-scale shape: a deterministically
+     generated Common-Crawl-style corpus (zipf-skewed hosts, BASELINE.json
+     input_hint schema), bootstrap + N scheduler rounds. Headline number:
+     URLs scheduled+deduped per second (BASELINE.json metric).
+  B. TPC-H-ish operator analogs at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     (default 32) — local[N]
+  BENCH_PAGES          (default 200000) corpus rows
+  BENCH_HOSTS          (default 5000)
+  BENCH_SEEDS          (default 2000)
+  BENCH_ROUNDS         (default 3)
+
+Scaling-efficiency evidence (north rule: N vs 4N executors ≥0.8):
+``python tools/bench_scaling.py`` runs this same crawl at local[8] and
+local[32] and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def build_spark(cpus: int) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("indigo-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 16)))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+
+
+def bench_crawl(spark: SparkSession, cpus: int) -> dict:
+    from indigo_crawler_spark.config import CrawlConfig
+    from indigo_crawler_spark.plans import schemas
+    from indigo_crawler_spark.plans.round import CrawlState, bootstrap, run_round
+    from indigo_crawler_spark.sources import synthetic
+    from indigo_crawler_spark.sources.table_io import TableIO
+
+    n_rows = int(os.environ.get("BENCH_PAGES", "200000"))
+    n_hosts = int(os.environ.get("BENCH_HOSTS", "5000"))
+    n_seeds = int(os.environ.get("BENCH_SEEDS", "2000"))
+    n_rounds = int(os.environ.get("BENCH_ROUNDS", "3"))
+
+    cfg = CrawlConfig(round_limit=100_000, num_buckets=64)
+    root = tempfile.mkdtemp(prefix="indigo_bench_")
+    state = CrawlState(io=TableIO(spark, root), cfg=cfg)
+    timings: dict[str, float] = {}
+    try:
+        pages = synthetic.pages_df(spark, n_rows, n_hosts, parallelism=cpus * 2)
+        seeds = synthetic.seeds_df(spark, n_rows, n_hosts, n_seeds)
+        robots = synthetic.robots_df(spark, n_hosts)
+        budgets = synthetic.budgets_df(spark, n_hosts)
+
+        t0 = time.time()
+        bootstrap(spark, pages, seeds, robots, budgets, state, with_counters=False)
+        timings["crawl_bootstrap"] = round(time.time() - t0, 3)
+
+        scheduled = 0
+        t_rounds = 0.0
+        for r in range(n_rounds):
+            t0 = time.time()
+            run_round(spark, state, r, with_counters=False)
+            dt = time.time() - t0
+            timings[f"crawl_round{r}"] = round(dt, 3)
+            t_rounds += dt
+            scheduled += state.io.read(
+                f"fetch_batches/round={r}", schemas.FETCH_BATCHES
+            ).count()
+
+        return {
+            "timings": timings,
+            "urls_scheduled": scheduled,
+            "rounds_sec": round(t_rounds, 3),
+            "urls_scheduled_per_sec": round(scheduled / t_rounds, 1) if t_rounds else 0.0,
+            "corpus_rows": n_rows,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def bench_queries(spark: SparkSession, sf_dir: str) -> dict:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    names = [
+        "join_agg",
+        "window_topk_per_customer",
+        "group_agg",
+        "explode_tokens",
+        "anti_join",
+        "global_topk",
+    ]
+    out = {}
+    for name in names:
+        t0 = time.time()
+        n = qs[name](spark, sf_dir).count()
+        out[name] = round(time.time() - t0, 3)
+        _ = n
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = build_spark(cpus)
+    t_all = time.time()
+
+    crawl = bench_crawl(spark, cpus)
+    queries = dict(crawl["timings"])
+    queries.update(bench_queries(spark, sf_dir))
+
+    total = round(time.time() - t_all, 3)
+    sf = 0.1 if "sf0.1" in sf_dir else (0.01 if "sf0.01" in sf_dir else 0.001)
+    print(
+        json.dumps(
+            {
+                "metric": "crawl_scheduler_bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "urls_scheduled": crawl["urls_scheduled"],
+                "urls_scheduled_per_sec": crawl["urls_scheduled_per_sec"],
+                "corpus_rows": crawl["corpus_rows"],
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -92,27 +92,36 @@ def bootstrap(
     robots: DataFrame,
     host_budgets: DataFrame,
     state: CrawlState,
+    with_counters: bool = True,
 ) -> dict:
     """Derive the page store + host counts, seed the round-0 frontier.
 
     Page store: canonicalize, quarantine rejects, dedup per canon_url keeping
     min (warc_ts, url) — SEMANTICS.md §Page store. At 100 TB this is the one
-    full pass over `pages`; everything later touches only emitted slices.
+    full pass over `pages`; everything later touches only emitted slices —
+    so quarantine counting is optional (it costs a second canonicalize pass;
+    at scale, use .observe instead of re-running the scan).
     """
     cfg = state.cfg
     pc = _canonicalized(pages).drop("text")
-    quarantined = pc.where(F.col("canon_url").isNull()).count()
-    pc = pc.where(F.col("canon_url").isNotNull())
-    store = dedup_min_by(pc, "canon_url", ["warc_ts", "url"]).select(
-        "canon_url",
-        host_expr("canon_url").alias("host"),
-        F.lit(0).alias("pk"),
-        "url",
-        "warc_ts",
-        "html",
-        "lang",
+    quarantined = (
+        pc.where(F.col("canon_url").isNull()).count() if with_counters else -1
     )
-    store = store.withColumn("pk", pk_expr(host_hash_expr(F.col("host")), cfg.num_buckets))
+    pc = pc.where(F.col("canon_url").isNotNull())
+    # ONE shuffle: key by pk up front, then dedup on (pk, canon_url) — the
+    # existing HashPartitioning(pk) satisfies the groupBy's clustering — and
+    # write one file per bucket (partitionBy without this repartition fans
+    # out to tasks×buckets small files).
+    pc = (
+        pc.withColumn("host", host_expr("canon_url"))
+        .withColumn("pk", pk_expr(host_hash_expr(F.col("host")), cfg.num_buckets))
+        .repartition(cfg.num_buckets, "pk")
+    )
+    store = (
+        dedup_min_by(pc, ["pk", "canon_url"], ["warc_ts", "url"])
+        .select("canon_url", "host", "pk", "url", "warc_ts", "html", "lang")
+        .sortWithinPartitions("canon_url")  # deterministic layout + rowgroup stats
+    )
     state.io.write(store, "page_store", partition_by=["pk"])
 
     store = state.io.read("page_store", schemas.PAGE_STORE)
@@ -123,7 +132,9 @@ def bootstrap(
 
     # round-0 frontier from seeds: dedup per canon_url keeping min seed_rank
     sc = _canonicalized(seeds)
-    seeds_quarantined = sc.where(F.col("canon_url").isNull()).count()
+    seeds_quarantined = (
+        sc.where(F.col("canon_url").isNull()).count() if with_counters else -1
+    )
     sc = sc.where(F.col("canon_url").isNotNull())
     sc = dedup_min_by(
         sc.select("canon_url", "seed_rank"), "canon_url", ["seed_rank"]
@@ -197,8 +208,13 @@ def run_round(
     io.write(fetch_batches, f"fetch_batches/round={round_no}")
 
     # 5. fetch: emitted ⋈ page store — broadcast the ≤K emitted urls into the
-    # store scan so the 100 TB side never shuffles.
-    store = io.read("page_store", schemas.PAGE_STORE)
+    # store scan so the 100 TB side never shuffles, and prune store buckets
+    # to the pks actually emitted (partition pruning: at P=256 a typical
+    # round touches a fraction of the store's directories).
+    emitted_pks = [r["pk"] for r in emitted.select("pk").distinct().collect()]
+    store = io.read("page_store", schemas.PAGE_STORE).where(
+        F.col("pk").isin(emitted_pks)
+    )
     fetched = store.select("canon_url", "html").join(
         F.broadcast(emitted.select("canon_url", "depth")), on="canon_url", how="inner"
     )

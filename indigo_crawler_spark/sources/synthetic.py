@@ -1,0 +1,80 @@
+"""Distributed deterministic corpus generation for bench scales.
+
+Same generation rules as fixtures/gen.py (seed-42 sha256 of row index — no
+RNG), executed as ``spark.range(n).mapInPandas`` so a 10^6–10^7-page corpus
+is produced in parallel on all cores without ever materializing on the
+driver. Used by bench.py; tests use the driver-side fixture_df loaders.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from fixtures.gen import PagesSpec, gen_robots, h
+from indigo_crawler_spark.kernels.keys import host_hash as _host_hash
+from indigo_crawler_spark.plans import schemas
+
+
+def pages_df(spark: SparkSession, n_rows: int, n_hosts: int, parallelism: int) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        spec = PagesSpec(n_rows, n_hosts)  # zipf CDF built once per task
+        for pdf in batches:
+            rows = [spec.row(int(i)) for i in pdf["id"]]
+            yield pd.DataFrame(
+                {
+                    "url": [r["url"] for r in rows],
+                    "warc_ts": [r["warc_ts"] for r in rows],
+                    "html": [r["html"] for r in rows],
+                    "text": pd.Series([None] * len(rows), dtype="object"),
+                    "lang": [r["lang"] for r in rows],
+                }
+            )
+
+    return (
+        spark.range(n_rows)
+        .repartition(parallelism)
+        .mapInPandas(gen, schemas.PAGES)
+    )
+
+
+def seeds_df(spark: SparkSession, n_rows: int, n_hosts: int, n_seeds: int) -> DataFrame:
+    """First n_seeds row-index urls (driver-side: n_seeds is small)."""
+    spec = PagesSpec(n_rows, n_hosts)
+    rows, seen = [], set()
+    i = 0
+    while len(rows) < n_seeds and i < n_rows:
+        u = spec.url(i)
+        if u not in seen:
+            seen.add(u)
+            rows.append((u, len(rows)))
+        i += 1
+    return spark.createDataFrame(rows, schemas.SEEDS)
+
+
+def robots_df(spark: SparkSession, n_hosts: int) -> DataFrame:
+    rows = [
+        (r["host"], r["host_hash"], r["robots_txt"], r["fetched_ts"])
+        for r in gen_robots(n_hosts)
+    ]
+    return spark.createDataFrame(rows, schemas.ROBOTS)
+
+
+def budgets_df(spark: SparkSession, n_hosts: int) -> DataFrame:
+    """Budget overrides for the heaviest 5% of hosts (zipf rank order —
+    rank 1 is heaviest by construction, no counting pass needed)."""
+    k = max(1, int(n_hosts * 0.05))
+    rows = []
+    for rank in range(k):
+        host = f"h{rank + 1}.example.org"
+        rows.append(
+            (
+                host,
+                _host_hash(host),
+                2 + h("bud", rank) % 7,
+                2 if rank % 9 == 8 else 0,
+            )
+        )
+    return spark.createDataFrame(rows, schemas.HOST_BUDGETS)
