@@ -272,6 +272,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "orders").where(F.col("o_orderstatus") == "F").select("o_orderkey")
     )
 
+    # ---- A4/A5 partitioned Bloom: prefilter + exact backstop ≡ semi join,
+    # so the whole bloom pipeline is DuckDB-checkable ----
+    def _bloom_prefilter_semi(s, d):
+        from indigo_crawler_spark.functions.keys import pk_expr, url_hash_expr
+        from indigo_crawler_spark.operators.bloom_ops import (
+            bloom_geometry,
+            build_bloom_delta,
+            probe_split,
+        )
+
+        def keyed(df, col):
+            k = df.select(F.col(col).cast("string").alias("key"))
+            return k.withColumn("url_hash", url_hash_expr(F.col("key"))).withColumn(
+                "pk", pk_expr(F.xxhash64("key"), 8)
+            )
+
+        orders_keys = keyed(_t(s, d, "orders"), "o_custkey").withColumn(
+            "first_round", F.lit(0)
+        )
+        nbits, k = bloom_geometry(4096, 1e-3)
+        blooms = build_bloom_delta(orders_keys, nbits, k)
+        cust = keyed(_t(s, d, "customer"), "c_custkey")
+        _, maybe = probe_split(cust, blooms)  # no false negatives
+        exact = maybe.join(
+            orders_keys.select("key").distinct(), on="key", how="left_semi"
+        )
+        return exact.select(F.col("key").cast("bigint").alias("c_custkey"))
+
+    q["bloom_prefilter_semi"] = _bloom_prefilter_semi
+
     # ---- rows-only (no ANSI-SQL equivalent; exactness proven in pytest) ----
     q["xxhash64_hosts"] = lambda s, d: _t(s, d, "documents").select(
         "doc_id", F.xxhash64("source").alias("host_hash")
@@ -380,6 +410,10 @@ def oracle_sql() -> dict[str, str]:
         "except_slices": (
             "SELECT o_orderkey FROM orders WHERE o_totalprice > 300000 "
             "EXCEPT ALL SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'"
+        ),
+        "bloom_prefilter_semi": (
+            "SELECT c_custkey FROM customer c WHERE EXISTS "
+            "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
         ),
         # xxhash64_hosts, crawl_two_rounds: rows-only by design
     }

@@ -25,6 +25,9 @@ class CrawlConfig:
     # membership prefilter (perf layer; must not change results)
     filter_kind: str = "bloom"        # "bloom" | "cuckoo" | "none"
     bloom_fpr: float = 1e-3
+    # expected URLs per pk bucket — fixes bitmap geometry for the crawl
+    # (10^10 URLs / P=256 ⇒ ~4e7; default sized for sandbox benches)
+    bloom_bucket_capacity: int = 1_000_000
     # skew (M4): hosts with more eligible candidates than this get salted
     salt_threshold: int = 10_000
     num_salts: int = 8

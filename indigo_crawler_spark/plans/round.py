@@ -41,7 +41,7 @@ from indigo_crawler_spark.functions.udfs import canonicalize_udf
 from indigo_crawler_spark.operators.dedup import dedup_min_by
 from indigo_crawler_spark.operators.extract import extract_pages
 from indigo_crawler_spark.operators.gates import attach_budget, split_robots
-from indigo_crawler_spark.operators.politeness import politeness_topk, sequence_batches
+from indigo_crawler_spark.operators.politeness import sequence_batches
 from indigo_crawler_spark.plans import schemas
 from indigo_crawler_spark.sources.table_io import TableIO
 
@@ -190,8 +190,11 @@ def run_round(
         counters["robots_denied"] = denied.count()
         counters["backoff_skipped"] = backoff_skipped.count()
 
-    # 3. per-host politeness top-B   4. global cap + sequencing
-    kept = politeness_topk(eligible, "budget").cache()
+    # 3. per-host politeness top-B (salted for heavy hosts — J4/W2)
+    # 4. global cap + sequencing
+    from indigo_crawler_spark.operators.skew import politeness_topk_skew_aware
+
+    kept = politeness_topk_skew_aware(eligible, cfg).cache()
     emitted = sequence_batches(kept, round_no, cfg.round_limit, cfg.batch_size).cache()
     n_emitted = emitted.count()  # also materializes the cache
     if with_counters:
@@ -234,7 +237,12 @@ def run_round(
             (F.col("depth") + 1).cast("int").alias("depth"),
         )
     )
-    children = dedup_min_by(children, "canon_url", ["depth"])
+    children = dedup_min_by(children, "canon_url", ["depth"]).withColumn(
+        "host", host_expr("canon_url")
+    )
+    children = children.withColumn(
+        "pk", pk_expr(host_hash_expr(F.col("host")), cfg.num_buckets)
+    ).withColumn("url_hash", url_hash_expr(F.col("canon_url")))
 
     seen_prev = state.seen_through(round_no)
     seen_delta = emitted.select(
@@ -245,6 +253,30 @@ def run_round(
     )
     io.write(seen_delta, f"seen/round={round_no}")
 
+    # seen check: Bloom prefilter (A5) in front of the exact anti-join (J1).
+    # No false negatives ⇒ only the maybe_seen sliver touches the full seen
+    # table; the certainly-new bulk skips it (this is what keeps the 10^10
+    # seen set from shuffling every round). Results identical by construction.
+    prev_bloom = f"seen_bloom/round={round_no - 1}"
+    if cfg.filter_kind in ("bloom", "cuckoo") and round_no > 0 and io.exists(prev_bloom):
+        filters = io.read(prev_bloom, schemas.SEEN_BLOOM)
+        if cfg.filter_kind == "bloom":
+            from indigo_crawler_spark.operators.bloom_ops import probe_split
+
+            certainly_new, maybe_seen = probe_split(children, filters)
+        else:
+            from indigo_crawler_spark.operators.cuckoo_ops import probe_split_cuckoo
+
+            certainly_new, maybe_seen = probe_split_cuckoo(children, filters)
+        survivors = maybe_seen.join(
+            seen_prev.select("canon_url"), on="canon_url", how="left_anti"
+        )
+        children_unseen = certainly_new.unionByName(survivors)
+    else:
+        children_unseen = children.join(
+            seen_prev.select("canon_url"), on="canon_url", how="left_anti"
+        )
+
     remaining = (
         frontier.join(emitted.select("canon_url"), on="canon_url", how="left_anti")
         .join(denied.select("canon_url"), on="canon_url", how="left_anti")
@@ -252,11 +284,9 @@ def run_round(
 
     hc = io.read("host_counts", schemas.HOST_COUNTS)
     children_full = (
-        children
-        .join(seen_prev.select("canon_url"), on="canon_url", how="left_anti")
+        children_unseen.drop("url_hash")
         .join(emitted.select("canon_url"), on="canon_url", how="left_anti")
         .join(remaining.select("canon_url"), on="canon_url", how="left_anti")
-        .withColumn("host", host_expr("canon_url"))
         .join(F.broadcast(hc), on="host", how="left")
         .withColumn("host_count", F.coalesce(F.col("host_count"), F.lit(0)))
         .select(
@@ -276,12 +306,58 @@ def run_round(
         children_full
     )
     io.write(frontier_next, f"frontier/round={round_no + 1}")
+
+    # A4/A6: fold this round's seen delta into the cumulative membership
+    # filter (bloom: pure bitwise OR; cuckoo: fingerprint re-insert — the
+    # deletable variant). One binary row per pk bucket either way.
+    if cfg.filter_kind in ("bloom", "cuckoo"):
+        seen_now = io.read(f"seen/round={round_no}", schemas.SEEN)
+        if cfg.filter_kind == "bloom":
+            from indigo_crawler_spark.operators.bloom_ops import (
+                bloom_geometry,
+                build_bloom_delta,
+                merge_blooms,
+            )
+
+            nbits, k = bloom_geometry(cfg.bloom_bucket_capacity, cfg.bloom_fpr)
+            delta_f = build_bloom_delta(seen_now, nbits, k)
+            merge = merge_blooms
+        else:
+            from indigo_crawler_spark.operators.cuckoo_ops import (
+                build_cuckoo_delta,
+                cuckoo_geometry,
+                merge_cuckoos,
+            )
+
+            nbuckets, _ = cuckoo_geometry(cfg.bloom_bucket_capacity)
+            delta_f = build_cuckoo_delta(seen_now, nbuckets)
+            merge = merge_cuckoos
+        if round_no > 0 and io.exists(prev_bloom):
+            cumulative = merge(io.read(prev_bloom, schemas.SEEN_BLOOM), delta_f)
+        else:
+            cumulative = delta_f
+        io.write(cumulative, f"seen_bloom/round={round_no}")
     if with_counters:
         counters["links_new"] = io.read(
             f"frontier/round={round_no + 1}", schemas.FRONTIER
         ).where(F.col("discovered_round") == round_no + 1).count()
 
-    payload = {"round": round_no, "counters": counters, "config_hash": cfg.config_hash()}
+    # C3: per-partition lineage digests of this round's committed outputs —
+    # recomputed and checked on resume before trusting a snapshot.
+    from indigo_crawler_spark.plans.lineage import table_digest
+
+    digests = {
+        "seen": table_digest(io.read(f"seen/round={round_no}", schemas.SEEN)),
+        "frontier_next": table_digest(
+            io.read(f"frontier/round={round_no + 1}", schemas.FRONTIER)
+        ),
+    }
+    payload = {
+        "round": round_no,
+        "counters": counters,
+        "digests": digests,
+        "config_hash": cfg.config_hash(),
+    }
     io.write_manifest(f"round_{round_no:05d}", payload)
 
     for df in (frontier, denied, kept, emitted, extracted):
@@ -300,12 +376,40 @@ def last_complete_round(state: CrawlState) -> int | None:
 def run_rounds(
     spark: SparkSession, state: CrawlState, n_rounds: int, with_counters: bool = True
 ) -> list[dict]:
-    """Run/resume rounds up to n_rounds. A round whose manifest exists is
-    skipped (its outputs are committed); a partially-written round is
-    recomputed from its committed inputs — bit-exactly, because every
-    operator is deterministic (SEMANTICS.md §Round, tie-breaks total)."""
+    """Run/resume rounds up to n_rounds (EP2). A round whose manifest exists
+    is skipped (its outputs are committed); a partially-written round —
+    killed after some data writes but before its manifest — is recomputed
+    from its committed inputs and overwritten, bit-exactly, because every
+    operator is deterministic (SEMANTICS.md §Round, tie-breaks total).
+
+    Before resuming, the anchor round's lineage digests are re-verified
+    (C3): corrupted/half-written committed state fails loudly instead of
+    silently diverging.
+    """
+    from indigo_crawler_spark.plans.lineage import verify_table
+
     done = last_complete_round(state)
     start = 0 if done is None else done + 1
+    if done is not None:
+        m = state.io.read_manifest(f"round_{done:05d}") or {}
+        digests = m.get("digests", {})
+        if digests:
+            ok_seen = verify_table(
+                state.io.read(f"seen/round={done}", schemas.SEEN), digests["seen"]
+            )
+            ok_frontier = verify_table(
+                state.io.read(f"frontier/round={done + 1}", schemas.FRONTIER),
+                digests["frontier_next"],
+            )
+            if not (ok_seen and ok_frontier):
+                raise RuntimeError(
+                    f"lineage digest mismatch at resume anchor round {done}; "
+                    "committed state is corrupt — refusing to resume"
+                )
+        if m.get("config_hash") not in (None, state.cfg.config_hash()):
+            raise RuntimeError(
+                "config_hash mismatch: resuming with different semantics is not allowed"
+            )
     out = []
     for r in range(start, n_rounds):
         out.append(run_round(spark, state, r, with_counters=with_counters))

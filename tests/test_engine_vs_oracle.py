@@ -24,14 +24,25 @@ from indigo_crawler_spark.sources.table_io import TableIO
 from oracle.simulator import OracleCrawl
 
 N_ROUNDS = 4
-CFG = CrawlConfig(round_limit=50, num_buckets=16)
 
 
-@pytest.fixture(scope="module")
-def crawl(spark, tmp_path_factory):
+@pytest.fixture(scope="module", params=["bloom", "none", "salted", "cuckoo"])
+def crawl(spark, tmp_path_factory, request):
+    # bloom_bucket_capacity=32 deliberately undersizes the bitmaps so false
+    # positives occur and the exact anti-join backstop is actually exercised;
+    # "salted" forces the two-phase heavy-host top-k on nearly every host.
+    # Results must be identical in all variants (perf layers are transparent).
+    cfg = CrawlConfig(
+        round_limit=50,
+        num_buckets=16,
+        filter_kind="bloom" if request.param == "salted" else request.param,
+        bloom_bucket_capacity=32,
+        salt_threshold=3 if request.param == "salted" else 10_000,
+        num_salts=4,
+    )
     fb = fixture_bundle(**TINY)
     state = CrawlState(
-        io=TableIO(spark, str(tmp_path_factory.mktemp("crawl"))), cfg=CFG
+        io=TableIO(spark, str(tmp_path_factory.mktemp("crawl"))), cfg=cfg
     )
     bootstrap(
         spark,
@@ -43,7 +54,7 @@ def crawl(spark, tmp_path_factory):
     )
     manifests = run_rounds(spark, state, N_ROUNDS)
     oc = OracleCrawl(
-        fb["pages"], fb["seeds"], fb["robots"], fb["host_budgets"], CFG
+        fb["pages"], fb["seeds"], fb["robots"], fb["host_budgets"], cfg
     )
     oracle_results = oc.run(N_ROUNDS)
     return state, manifests, oc, oracle_results

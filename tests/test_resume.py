@@ -1,0 +1,121 @@
+"""T3 — durability: kill-mid-round → resume → bit-equal to uninterrupted run.
+
+The commit protocol is data-files-first, manifest-last; a round without its
+manifest is invisible and gets recomputed deterministically on resume.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from fixtures.gen import TINY, fixture_bundle
+from indigo_crawler_spark.config import CrawlConfig
+from indigo_crawler_spark.plans import schemas
+from indigo_crawler_spark.plans.round import (
+    CrawlState,
+    bootstrap,
+    last_complete_round,
+    run_rounds,
+)
+from indigo_crawler_spark.sources.fixture_df import (
+    budgets_df,
+    pages_df,
+    robots_df,
+    seeds_df,
+)
+from indigo_crawler_spark.sources.table_io import TableIO
+
+CFG = CrawlConfig(round_limit=50, num_buckets=16, bloom_bucket_capacity=64)
+N = 3
+
+
+def _bootstrap(spark, root):
+    fb = fixture_bundle(**TINY)
+    state = CrawlState(io=TableIO(spark, root), cfg=CFG)
+    bootstrap(
+        spark,
+        pages_df(spark, fb["pages"]),
+        seeds_df(spark, fb["seeds"]),
+        robots_df(spark, fb["robots"]),
+        budgets_df(spark, fb["host_budgets"]),
+        state,
+    )
+    return state
+
+
+def _snapshot(state, n):
+    """Everything observable: ordering, seen, frontier, texts, manifests."""
+    io = state.io
+    fb = []
+    for r in range(n):
+        df = io.read(f"fetch_batches/round={r}", schemas.FETCH_BATCHES)
+        fb.append(sorted(tuple(row) for row in df.collect()))
+    seen = sorted(
+        (row["canon_url"], row["first_round"])
+        for row in state.seen_through(n).collect()
+    )
+    frontier = sorted(
+        tuple(row) for row in io.read(f"frontier/round={n}", schemas.FRONTIER).collect()
+    )
+    texts = {}
+    for r in range(n):
+        for row in io.read(f"fetched_text/round={r}", schemas.FETCHED_TEXT).collect():
+            texts[row["canon_url"]] = row["text"]
+    manifests = [io.read_manifest(f"round_{r:05d}") for r in range(n)]
+    return fb, seen, frontier, texts, manifests
+
+
+def test_kill_mid_round_resume_bit_exact(spark, tmp_path):
+    # uninterrupted reference run
+    a = _bootstrap(spark, str(tmp_path / "a"))
+    run_rounds(spark, a, N)
+    ref = _snapshot(a, N)
+
+    # interrupted run: 2 committed rounds, then a simulated kill mid-round-2 —
+    # partial data written (garbage), NO manifest
+    b = _bootstrap(spark, str(tmp_path / "b"))
+    run_rounds(spark, b, 2)
+    assert last_complete_round(b) == 1
+    partial = b.io.path("fetch_batches/round=2")
+    os.makedirs(partial, exist_ok=True)
+    b.io.read("fetch_batches/round=1", schemas.FETCH_BATCHES).limit(3).write.mode(
+        "overwrite"
+    ).parquet(partial)  # wrong, partial content
+    shutil.copytree(b.io.path("seen/round=1"), b.io.path("seen/round=2"))  # more garbage
+
+    # resume: rounds 0-1 skipped, round 2 recomputed & overwritten
+    manifests = run_rounds(spark, b, N)
+    assert [m["round"] for m in manifests] == [2]
+    assert _snapshot(b, N) == ref
+
+
+def test_rerun_is_idempotent(spark, tmp_path):
+    a = _bootstrap(spark, str(tmp_path / "a"))
+    run_rounds(spark, a, 2)
+    snap1 = _snapshot(a, 2)
+    assert run_rounds(spark, a, 2) == []  # nothing to do
+    assert _snapshot(a, 2) == snap1
+
+
+def test_resume_refuses_corrupt_state(spark, tmp_path):
+    a = _bootstrap(spark, str(tmp_path / "a"))
+    run_rounds(spark, a, 2)
+    # corrupt the committed frontier for round 2 (drop rows behind the manifest)
+    f2 = a.io.read("frontier/round=2", schemas.FRONTIER)
+    f2_cut = f2.where(F.col("canon_url") > "https://m").cache()
+    f2_cut.count()
+    f2_cut.write.mode("overwrite").parquet(a.io.path("frontier/round=2"))
+    with pytest.raises(RuntimeError, match="lineage digest mismatch"):
+        run_rounds(spark, a, 3)
+
+
+def test_resume_refuses_config_change(spark, tmp_path):
+    a = _bootstrap(spark, str(tmp_path / "a"))
+    run_rounds(spark, a, 2)
+    other = CrawlState(io=a.io, cfg=CrawlConfig(round_limit=7, num_buckets=16))
+    with pytest.raises(RuntimeError, match="config_hash mismatch"):
+        run_rounds(spark, other, 3)
