@@ -302,6 +302,108 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bloom_prefilter_semi"] = _bloom_prefilter_semi
 
+    # ---- training-data pipeline: text analysis (SQL-checkable) ----
+    def _token_counts(s, d):
+        from indigo_crawler_spark.functions.text_analysis import whitespace_token_count
+
+        return _t(s, d, "documents").select(
+            "doc_id", whitespace_token_count("text").cast("long").alias("n_tokens")
+        )
+
+    def _quality_stats(s, d):
+        from indigo_crawler_spark.functions.text_analysis import quality_exprs
+
+        exprs = quality_exprs("text")
+        return _t(s, d, "documents").select(
+            "doc_id", *[v.alias(k) for k, v in exprs.items()]
+        )
+
+    q["token_counts"] = _token_counts
+    q["quality_stats"] = _quality_stats
+
+    # ---- training-data pipeline: dedup ----
+    def _exact_dedup(s, d):
+        from indigo_crawler_spark.operators.text_dedup import exact_dedup
+
+        return exact_dedup(_t(s, d, "documents")).select("keep_id", "n_copies")
+
+    def _ngram_jaccard(s, d):
+        from indigo_crawler_spark.operators.text_dedup import jaccard_pairs, word_shingles
+
+        return jaccard_pairs(word_shingles(_t(s, d, "documents")), 0.2)
+
+    q["exact_dedup_docs"] = _exact_dedup
+    q["ngram_jaccard_pairs"] = _ngram_jaccard
+
+    def _minhash_pairs(s, d):  # rows-only: LSH banding not SQL-expressible
+        from indigo_crawler_spark.operators.text_dedup import minhash_dedup_pairs
+
+        return minhash_dedup_pairs(_t(s, d, "documents"), threshold=0.2)
+
+    def _simhash_pairs(s, d):  # rows-only: xxhash64 not available in DuckDB
+        from indigo_crawler_spark.operators.text_dedup import (
+            simhash_near_pairs,
+            simhash_signatures,
+        )
+
+        return simhash_near_pairs(simhash_signatures(_t(s, d, "documents")), 16)
+
+    q["minhash_lsh_pairs"] = _minhash_pairs
+    q["simhash_pairs"] = _simhash_pairs
+
+    # ---- training-data pipeline: similarity search ----
+    def _ann_int_topk(s, d):
+        from indigo_crawler_spark.operators.similarity import int_dot_topk
+
+        emb = _t(s, d, "embeddings")
+        return int_dot_topk(emb.where(F.col("vec_id") < 30), emb, k=5)
+
+    def _cosine_topk(s, d):  # rows-only: float fold order differs across engines
+        from indigo_crawler_spark.operators.similarity import cosine_topk
+
+        emb = _t(s, d, "embeddings")
+        return cosine_topk(emb.where(F.col("vec_id") < 10), emb, k=5)
+
+    def _ann_lsh(s, d):  # rows-only: approximate by construction
+        from indigo_crawler_spark.operators.similarity import ann_lsh_topk
+
+        emb = _t(s, d, "embeddings")
+        return ann_lsh_topk(emb.where(F.col("vec_id") < 10), emb, dim=64, k=5, bits=8)
+
+    q["ann_int_dot_topk"] = _ann_int_topk
+    q["cosine_topk"] = _cosine_topk
+    q["ann_lsh_topk"] = _ann_lsh
+
+    # ---- training-data pipeline: language-ID / fingerprint / multimodal ----
+    def _langid_counts(s, d):  # rows-only: heuristic kernel
+        from indigo_crawler_spark.functions.text_analysis import lang_id_udf
+
+        return (
+            _t(s, d, "documents")
+            .groupBy(lang_id_udf("text").alias("lid"))
+            .agg(F.count("*").alias("n"))
+        )
+
+    def _fingerprints(s, d):  # rows-only: rolling-hash kernel
+        from indigo_crawler_spark.functions.text_analysis import fingerprint_udf
+
+        return _t(s, d, "documents").select(
+            "doc_id", fingerprint_udf("text").alias("fp64")
+        )
+
+    def _media_bytes(s, d):
+        from indigo_crawler_spark.operators.multimodal import (
+            extract_media_features,
+            media_from_documents,
+        )
+
+        feats = extract_media_features(media_from_documents(_t(s, d, "documents")))
+        return feats.select("media_id", "media_type", "n_bytes")
+
+    q["langid_counts"] = _langid_counts
+    q["doc_fingerprints"] = _fingerprints
+    q["media_bytes"] = _media_bytes
+
     # ---- rows-only (no ANSI-SQL equivalent; exactness proven in pytest) ----
     q["xxhash64_hosts"] = lambda s, d: _t(s, d, "documents").select(
         "doc_id", F.xxhash64("source").alias("host_hash")
@@ -414,6 +516,65 @@ def oracle_sql() -> dict[str, str]:
         "bloom_prefilter_semi": (
             "SELECT c_custkey FROM customer c WHERE EXISTS "
             "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+        ),
+        "token_counts": (
+            "SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
+            "len(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT AS n_tokens "
+            "FROM documents"
+        ),
+        "quality_stats": (
+            "SELECT doc_id, length(text)::BIGINT AS n_chars, "
+            "(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
+            " len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT AS n_words, "
+            "ROUND((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))"
+            " / CAST(length(text) AS DOUBLE), 6) AS punct_ratio, "
+            "ROUND((length(text) - length(regexp_replace(text, '\\s', '', 'g')))"
+            " / CAST(length(text) AS DOUBLE), 6) AS space_ratio, "
+            "ROUND(length(regexp_replace(text, '\\s', '', 'g'))"
+            " / CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
+            " len(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE), 6)"
+            " AS mean_word_len "
+            "FROM documents"
+        ),
+        "exact_dedup_docs": (
+            "SELECT min(doc_id) AS keep_id, count(*) AS n_copies "
+            "FROM documents GROUP BY text"
+        ),
+        "ngram_jaccard_pairs": (
+            "WITH g AS ("
+            "  SELECT doc_id, shingle FROM ("
+            "    SELECT doc_id, unnest(list_distinct("
+            "      [array_to_string(w[i:i+2], ' ') "
+            "       FOR i IN generate_series(1, greatest(len(w)-2, 1))]"
+            "    )) AS shingle "
+            "    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w "
+            "          FROM documents) t"
+            "  ) WHERE length(shingle) > 0"
+            "), sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id), "
+            "inter AS ("
+            "  SELECT ga.doc_id AS a, gb.doc_id AS b, count(*) AS inter "
+            "  FROM g ga JOIN g gb ON ga.shingle = gb.shingle AND ga.doc_id < gb.doc_id "
+            "  GROUP BY 1, 2) "
+            "SELECT a, b, ROUND(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard "
+            "FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b "
+            "WHERE inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.2"
+        ),
+        "ann_int_dot_topk": (
+            "WITH q AS (SELECT vec_id AS q_id, "
+            "  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qv "
+            "  FROM embeddings WHERE vec_id < 30), "
+            "c AS (SELECT vec_id AS n_id, "
+            "  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS cv "
+            "  FROM embeddings) "
+            "SELECT q_id, n_id, dot, rank FROM ("
+            "  SELECT q_id, n_id, CAST(list_dot_product(qv, cv) AS BIGINT) AS dot, "
+            "         row_number() OVER (PARTITION BY q_id ORDER BY list_dot_product(qv, cv) DESC, n_id ASC) AS rank "
+            "  FROM q, c WHERE q_id != n_id) WHERE rank <= 5"
+        ),
+        "media_bytes": (
+            "SELECT doc_id AS media_id, "
+            "CASE WHEN doc_id % 2 = 0 THEN 'fake/image' ELSE 'fake/video' END AS media_type, "
+            "octet_length(encode(text))::BIGINT AS n_bytes FROM documents"
         ),
         # xxhash64_hosts, crawl_two_rounds: rows-only by design
     }

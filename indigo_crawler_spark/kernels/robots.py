@@ -22,7 +22,9 @@ def _parser(host: str, robots_txt: str) -> RobotFileParser:
     if rp is None:
         rp = RobotFileParser()
         rp.parse(robots_txt.splitlines())
-        if len(_cache) > 4096:
+        # after the by-host shuffle each worker sees one partition's hosts,
+        # so a 64k cap holds the working set without unbounded growth
+        if len(_cache) > 65536:
             _cache.clear()
         _cache[key] = rp
     return rp

@@ -24,8 +24,13 @@ def split_robots(candidates: DataFrame, robots: DataFrame, cfg: CrawlConfig) -> 
     """
     if not cfg.robots_enabled:
         return candidates, candidates.limit(0)
+    # robots is per-host (frontier-scale, not dimension-scale): a broadcast
+    # build would serialize ~robots-table-size work onto one thread; the
+    # shuffle-hash join parallelizes it and never sorts the text blobs.
     joined = candidates.join(
-        robots.select("host", "robots_txt"), on="host", how="left"
+        robots.select("host", "robots_txt").hint("SHUFFLE_HASH"),
+        on="host",
+        how="left",
     ).withColumn("_allowed", robots_allowed_udf(F.col("canon_url"), F.col("robots_txt")))
     allowed = joined.where(F.col("_allowed")).drop("robots_txt", "_allowed")
     denied = joined.where(~F.col("_allowed")).drop("robots_txt", "_allowed")

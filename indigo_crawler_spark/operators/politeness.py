@@ -28,17 +28,62 @@ def politeness_topk(df: DataFrame, budget_col: str = "budget") -> DataFrame:
     )
 
 
+def global_rank(df: DataFrame, order_cols: list) -> DataFrame:
+    """Exact global row_number over a total order, DISTRIBUTED:
+
+    range-partition + sort on the order key, then rank = per-partition offset
+    (one tiny driver collect of partition counts) + local index assigned in
+    one mapInPandas pass. No single-partition window, no TakeOrdered driver
+    merge — the two classic global-rank scalability traps. Output ranks are
+    independent of where the range boundaries happen to fall, so the result
+    is deterministic even though RangePartitioner samples its bounds.
+    """
+    import pandas as pd
+
+    s = (
+        df.repartitionByRange(*order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    s = s.cache()
+    counts = {r["_pid"]: r["n"] for r in s.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [f for f in s.schema.fields if f.name != "_pid"] + [StructField("global_rank", LongType())]
+    )
+    col_names = [f.name for f in out_schema.fields]
+
+    def rank(batches):
+        local = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            base = offsets[int(pdf["_pid"].iloc[0])]
+            out = pdf.drop(columns=["_pid"])
+            out["global_rank"] = range(base + local + 1, base + local + 1 + len(pdf))
+            local += len(pdf)
+            yield out[col_names]
+
+    return s.mapInPandas(rank, out_schema)
+
+
 def sequence_batches(df: DataFrame, round_no: int, limit: int, batch_size: int) -> DataFrame:
     """Global order (priority DESC, canon_url ASC) → top-*limit* rows with
     global_rank / batch_id — the emitted crawl ordering (BASELINE.json:2).
 
-    orderBy().limit() compiles to TakeOrderedAndProject (per-partition top-K
-    then driver-side merge of K); the row_number window then runs on ≤K rows.
+    Uses the distributed exact ranker above: scales to any K without a
+    single-partition window or an O(partitions·K) TakeOrdered driver merge.
     """
-    topk = df.orderBy(F.desc("priority"), F.asc("canon_url")).limit(limit)
-    w = Window.orderBy(F.desc("priority"), F.asc("canon_url"))
+    ranked = global_rank(df, [F.desc("priority"), F.asc("canon_url")])
     return (
-        topk.withColumn("global_rank", F.row_number().over(w))
+        ranked.where(F.col("global_rank") <= limit)
+        .withColumn("global_rank", F.col("global_rank").cast("int"))
         .withColumn(
             "batch_id",
             ((F.col("global_rank") - F.lit(1)) / F.lit(batch_size)).cast("int"),

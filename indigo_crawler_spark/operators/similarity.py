@@ -1,0 +1,156 @@
+"""Similarity search over embedding columns (task brief):
+brute-force cosine top-k baseline + LSH-bucketed ANN scale path.
+
+All arithmetic is JVM column expressions: dot products via
+``aggregate(zip_with(...))`` — a strict left fold, so the accumulation order
+is fixed and results are deterministic. No Python per row.
+
+Scale shapes:
+- brute force: queries × corpus join. Broadcast the query side; corpus never
+  shuffles. Right for ≤10^3 queries or as the verifier behind ANN.
+- hyperplane LSH: b deterministic sha-derived hyperplanes → b-bit bucket;
+  candidates share a bucket in ≥1 of r rotations (here: exact-bucket join),
+  then exact cosine re-ranks. Recall tunable via (b, rotations).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbours per query (self-match excluded).
+
+    → (q_id, n_id, cos, rank). Ties broken by n_id — a total order.
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    ).withColumn("q_norm", _norm(F.col("q_vec")))
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
+    ).withColumn("n_norm", _norm(F.col("n_vec")))
+    scored = (
+        c.join(F.broadcast(q))
+        .where(F.col("q_id") != F.col("n_id"))
+        .withColumn(
+            "cos", _dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_norm") * F.col("n_norm"))
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+def int_dot_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 5, scale: int = 1000,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-integer variant: vectors quantized to round(x·scale) so the dot
+    product is an exact BIGINT — bit-identical across engines (the
+    DuckDB-checkable face of the similarity operator)."""
+    quant = lambda col: F.transform(  # noqa: E731
+        col, lambda x: F.round(x.cast("double") * scale, 0).cast("long")
+    )
+    q = queries.select(F.col(id_col).alias("q_id"), quant(F.col(vec_col)).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("n_id"), quant(F.col(vec_col)).alias("n_vec"))
+    dot = F.aggregate(
+        F.zip_with("q_vec", "n_vec", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = c.join(F.broadcast(q)).where(F.col("q_id") != F.col("n_id")).withColumn("dot", dot)
+    w = Window.partitionBy("q_id").orderBy(F.desc("dot"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "dot", "rank")
+    )
+
+
+def _hyperplanes(dim: int, bits: int) -> list[list[float]]:
+    """Deterministic sha256-derived hyperplanes (no RNG anywhere):
+    component ∈ (-1, 1) from 4-byte slices of repeated digests."""
+    planes = []
+    for b in range(bits):
+        vals: list[float] = []
+        ctr = 0
+        while len(vals) < dim:
+            d = hashlib.sha256(f"lsh:{b}:{ctr}".encode()).digest()
+            for off in range(0, 32, 4):
+                u = int.from_bytes(d[off : off + 4], "big")
+                vals.append(u / 2**31 - 1.0)
+                if len(vals) == dim:
+                    break
+            ctr += 1
+        planes.append(vals)
+    return planes
+
+
+def lsh_bucket_expr(vec_col: Column, dim: int, bits: int = 12) -> Column:
+    """Hyperplane-LSH bucket id: bit_b = sign(v · plane_b) ≥ 0."""
+    bucket = F.lit(0).cast("long")
+    for b, plane in enumerate(_hyperplanes(dim, bits)):
+        proj = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(x) for x in plane]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket.bitwiseXOR(
+            F.shiftleft(F.when(proj >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")), b)
+        )
+    return bucket
+
+
+def ann_lsh_topk(
+    queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5, bits: int = 12,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: hyperplane-LSH bucket equi-join → exact cosine
+    re-rank inside the bucket. The bucket join replaces the cross join — the
+    scale path when both sides are large (corpus shuffles once on bucket id)."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
+        lsh_bucket_expr(F.col(vec_col), dim, bits).alias("bk"),
+    ).withColumn("q_norm", _norm(F.col("q_vec")))
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
+        lsh_bucket_expr(F.col(vec_col), dim, bits).alias("bk"),
+    ).withColumn("n_norm", _norm(F.col("n_vec")))
+    scored = (
+        c.join(q, on="bk")
+        .where(F.col("q_id") != F.col("n_id"))
+        .withColumn(
+            "cos", _dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_norm") * F.col("n_norm"))
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", F.round("cos", 6).alias("cos"), "rank")
+    )

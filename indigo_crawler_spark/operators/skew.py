@@ -37,14 +37,31 @@ def politeness_topk_skew_aware(df: DataFrame, cfg: CrawlConfig) -> DataFrame:
     Result (rows AND rank_in_host values) is identical to
     ``politeness_topk(df)``; only the physical plan differs.
     """
-    counts = df.groupBy("host").agg(F.count("*").alias("_n"))
-    heavy = counts.where(F.col("_n") > cfg.salt_threshold).select("host")
-    if heavy.isEmpty():
+    # ONE job decides: collect the heavy-host list (bounded — by definition
+    # at most total/threshold hosts can exceed the threshold, and we only
+    # need the first few thousand to pick a strategy).
+    heavy_hosts = [
+        r["host"]
+        for r in df.groupBy("host")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") > cfg.salt_threshold)
+        .select("host")
+        .limit(100_000)
+        .collect()
+    ]
+    if not heavy_hosts:
         return politeness_topk(df)
 
-    heavy_b = F.broadcast(heavy)
-    light = df.join(heavy_b, on="host", how="left_anti")
-    heavy_rows = df.join(heavy_b, on="host", how="left_semi").withColumn(
+    if len(heavy_hosts) <= 10_000:
+        is_heavy = F.col("host").isin(heavy_hosts)
+        light = df.where(~is_heavy)
+        heavy_rows = df.where(is_heavy)
+    else:
+        heavy = df.sparkSession.createDataFrame([(h,) for h in heavy_hosts], ["host"])
+        heavy_b = F.broadcast(heavy)
+        light = df.join(heavy_b, on="host", how="left_anti")
+        heavy_rows = df.join(heavy_b, on="host", how="left_semi")
+    heavy_rows = heavy_rows.withColumn(
         "_salt", F.pmod(F.xxhash64("canon_url"), F.lit(cfg.num_salts))
     )
 

@@ -1,0 +1,205 @@
+"""Deduplication operators for a training-data pipeline (task brief):
+exact, n-gram Jaccard, MinHash+LSH, SimHash — all JVM-side DataFrame ops.
+
+Everything below stays in whole-stage codegen (hash/agg/join on built-in
+functions); no Python executes per row. Scale shapes:
+
+- exact:       one hash aggregation on sha2(text).
+- shingles:    explode word n-grams → (doc, shingle-hash) — the base relation
+               for both exact-Jaccard and MinHash.
+- jaccard:     inverted-index self-join on shingle hash (the classic
+               pair-generation join); at 10^10 docs you NEVER run it on the
+               full corpus — MinHash/LSH generates candidates first and this
+               join verifies only those pairs.
+- minhash-lsh: k=64 permutation mins as 64 aggregate exprs over the shingle
+               relation (one shuffle), banded into 16×4; bucket self-join
+               emits candidates, then exact Jaccard verifies. Deterministic
+               permutation params derive from sha256 (no RNG).
+- simhash:     64 sign-sums over token hashes → one BIGINT per doc;
+               Hamming-≤k pairs via 4×16-bit band join + bit_count filter.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_P61 = (1 << 61) - 1
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct text: keeper id (min), group size."""
+    return (
+        docs.groupBy(F.sha2(F.col(text_col), 256).alias("text_sha"))
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct (id, shingle_hash) over word n-grams, hashed into 31 bits.
+
+    31-bit shingle space keeps MinHash modular arithmetic inside int64
+    (a*h + b < 2^62); collision odds are fine below ~10^8 distinct shingles —
+    at larger corpora switch to the 61-bit two-step mix noted in minhash_signatures.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
+        .where(F.length("shingle") > 0)
+        .select("doc_id", F.pmod(F.xxhash64("shingle"), F.lit(1 << 31)).alias("sh"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(shingles: DataFrame, threshold: float) -> DataFrame:
+    """Exact n-gram Jaccard ≥ threshold pairs via inverted-index self-join."""
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = shingles.select(F.col("doc_id").alias("a"), "sh")
+    b = shingles.select(F.col("doc_id").alias("b"), "sh")
+    inter = (
+        a.join(b, on="sh")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sz_a, "a")
+        .join(sz_b, "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def _mh_params(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs < 2^31, a odd — sha256-derived, no RNG."""
+    out = []
+    for i in range(k):
+        d = hashlib.sha256(f"minhash:{i}".encode()).digest()
+        a = (int.from_bytes(d[0:4], "big") | 1) % (1 << 31)
+        b = int.from_bytes(d[4:8], "big") % (1 << 31)
+        out.append((a or 1, b))
+    return out
+
+
+def minhash_signatures(shingles: DataFrame, k: int = 64) -> DataFrame:
+    """k permutation minima as one aggregation: sig_i = min((a_i·sh + b_i) mod p)."""
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("sh") + F.lit(b), F.lit(_P61))).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(_mh_params(k))
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16, rows: int = 4) -> DataFrame:
+    """Band the signature (bands×rows) → ONE self-join on (band_id, hash).
+
+    Bands explode to rows so all bands share a single equi-join (a 16-way
+    union of joins is 16 shuffles and a giant plan; this is one).
+    """
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(*[f"sig_{b * rows + r}" for r in range(rows)]).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = signatures.select(
+        "doc_id", F.explode(band_structs).alias("bk")
+    ).select("doc_id", "bk.band_id", "bk.bh")
+    left = banded.select(F.col("doc_id").alias("a"), "band_id", "bh")
+    right = banded.select(F.col("doc_id").alias("b"), "band_id", "bh")
+    return (
+        left.join(right, ["band_id", "bh"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame, threshold: float = 0.7, n: int = 3, k: int = 64,
+    bands: int = 16, rows: int = 4,
+) -> DataFrame:
+    """MinHash→LSH→exact-verify near-duplicate pairs (no false positives:
+    every emitted pair passed the exact Jaccard check)."""
+    sh = word_shingles(docs, n).cache()
+    cands = lsh_candidate_pairs(minhash_signatures(sh, k), bands, rows)
+    verify_base = sh.join(
+        cands.select(F.col("a").alias("doc_id")).union(
+            cands.select(F.col("b").alias("doc_id"))
+        ).distinct(),
+        "doc_id",
+        "left_semi",
+    )
+    verified = jaccard_pairs(verify_base, threshold)
+    return verified.join(cands, on=["a", "b"], how="left_semi")
+
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per doc: bit_b = sign(Σ_tokens ±1 by token-hash bit b)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).where(F.length("tok") > 0)
+    h = F.xxhash64("tok")
+    sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s_{b}")
+            for b in range(64)
+        ]
+    )
+    sig = None
+    for b in range(64):
+        bit = F.when(F.col(f"s_{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return sums.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Hamming ≤ max_hamming pairs via 4×16-bit band join + bit_count verify.
+
+    Pigeonhole: distance ≤ 3 ⇒ at least one of the 4 16-bit chunks is equal,
+    so the band join loses nothing while avoiding the full cross join.
+    """
+    chunks = [
+        F.shiftright("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF)).alias(f"c_{c}")
+        for c in range(4)
+    ]
+    df = signatures.select("doc_id", "simhash", *chunks)
+    pairs = None
+    for c in range(4):
+        left = df.select(
+            F.col("doc_id").alias("a"), F.col("simhash").alias("sig_a"), F.col(f"c_{c}").alias("bk")
+        )
+        right = df.select(
+            F.col("doc_id").alias("b"), F.col("simhash").alias("sig_b"), F.col(f"c_{c}").alias("bk")
+        )
+        p = left.join(right, "bk").where(F.col("a") < F.col("b")).select("a", "b", "sig_a", "sig_b")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (
+        pairs.distinct()
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

@@ -140,8 +140,9 @@ def bootstrap(
         sc.select("canon_url", "seed_rank"), "canon_url", ["seed_rank"]
     ).withColumn("host", host_expr("canon_url"))
     hc = state.io.read("host_counts", schemas.HOST_COUNTS)
+    # hc is per-host (frontier-scale) — shuffle join, never a broadcast build
     frontier0 = (
-        sc.join(F.broadcast(hc), on="host", how="left")
+        sc.join(hc.hint("SHUFFLE_HASH"), on="host", how="left")
         .withColumn("host_count", F.coalesce(F.col("host_count"), F.lit(0)))
         .select(
             "canon_url",
@@ -194,6 +195,9 @@ def run_round(
     # 4. global cap + sequencing
     from indigo_crawler_spark.operators.skew import politeness_topk_skew_aware
 
+    # cache: the gates pipeline (robots Arrow UDF + budget join) feeds both
+    # the skew-detection count and the window — never execute it twice
+    eligible = eligible.cache()
     kept = politeness_topk_skew_aware(eligible, cfg).cache()
     emitted = sequence_batches(kept, round_no, cfg.round_limit, cfg.batch_size).cache()
     n_emitted = emitted.count()  # also materializes the cache
@@ -218,9 +222,19 @@ def run_round(
     store = io.read("page_store", schemas.PAGE_STORE).where(
         F.col("pk").isin(emitted_pks)
     )
-    fetched = store.select("canon_url", "html").join(
-        F.broadcast(emitted.select("canon_url", "depth")), on="canon_url", how="inner"
-    )
+    # strategy switch on the known emitted count: small rounds broadcast the
+    # url list into the scan; huge rounds (K in the millions) would serialize
+    # a giant broadcast build — shuffle-hash join instead (the store slice
+    # shuffles once; never sorted).
+    emitted_sel = emitted.select("canon_url", "depth")
+    if n_emitted <= 200_000:
+        fetched = store.select("canon_url", "html").join(
+            F.broadcast(emitted_sel), on="canon_url", how="inner"
+        )
+    else:
+        fetched = store.select("canon_url", "html").join(
+            emitted_sel.hint("SHUFFLE_HASH"), on="canon_url", how="inner"
+        )
     extracted = extract_pages(fetched).cache()
     if with_counters:
         counters["fetched_pages"] = extracted.count()
@@ -274,20 +288,30 @@ def run_round(
         children_unseen = certainly_new.unionByName(survivors)
     else:
         children_unseen = children.join(
-            seen_prev.select("canon_url"), on="canon_url", how="left_anti"
+            seen_prev.select("canon_url").hint("SHUFFLE_HASH"),
+            on="canon_url",
+            how="left_anti",
         )
 
+    # Join strategy notes (10^10 scale): emitted is bounded by K → broadcast;
+    # denied / frontier / seen / host_counts are frontier-scale → broadcast
+    # builds would serialize; SHUFFLE_HASH parallelizes and avoids sorting.
     remaining = (
-        frontier.join(emitted.select("canon_url"), on="canon_url", how="left_anti")
-        .join(denied.select("canon_url"), on="canon_url", how="left_anti")
+        frontier.join(F.broadcast(emitted.select("canon_url")), on="canon_url", how="left_anti")
+        .join(denied.select("canon_url").hint("SHUFFLE_HASH"), on="canon_url", how="left_anti")
     )
 
+    # children must not already be in (remaining ∪ emitted) = frontier − denied
+    # (emitted ⊆ frontier and emitted ∩ denied = ∅) — ONE anti-join instead of
+    # two sequential ones (each join is a whole stage + exchange at scale).
+    frontier_not_denied = frontier.select("canon_url").join(
+        denied.select("canon_url").hint("SHUFFLE_HASH"), on="canon_url", how="left_anti"
+    )
     hc = io.read("host_counts", schemas.HOST_COUNTS)
     children_full = (
         children_unseen.drop("url_hash")
-        .join(emitted.select("canon_url"), on="canon_url", how="left_anti")
-        .join(remaining.select("canon_url"), on="canon_url", how="left_anti")
-        .join(F.broadcast(hc), on="host", how="left")
+        .join(frontier_not_denied.hint("SHUFFLE_HASH"), on="canon_url", how="left_anti")
+        .join(hc.hint("SHUFFLE_HASH"), on="host", how="left")
         .withColumn("host_count", F.coalesce(F.col("host_count"), F.lit(0)))
         .select(
             "canon_url",
@@ -360,7 +384,7 @@ def run_round(
     }
     io.write_manifest(f"round_{round_no:05d}", payload)
 
-    for df in (frontier, denied, kept, emitted, extracted):
+    for df in (frontier, denied, eligible, kept, emitted, extracted):
         df.unpersist()
     return payload
 

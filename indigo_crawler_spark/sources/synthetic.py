@@ -41,17 +41,34 @@ def pages_df(spark: SparkSession, n_rows: int, n_hosts: int, parallelism: int) -
 
 
 def seeds_df(spark: SparkSession, n_rows: int, n_hosts: int, n_seeds: int) -> DataFrame:
-    """First n_seeds row-index urls (driver-side: n_seeds is small)."""
-    spec = PagesSpec(n_rows, n_hosts)
-    rows, seen = [], set()
-    i = 0
-    while len(rows) < n_seeds and i < n_rows:
-        u = spec.url(i)
-        if u not in seen:
-            seen.add(u)
-            rows.append((u, len(rows)))
-        i += 1
-    return spark.createDataFrame(rows, schemas.SEEDS)
+    """Seed list = urls of row indexes [0, n_seeds) with seed_rank = index.
+
+    Small n_seeds: driver-side with a distinctness pass (matches
+    fixtures.gen_seeds). Large n_seeds (bench scales): distributed via
+    mapInPandas — raw-url duplicates are then possible and are resolved by
+    bootstrap's min-seed_rank dedup, which is part of the semantics anyway.
+    """
+    if n_seeds <= 100_000:
+        spec = PagesSpec(n_rows, n_hosts)
+        rows, seen = [], set()
+        i = 0
+        while len(rows) < n_seeds and i < n_rows:
+            u = spec.url(i)
+            if u not in seen:
+                seen.add(u)
+                rows.append((u, len(rows)))
+            i += 1
+        return spark.createDataFrame(rows, schemas.SEEDS)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        spec = PagesSpec(n_rows, n_hosts)
+        for pdf in batches:
+            idx = [int(i) for i in pdf["id"]]
+            yield pd.DataFrame(
+                {"url": [spec.url(i) for i in idx], "seed_rank": idx}
+            )
+
+    return spark.range(n_seeds).repartition(64).mapInPandas(gen, schemas.SEEDS)
 
 
 def robots_df(spark: SparkSession, n_hosts: int) -> DataFrame:

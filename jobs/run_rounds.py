@@ -1,0 +1,95 @@
+"""Production entrypoint — ship via:
+
+    bash jobs/package.sh
+    spark-submit --master <cluster> --py-files dist/engine.zip \\
+        jobs/run_rounds.py --state-dir /data/crawl --rounds 10 \\
+        [--pages /data/pages.parquet --seeds /data/seeds.parquet \\
+         --robots /data/robots.parquet --budgets /data/budgets.parquet] \\
+        [--synthetic PAGES,HOSTS,SEEDS]
+
+Bootstraps on first run (state dir has no bootstrap manifest), then runs /
+resumes scheduler rounds up to --rounds. Killing the job at any point is
+safe: rerunning the same command resumes bit-exactly (manifest-last commit +
+lineage verification, SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--state-dir", required=True)
+    ap.add_argument("--rounds", type=int, required=True)
+    ap.add_argument("--pages")
+    ap.add_argument("--seeds")
+    ap.add_argument("--robots")
+    ap.add_argument("--budgets")
+    ap.add_argument("--synthetic", help="PAGES,HOSTS,SEEDS deterministic corpus")
+    ap.add_argument("--round-limit", type=int, default=100_000)
+    ap.add_argument("--num-buckets", type=int, default=256)
+    ap.add_argument("--default-budget", type=int, default=8)
+    ap.add_argument("--filter-kind", default="bloom", choices=["bloom", "cuckoo", "none"])
+    ap.add_argument("--no-counters", action="store_true")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("indigo-crawl-rounds").getOrCreate()
+
+    from indigo_crawler_spark.config import CrawlConfig
+    from indigo_crawler_spark.plans import schemas
+    from indigo_crawler_spark.plans.round import CrawlState, bootstrap, run_rounds
+    from indigo_crawler_spark.sources.table_io import TableIO
+
+    cfg = CrawlConfig(
+        round_limit=args.round_limit,
+        num_buckets=args.num_buckets,
+        default_budget=args.default_budget,
+        filter_kind=args.filter_kind,
+    )
+    state = CrawlState(io=TableIO(spark, args.state_dir), cfg=cfg)
+
+    if state.io.read_manifest("bootstrap") is None:
+        if args.synthetic:
+            from indigo_crawler_spark.sources import synthetic
+
+            n_pages, n_hosts, n_seeds = (int(x) for x in args.synthetic.split(","))
+            cpus = spark.sparkContext.defaultParallelism
+            pages = synthetic.pages_df(spark, n_pages, n_hosts, parallelism=cpus * 2)
+            seeds = synthetic.seeds_df(spark, n_pages, n_hosts, n_seeds)
+            robots = synthetic.robots_df(spark, n_hosts)
+            budgets = synthetic.budgets_df(spark, n_hosts)
+        else:
+            if not (args.pages and args.seeds):
+                print("need --pages/--seeds or --synthetic for first run", file=sys.stderr)
+                return 2
+            pages = spark.read.schema(schemas.PAGES).parquet(args.pages)
+            seeds = spark.read.schema(schemas.SEEDS).parquet(args.seeds)
+            robots = (
+                spark.read.schema(schemas.ROBOTS).parquet(args.robots)
+                if args.robots
+                else spark.createDataFrame([], schemas.ROBOTS)
+            )
+            budgets = (
+                spark.read.schema(schemas.HOST_BUDGETS).parquet(args.budgets)
+                if args.budgets
+                else spark.createDataFrame([], schemas.HOST_BUDGETS)
+            )
+        bootstrap(
+            spark, pages, seeds, robots, budgets, state,
+            with_counters=not args.no_counters,
+        )
+        print("bootstrap committed")
+
+    manifests = run_rounds(spark, state, args.rounds, with_counters=not args.no_counters)
+    for m in manifests:
+        print(f"round {m['round']} committed: {m.get('counters', {})}")
+    print(f"done: {args.rounds} rounds total in {args.state_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -22,10 +22,20 @@ def test_entry_smoke(spark):
 def test_query_keys_superset_of_oracle(spark):
     qs, oq = entrymod.queries(), entrymod.oracle_sql()
     assert set(oq).issubset(set(qs))
-    assert len(qs) >= 20
-    # rows-only entries are intentional and few
+    assert len(qs) >= 30
+    # rows-only entries are intentional: probabilistic structures (LSH bands),
+    # xxhash64-based signatures, float fold order, and Python-kernel heuristics
     rows_only = set(qs) - set(oq)
-    assert rows_only == {"crawl_two_rounds", "xxhash64_hosts"}
+    assert rows_only == {
+        "crawl_two_rounds",
+        "xxhash64_hosts",
+        "minhash_lsh_pairs",
+        "simhash_pairs",
+        "cosine_topk",
+        "ann_lsh_topk",
+        "langid_counts",
+        "doc_fingerprints",
+    }
 
 
 def test_anti_join_nonempty(spark):

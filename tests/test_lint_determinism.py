@@ -22,7 +22,7 @@ BANNED = [
 ]
 
 # files allowed to call .collect()/.isEmpty() — each use is O(P) or O(1)
-COLLECT_ALLOWED = {"round.py", "lineage.py", "skew.py"}
+COLLECT_ALLOWED = {"round.py", "lineage.py", "skew.py", "politeness.py", "skin.py"}
 
 
 def _sources():

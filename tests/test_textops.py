@@ -1,0 +1,188 @@
+"""T1 — training-data pipeline ops: text analysis, dedup, similarity, multimodal."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from indigo_crawler_spark.functions.text_analysis import (
+    fingerprint_udf,
+    lang_id_udf,
+    quality_exprs,
+    regex_token_count,
+    whitespace_token_count,
+)
+from indigo_crawler_spark.kernels.textstats import fingerprint64, lang_id
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat today", "en"),  # near dup
+        (3, "der hund und die katze sind nicht da", "de"),
+        (4, "el perro y la casa de madera es grande", "es"),
+        (5, "这是一个中文测试文档 今天天气很好", "zh"),
+        (6, "completely different text about spark engines and shuffles", "en"),
+        (7, "", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+class TestTextAnalysis:
+    def test_token_counts(self, spark, docs):
+        rows = {
+            r["doc_id"]: (r["ws"], r["rx"])
+            for r in docs.select(
+                "doc_id",
+                whitespace_token_count("text").alias("ws"),
+                regex_token_count("text").alias("rx"),
+            ).collect()
+        }
+        assert rows[0] == (9, 9)
+        assert rows[7][0] == 0
+
+    def test_quality_exprs(self, spark, docs):
+        exprs = quality_exprs("text")
+        r = (
+            docs.where(F.col("doc_id") == 0)
+            .select(*[v.alias(k) for k, v in exprs.items()])
+            .collect()[0]
+        )
+        assert r["n_chars"] == 43 and r["n_words"] == 9
+        assert r["punct_ratio"] == 0.0
+        assert math.isclose(r["space_ratio"], 8 / 43, rel_tol=1e-4)
+
+    def test_lang_id(self, spark, docs):
+        got = {
+            r["doc_id"]: r["lid"]
+            for r in docs.select("doc_id", lang_id_udf("text").alias("lid")).collect()
+        }
+        assert got[0] == "en" and got[3] == "de" and got[4] == "es" and got[5] == "zh"
+        assert got[7] == "unknown"
+        # UDF ≡ kernel
+        assert got[0] == lang_id("the quick brown fox jumps over the lazy dog")
+
+    def test_fingerprint(self, spark, docs):
+        got = {
+            r["doc_id"]: r["fp"]
+            for r in docs.select("doc_id", fingerprint_udf("text").alias("fp")).collect()
+        }
+        assert got[0] == got[1] != 0  # identical docs, identical fingerprints
+        assert got[0] == fingerprint64("the quick brown fox jumps over the lazy dog")
+        assert got[0] != got[6]
+
+
+class TestDedup:
+    def test_exact(self, spark, docs):
+        from indigo_crawler_spark.operators.text_dedup import exact_dedup
+
+        out = {r["keep_id"]: r["n_copies"] for r in exact_dedup(docs).collect()}
+        assert out[0] == 2  # docs 0,1 merged, min id kept
+        assert 1 not in out
+
+    def test_jaccard_pairs(self, spark, docs):
+        from indigo_crawler_spark.operators.text_dedup import jaccard_pairs, word_shingles
+
+        pairs = {
+            (r["a"], r["b"]): r["jaccard"]
+            for r in jaccard_pairs(word_shingles(docs), 0.5).collect()
+        }
+        assert pairs[(0, 1)] == 1.0  # exact dup
+        assert (0, 2) in pairs  # near dup above threshold
+        assert all(a < b for a, b in pairs)
+
+    def test_minhash_lsh_matches_exact_for_high_threshold(self, spark, docs):
+        from indigo_crawler_spark.operators.text_dedup import (
+            jaccard_pairs,
+            minhash_dedup_pairs,
+            word_shingles,
+        )
+
+        got = {(r["a"], r["b"]) for r in minhash_dedup_pairs(docs, threshold=0.5).collect()}
+        exact = {(r["a"], r["b"]) for r in jaccard_pairs(word_shingles(docs), 0.5).collect()}
+        assert got <= exact  # verification step ⇒ no false positives
+        assert (0, 1) in got  # identical docs always collide in every band
+
+    def test_simhash(self, spark, docs):
+        from indigo_crawler_spark.operators.text_dedup import (
+            simhash_near_pairs,
+            simhash_signatures,
+        )
+
+        sigs = simhash_signatures(docs.where(F.col("doc_id") != 7))
+        by_id = {r["doc_id"]: r["simhash"] for r in sigs.collect()}
+        assert by_id[0] == by_id[1]  # identical text ⇒ identical simhash
+        pairs = {(r["a"], r["b"]): r["hamming"] for r in simhash_near_pairs(sigs, 10).collect()}
+        assert pairs[(0, 1)] == 0
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def vecs(self, spark):
+        rng_free = [
+            [float((i * 31 + j * 17) % 13) - 6.0 for j in range(8)] for i in range(20)
+        ]
+        rng_free[1] = rng_free[0][:]  # vec 1 ≡ vec 0
+        return spark.createDataFrame(
+            [(i, v) for i, v in enumerate(rng_free)], "vec_id long, embedding array<float>"
+        )
+
+    def test_cosine_topk_exact_vs_numpy(self, spark, vecs):
+        from indigo_crawler_spark.operators.similarity import cosine_topk
+
+        out = cosine_topk(vecs.where(F.col("vec_id") < 3), vecs, k=3)
+        got = {(r["q_id"], r["rank"]): r["n_id"] for r in out.collect()}
+        assert got[(0, 1)] == 1  # identical vector is the top neighbour
+        mat = np.array(
+            [r["embedding"] for r in vecs.orderBy("vec_id").collect()], dtype=np.float64
+        )
+        norms = np.linalg.norm(mat, axis=1)
+        sims = mat @ mat[0] / (norms * norms[0])
+        sims[0] = -np.inf
+        best = int(np.argmax(sims))
+        assert got[(0, 1)] == best or sims[got[(0, 1)]] == pytest.approx(sims[best])
+
+    def test_int_dot_topk(self, spark, vecs):
+        from indigo_crawler_spark.operators.similarity import int_dot_topk
+
+        out = int_dot_topk(vecs.where(F.col("vec_id") == 0), vecs, k=2)
+        rows = {r["rank"]: (r["n_id"], r["dot"]) for r in out.collect()}
+        assert rows[1][0] == 1  # identical vector wins on dot product too
+
+    def test_ann_lsh_recall_on_identical(self, spark, vecs):
+        from indigo_crawler_spark.operators.similarity import ann_lsh_topk
+
+        out = ann_lsh_topk(vecs.where(F.col("vec_id") == 0), vecs, dim=8, k=3, bits=4)
+        got = [r["n_id"] for r in out.orderBy("rank").collect()]
+        assert got and got[0] == 1  # identical vector shares every bucket
+
+
+class TestMultimodal:
+    def test_extract_and_frame_plan(self, spark, docs):
+        from indigo_crawler_spark.operators.multimodal import (
+            extract_media_features,
+            frame_sample_plan,
+            media_from_documents,
+        )
+
+        media = media_from_documents(
+            docs.withColumn("n_chars", F.length("text")).where(F.col("doc_id") < 6)
+        )
+        feats = {r["media_id"]: r for r in extract_media_features(media).collect()}
+        assert len(feats) == 6
+        assert feats[0]["n_bytes"] == 43 and len(bytes(feats[0]["sha16"])) == 16
+        assert feats[0]["n_frames"] == 1  # fake/image
+        assert feats[1]["n_frames"] >= 1  # fake/video
+        plan = {r["media_id"]: r["frame_indices"] for r in frame_sample_plan(media, 10).collect()}
+        assert plan[0] == [0]
+
+    def test_unknown_codec_raises(self):
+        from indigo_crawler_spark.operators.multimodal import decode_media
+
+        with pytest.raises(NotImplementedError):
+            decode_media("image/jpeg", b"\xff\xd8")
