@@ -234,6 +234,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["count_distinct"] = lambda s, d: _t(s, d, "lineitem").agg(
         F.countDistinct("l_partkey").alias("n_parts"), F.count("*").alias("n")
     )
+    # rows-only: HLL sketches differ across engines by construction (A3)
+    q["approx_count_distinct"] = lambda s, d: _t(s, d, "lineitem").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("n_approx")
+    )
     q["rollup_counts"] = lambda s, d: _t(s, d, "events").rollup("event_type").agg(
         F.count("*").alias("n")
     )

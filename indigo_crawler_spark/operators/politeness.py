@@ -28,7 +28,7 @@ def politeness_topk(df: DataFrame, budget_col: str = "budget") -> DataFrame:
     )
 
 
-def global_rank(df: DataFrame, order_cols: list) -> DataFrame:
+def global_rank(df: DataFrame, order_cols: list) -> tuple[DataFrame, int]:
     """Exact global row_number over a total order, DISTRIBUTED:
 
     range-partition + sort on the order key, then rank = per-partition offset
@@ -37,6 +37,9 @@ def global_rank(df: DataFrame, order_cols: list) -> DataFrame:
     merge — the two classic global-rank scalability traps. Output ranks are
     independent of where the range boundaries happen to fall, so the result
     is deterministic even though RangePartitioner samples its bounds.
+
+    Returns (ranked_df, total_rows): the total falls out of the offsets
+    collect for free, saving callers a count() action.
     """
     import pandas as pd
 
@@ -70,18 +73,22 @@ def global_rank(df: DataFrame, order_cols: list) -> DataFrame:
             local += len(pdf)
             yield out[col_names]
 
-    return s.mapInPandas(rank, out_schema)
+    return s.mapInPandas(rank, out_schema), acc
 
 
-def sequence_batches(df: DataFrame, round_no: int, limit: int, batch_size: int) -> DataFrame:
+def sequence_batches(
+    df: DataFrame, round_no: int, limit: int, batch_size: int
+) -> tuple[DataFrame, int]:
     """Global order (priority DESC, canon_url ASC) → top-*limit* rows with
     global_rank / batch_id — the emitted crawl ordering (BASELINE.json:2).
 
     Uses the distributed exact ranker above: scales to any K without a
     single-partition window or an O(partitions·K) TakeOrdered driver merge.
+    Returns (emitted_df, n_emitted) — the emitted count is known without
+    another action (= min(total kept, limit)).
     """
-    ranked = global_rank(df, [F.desc("priority"), F.asc("canon_url")])
-    return (
+    ranked, total = global_rank(df, [F.desc("priority"), F.asc("canon_url")])
+    out = (
         ranked.where(F.col("global_rank") <= limit)
         .withColumn("global_rank", F.col("global_rank").cast("int"))
         .withColumn(
@@ -90,3 +97,4 @@ def sequence_batches(df: DataFrame, round_no: int, limit: int, batch_size: int) 
         )
         .withColumn("round", F.lit(round_no))
     )
+    return out, min(total, limit)

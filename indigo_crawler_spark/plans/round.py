@@ -199,8 +199,10 @@ def run_round(
     # the skew-detection count and the window — never execute it twice
     eligible = eligible.cache()
     kept = politeness_topk_skew_aware(eligible, cfg).cache()
-    emitted = sequence_batches(kept, round_no, cfg.round_limit, cfg.batch_size).cache()
-    n_emitted = emitted.count()  # also materializes the cache
+    emitted, n_emitted = sequence_batches(
+        kept, round_no, cfg.round_limit, cfg.batch_size
+    )
+    emitted = emitted.cache()
     if with_counters:
         n_eligible = eligible.count()
         n_kept = kept.count()
@@ -368,14 +370,17 @@ def run_round(
 
     # C3: per-partition lineage digests of this round's committed outputs —
     # recomputed and checked on resume before trusting a snapshot.
-    from indigo_crawler_spark.plans.lineage import table_digest
+    # (one tagged-union job for both tables: actions are serial latency)
+    from indigo_crawler_spark.plans.lineage import tables_digest
 
-    digests = {
-        "seen": table_digest(io.read(f"seen/round={round_no}", schemas.SEEN)),
-        "frontier_next": table_digest(
-            io.read(f"frontier/round={round_no + 1}", schemas.FRONTIER)
-        ),
-    }
+    digests = tables_digest(
+        {
+            "seen": io.read(f"seen/round={round_no}", schemas.SEEN),
+            "frontier_next": io.read(
+                f"frontier/round={round_no + 1}", schemas.FRONTIER
+            ),
+        }
+    )
     payload = {
         "round": round_no,
         "counters": counters,

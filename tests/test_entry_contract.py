@@ -35,6 +35,7 @@ def test_query_keys_superset_of_oracle(spark):
         "ann_lsh_topk",
         "langid_counts",
         "doc_fingerprints",
+        "approx_count_distinct",
     }
 
 

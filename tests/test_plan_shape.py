@@ -45,7 +45,8 @@ def test_politeness_window_single_shuffle(spark, frontier_like):
 def test_sequence_batches_no_single_partition_window(spark, frontier_like):
     from indigo_crawler_spark.operators.politeness import sequence_batches
 
-    out = sequence_batches(frontier_like, 0, 1000, 100)
+    out, n = sequence_batches(frontier_like, 0, 1000, 100)
+    assert n == frontier_like.count()
     # distributed rank: range exchange, never a SinglePartition window
     phys = _physical(out)
     assert "rangepartitioning" in phys.lower()

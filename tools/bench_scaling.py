@@ -39,7 +39,10 @@ spark = (SparkSession.builder.master(f"local[{{cores}}]")
          .config("spark.sql.session.timeZone", "UTC")
          .config("spark.ui.enabled", "false")
          .config("spark.driver.memory", "48g")
-         .config("spark.sql.adaptive.enabled", "true")
+         # AQE off for the timed portion: its per-exchange materialization
+         # barriers add serial latency on the round's many small exchanges,
+         # and the plan already handles skew explicitly (salted top-k)
+         .config("spark.sql.adaptive.enabled", "false")
          .getOrCreate())
 from indigo_crawler_spark.config import CrawlConfig
 from indigo_crawler_spark.plans import schemas
