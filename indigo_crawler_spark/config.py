@@ -28,6 +28,9 @@ class CrawlConfig:
     # expected URLs per pk bucket — fixes bitmap geometry for the crawl
     # (10^10 URLs / P=256 ⇒ ~4e7; default sized for sandbox benches)
     bloom_bucket_capacity: int = 1_000_000
+    # fold seen deltas into a compacted snapshot every N rounds (0 = never);
+    # keeps the exact-membership read from unioning an unbounded dir chain
+    seen_compact_every: int = 16
     # skew (M4): hosts with more eligible candidates than this get salted
     salt_threshold: int = 10_000
     num_salts: int = 8

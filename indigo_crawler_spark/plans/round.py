@@ -67,10 +67,20 @@ class CrawlState:
         return self.io.read(f"frontier/round={r}", schemas.FRONTIER)
 
     def seen_through(self, r: int) -> DataFrame:
-        """Union of seen deltas for rounds < r (exact membership table)."""
-        dfs = [
+        """Exact membership table for rounds < r: the newest compacted
+        snapshot (if any) + the delta dirs after it. Without compaction the
+        union chain grows one parquet dir per round forever; with it the
+        read is one snapshot + ≤seen_compact_every deltas."""
+        base = None
+        start = 0
+        for upto in sorted(self._compact_uptos(), reverse=True):
+            if upto < r:
+                base = self.io.read(f"seen_compact/upto={upto}", schemas.SEEN)
+                start = upto + 1
+                break
+        dfs = ([base] if base is not None else []) + [
             self.io.read(f"seen/round={i}", schemas.SEEN)
-            for i in range(r)
+            for i in range(start, r)
             if self.io.exists(f"seen/round={i}")
         ]
         if not dfs:
@@ -79,6 +89,18 @@ class CrawlState:
         for d in dfs[1:]:
             out = out.unionByName(d)
         return out
+
+    def _compact_uptos(self) -> list[int]:
+        import os
+
+        d = self.io.path("seen_compact")
+        if not os.path.isdir(d):
+            return []
+        return [
+            int(name.split("=")[1])
+            for name in os.listdir(d)
+            if name.startswith("upto=")
+        ]
 
 
 def _canonicalized(df: DataFrame, url_col: str = "url") -> DataFrame:
@@ -367,6 +389,15 @@ def run_round(
         counters["links_new"] = io.read(
             f"frontier/round={round_no + 1}", schemas.FRONTIER
         ).where(F.col("discovered_round") == round_no + 1).count()
+
+    # compaction: fold the delta chain into one pk-clustered snapshot so the
+    # exact-membership read stays O(1 snapshot + few deltas) at any round
+    # count. Deterministic content ⇒ safe to overwrite on a replayed round.
+    if cfg.seen_compact_every and (round_no + 1) % cfg.seen_compact_every == 0:
+        compacted = state.seen_through(round_no + 1).repartition(
+            cfg.num_buckets, "pk"
+        )
+        io.write(compacted, f"seen_compact/upto={round_no}")
 
     # C3: per-partition lineage digests of this round's committed outputs —
     # recomputed and checked on resume before trusting a snapshot.

@@ -1,0 +1,48 @@
+"""T1 — seen-set compaction: identical membership, bounded read fan-in."""
+
+from __future__ import annotations
+
+from fixtures.gen import TINY, fixture_bundle
+from indigo_crawler_spark.config import CrawlConfig
+from indigo_crawler_spark.plans.round import CrawlState, bootstrap, run_rounds
+from indigo_crawler_spark.sources.fixture_df import (
+    budgets_df,
+    pages_df,
+    robots_df,
+    seeds_df,
+)
+from indigo_crawler_spark.sources.table_io import TableIO
+from oracle.simulator import OracleCrawl
+
+N = 5
+
+
+def test_compaction_transparent_and_used(spark, tmp_path):
+    cfg = CrawlConfig(round_limit=50, num_buckets=16, seen_compact_every=2)
+    fb = fixture_bundle(**TINY)
+    state = CrawlState(io=TableIO(spark, str(tmp_path / "c")), cfg=cfg)
+    bootstrap(
+        spark,
+        pages_df(spark, fb["pages"]),
+        seeds_df(spark, fb["seeds"]),
+        robots_df(spark, fb["robots"]),
+        budgets_df(spark, fb["host_budgets"]),
+        state,
+    )
+    run_rounds(spark, state, N)
+
+    # snapshots exist for rounds 1 and 3 (every 2nd round)
+    assert sorted(state._compact_uptos()) == [1, 3]
+
+    # membership identical to the oracle (compaction is transparent)
+    oc = OracleCrawl(fb["pages"], fb["seeds"], fb["robots"], fb["host_budgets"], cfg)
+    oc.run(N)
+    got = {
+        (r["canon_url"], r["first_round"]) for r in state.seen_through(N).collect()
+    }
+    assert got == set(oc.seen.items())
+
+    # the read uses the newest snapshot + only trailing deltas
+    files = state.seen_through(N).inputFiles()
+    assert any("upto=3" in f for f in files)
+    assert not any("round=1/" in f or "round=0/" in f for f in files)  # folded
