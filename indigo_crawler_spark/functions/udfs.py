@@ -26,11 +26,21 @@ def canonicalize_udf(urls: pd.Series) -> pd.Series:
     return urls.map(lambda u: canonicalize_url(u) if isinstance(u, str) else None)
 
 
-@F.pandas_udf(BooleanType())
-def robots_allowed_udf(canon_url: pd.Series, robots_txt: pd.Series) -> pd.Series:
-    """robots.txt admission per row; null robots_txt ⇒ allow (no robots row)."""
-    out = [
-        robots_allowed(u, t if isinstance(t, str) else None)
-        for u, t in zip(canon_url, robots_txt)
-    ]
-    return pd.Series(out, dtype="boolean")
+def make_robots_allowed_udf(user_agent: str):
+    """pandas_udf gating on *user_agent* — built per config so a non-default
+    agent actually reaches the parser (the oracle passes cfg.user_agent; the
+    engine must gate on the same string or the two diverge)."""
+
+    @F.pandas_udf(BooleanType())
+    def _robots_allowed(canon_url: pd.Series, robots_txt: pd.Series) -> pd.Series:
+        out = [
+            robots_allowed(u, t if isinstance(t, str) else None, user_agent)
+            for u, t in zip(canon_url, robots_txt)
+        ]
+        return pd.Series(out, dtype="boolean")
+
+    return _robots_allowed
+
+
+# default-agent instance kept for callers outside a CrawlConfig context
+robots_allowed_udf = make_robots_allowed_udf("indigo-spark")

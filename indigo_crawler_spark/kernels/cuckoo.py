@@ -44,7 +44,10 @@ def _parts(digests: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _alt(bucket: np.ndarray, fp: np.ndarray, mask: np.uint64) -> np.ndarray:
-    return (bucket ^ ((fp.astype(np.uint64) * _MIX) & mask)) & mask
+    # uint64 wraparound is the intended mixing; silence the per-batch
+    # RuntimeWarning so real warnings stay visible in prod logs
+    with np.errstate(over="ignore"):
+        return (bucket ^ ((fp.astype(np.uint64) * _MIX) & mask)) & mask
 
 
 class CuckooFilter:

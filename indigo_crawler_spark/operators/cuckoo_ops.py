@@ -29,7 +29,17 @@ def cuckoo_geometry(bucket_capacity: int) -> tuple[int, int]:
 def build_cuckoo_delta(seen_delta: DataFrame, nbuckets: int) -> DataFrame:
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         cf = CuckooFilter(nbuckets)
-        cf.insert_many(_digest_matrix(pdf["url_hash"]))
+        ok = cf.insert_many(_digest_matrix(pdf["url_hash"]))
+        if not ok.all():
+            # a silent insert failure would create FALSE NEGATIVES (probe says
+            # "certainly new" for an already-seen URL, skipping the exact
+            # anti-join) — fail loudly instead; size bloom_bucket_capacity
+            # with ≥5% headroom over the expected per-pk seen-set size.
+            raise RuntimeError(
+                f"cuckoo bucket pk={int(pdf['pk'].iloc[0])} overflow: "
+                f"{int((~ok).sum())}/{len(ok)} inserts failed at "
+                f"{nbuckets * _SLOTS} slots; raise cfg.bloom_bucket_capacity"
+            )
         return pd.DataFrame(
             {
                 "pk": [int(pdf["pk"].iloc[0])],
@@ -52,7 +62,12 @@ def merge_cuckoos(prev: DataFrame, delta: DataFrame) -> DataFrame:
         nb = int(frames["nbits"].iloc[0])
         cf = CuckooFilter.from_bytes(bytes(frames["bits"].iloc[0]), nb)
         for blob in frames["bits"].iloc[1:]:
-            cf.merge_from(CuckooFilter.from_bytes(bytes(blob), nb))
+            fails = cf.merge_from(CuckooFilter.from_bytes(bytes(blob), nb))
+            if fails:
+                raise RuntimeError(
+                    f"cuckoo merge pk={int(key[0])} overflow: {fails} fingerprints "
+                    "lost (would become false negatives); raise cfg.bloom_bucket_capacity"
+                )
         return pd.DataFrame(
             {"pk": [int(key[0])], "nbits": [nb], "k": [_SLOTS], "bits": [cf.to_bytes()]}
         )

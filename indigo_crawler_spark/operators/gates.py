@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from indigo_crawler_spark.config import CrawlConfig
-from indigo_crawler_spark.functions.udfs import robots_allowed_udf
+from indigo_crawler_spark.functions.udfs import make_robots_allowed_udf
 
 
 def split_robots(candidates: DataFrame, robots: DataFrame, cfg: CrawlConfig) -> tuple[DataFrame, DataFrame]:
@@ -31,7 +31,10 @@ def split_robots(candidates: DataFrame, robots: DataFrame, cfg: CrawlConfig) -> 
         robots.select("host", "robots_txt").hint("SHUFFLE_HASH"),
         on="host",
         how="left",
-    ).withColumn("_allowed", robots_allowed_udf(F.col("canon_url"), F.col("robots_txt")))
+    ).withColumn(
+        "_allowed",
+        make_robots_allowed_udf(cfg.user_agent)(F.col("canon_url"), F.col("robots_txt")),
+    )
     allowed = joined.where(F.col("_allowed")).drop("robots_txt", "_allowed")
     denied = joined.where(~F.col("_allowed")).drop("robots_txt", "_allowed")
     return allowed, denied

@@ -96,10 +96,14 @@ class CrawlState:
         d = self.io.path("seen_compact")
         if not os.path.isdir(d):
             return []
+        # only COMPLETE snapshots count (a kill mid-compaction leaves a dir
+        # without _SUCCESS; selecting it would corrupt resume, and skipping
+        # its rebuild would freeze the corruption in)
         return [
             int(name.split("=")[1])
             for name in os.listdir(d)
             if name.startswith("upto=")
+            and self.io.is_complete(f"seen_compact/{name}")
         ]
 
 
@@ -393,7 +397,16 @@ def run_round(
     # compaction: fold the delta chain into one pk-clustered snapshot so the
     # exact-membership read stays O(1 snapshot + few deltas) at any round
     # count. Deterministic content ⇒ safe to overwrite on a replayed round.
-    if cfg.seen_compact_every and (round_no + 1) % cfg.seen_compact_every == 0:
+    # Replay safety: if a prior (killed-after-compaction) attempt already
+    # committed this snapshot, skip — content is deterministic, and
+    # rewriting would read seen_compact/upto=R while overwriting it.
+    # A half-written dir (no _SUCCESS) is excluded by _compact_uptos, so
+    # the rebuild below reads only deltas and safely overwrites it.
+    if (
+        cfg.seen_compact_every
+        and (round_no + 1) % cfg.seen_compact_every == 0
+        and not io.is_complete(f"seen_compact/upto={round_no}")
+    ):
         compacted = state.seen_through(round_no + 1).repartition(
             cfg.num_buckets, "pk"
         )

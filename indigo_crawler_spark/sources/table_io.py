@@ -59,6 +59,14 @@ class TableIO:
     def exists(self, table: str) -> bool:
         return self._exists(self.path(table))
 
+    def is_complete(self, table: str) -> bool:
+        """True iff *table* finished writing (Spark's _SUCCESS marker).
+
+        Distinguishes a committed snapshot from a dir a killed run left
+        half-written — resume must never read (or skip rebuilding) the
+        latter."""
+        return self._exists(os.path.join(self.path(table), "_SUCCESS"))
+
     # ---- manifests (the commit record — written LAST, atomically) --------
     def write_manifest(self, name: str, payload: dict) -> None:
         os.makedirs(self.path("manifest"), exist_ok=True)

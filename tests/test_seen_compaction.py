@@ -46,3 +46,48 @@ def test_compaction_transparent_and_used(spark, tmp_path):
     files = state.seen_through(N).inputFiles()
     assert any("upto=3" in f for f in files)
     assert not any("round=1/" in f or "round=0/" in f for f in files)  # folded
+
+
+def test_resume_killed_between_compaction_and_manifest(spark, tmp_path):
+    """Kill window: compaction snapshot committed, round manifest not yet.
+
+    Resume must recompute the round WITHOUT selecting-then-overwriting the
+    snapshot (the 'Cannot overwrite a path that is also being read from'
+    wedge), and a HALF-written snapshot (no _SUCCESS) must be ignored and
+    rebuilt."""
+    import os
+    import shutil
+
+    cfg = CrawlConfig(round_limit=50, num_buckets=16, seen_compact_every=2)
+    fb = fixture_bundle(**TINY)
+    state = CrawlState(io=TableIO(spark, str(tmp_path / "k")), cfg=cfg)
+    bootstrap(
+        spark,
+        pages_df(spark, fb["pages"]),
+        seeds_df(spark, fb["seeds"]),
+        robots_df(spark, fb["robots"]),
+        budgets_df(spark, fb["host_budgets"]),
+        state,
+    )
+    run_rounds(spark, state, 2)  # rounds 0,1; compaction upto=1 committed
+
+    # simulate the kill: round 1's manifest vanishes but its data (incl. the
+    # compact snapshot) survives → resume recomputes round 1
+    os.remove(state.io.path("manifest", "round_00001.json"))
+    run_rounds(spark, state, 2)  # must not wedge
+    assert sorted(state._compact_uptos()) == [1]
+
+    # half-written snapshot: no _SUCCESS ⇒ ignored by readers, rebuilt
+    os.remove(state.io.path("seen_compact/upto=1", "_SUCCESS"))
+    assert state._compact_uptos() == []
+    os.remove(state.io.path("manifest", "round_00001.json"))
+    run_rounds(spark, state, 2)
+    assert sorted(state._compact_uptos()) == [1]
+
+    oc = OracleCrawl(fb["pages"], fb["seeds"], fb["robots"], fb["host_budgets"], cfg)
+    oc.run(2)
+    got = {
+        (r["canon_url"], r["first_round"]) for r in state.seen_through(2).collect()
+    }
+    assert got == set(oc.seen.items())
+    shutil.rmtree(str(tmp_path / "k"), ignore_errors=True)
