@@ -276,6 +276,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "orders").where(F.col("o_orderstatus") == "F").select("o_orderkey")
     )
 
+    # ---- EP3 backoff feedback: fold fetch statuses into next-round budgets
+    def _backoff_update(s, d):
+        from indigo_crawler_spark.config import CrawlConfig
+        from indigo_crawler_spark.operators.feedback import fold_backoff
+
+        cfg = CrawlConfig(backoff_rounds=2)  # default_budget=8
+        budgets = _t(s, d, "customer").select(
+            F.col("c_custkey").cast("string").alias("host"),
+            F.xxhash64(F.col("c_custkey").cast("string")).alias("host_hash"),
+            (F.col("c_nationkey") + 1).cast("int").alias("budget"),
+            F.lit(0).cast("int").alias("backoff_until_round"),
+        )
+        statuses = _t(s, d, "orders").select(
+            F.col("o_custkey").cast("string").alias("host"),
+            F.when(F.col("o_orderstatus") == "F", F.lit("banned"))
+            .otherwise(F.lit("ok"))
+            .alias("status"),
+        )
+        out = fold_backoff(budgets, statuses, round_no=3, cfg=cfg)
+        return out.select(
+            "host",
+            F.col("budget").cast("long").alias("budget"),
+            F.col("backoff_until_round").cast("long").alias("backoff_until_round"),
+        )
+
+    q["backoff_update"] = _backoff_update
+
     # ---- A4/A5 partitioned Bloom: prefilter + exact backstop ≡ semi join,
     # so the whole bloom pipeline is DuckDB-checkable ----
     def _bloom_prefilter_semi(s, d):
@@ -516,6 +543,18 @@ def oracle_sql() -> dict[str, str]:
         "except_slices": (
             "SELECT o_orderkey FROM orders WHERE o_totalprice > 300000 "
             "EXCEPT ALL SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'"
+        ),
+        "backoff_update": (
+            # full-outer fold; o_custkey ⊆ c_custkey in TPC-H so the outer
+            # reduces to a left join. banned ⇔ any 'F' order; round_no=3,
+            # backoff_rounds=2 ⇒ backoff_until = 3+1+2 = 6
+            "WITH b AS (SELECT CAST(c_custkey AS VARCHAR) AS host, "
+            "  CAST(c_nationkey + 1 AS BIGINT) AS budget FROM customer), "
+            "s AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS host "
+            "  FROM orders WHERE o_orderstatus = 'F') "
+            "SELECT b.host, b.budget, "
+            "CASE WHEN s.host IS NOT NULL THEN 6 ELSE 0 END::BIGINT "
+            "AS backoff_until_round FROM b LEFT JOIN s ON b.host = s.host"
         ),
         "bloom_prefilter_semi": (
             "SELECT c_custkey FROM customer c WHERE EXISTS "

@@ -34,6 +34,12 @@ class CrawlConfig:
     # skew (M4): hosts with more eligible candidates than this get salted
     salt_threshold: int = 10_000
     num_salts: int = 8
+    # closed-loop backoff (EP3 ban→demote/backoff feedback). 0 disables;
+    # else an emitted URL's synthetic fetch outcome is "banned" iff
+    # pmod(xxhash64(canon_url), ban_every) == 0, and any banned fetch backs
+    # its host off until round R + 1 + backoff_rounds (exclusive bound).
+    ban_every: int = 0
+    backoff_rounds: int = 2
 
     def config_hash(self) -> str:
         return hashlib.sha256(

@@ -1,0 +1,80 @@
+"""Closed-loop backoff — the reference's ban→demote/backoff feedback
+(SURVEY.md §3 EP3: "banned→demote/backoff → fetch_batches.status feeding
+host_budgets.backoff_until_round next round").
+
+The reference crawler demotes a proxy and backs a task off when a fetch
+comes back as a ban page. The batch analogue: every emitted URL gets a
+``status`` ("ok"/"banned"); hosts with ≥1 banned fetch in round R are
+backed off until round R + 1 + ``cfg.backoff_rounds`` (exclusive upper
+bound: they re-enter at that round). Budgets are versioned per round
+(``host_budgets/round=R``) so resume replays the fold deterministically.
+
+There is no network in a batch engine, so the fetch outcome is a
+deterministic pure function of the URL (SEMANTICS.md §Backoff):
+``banned ⇔ pmod(xxhash64(canon_url), cfg.ban_every) == 0`` — the oracle
+computes the same with the shared pure-Python xxh64 kernel. ``ban_every=0``
+disables the loop (all "ok", no versioned writes).
+
+Scale shape: statuses are bounded by the round cap K → the banned-host set
+is ≤K rows; the fold is one small join against the dimension-sized budgets
+table (the same table the gate pass broadcasts), overlapped with the
+fetch/extract stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from indigo_crawler_spark.config import CrawlConfig
+
+
+def fetch_status_expr(cfg: CrawlConfig) -> Column:
+    """Deterministic synthetic fetch outcome for an emitted canon_url."""
+    if not cfg.ban_every:
+        return F.lit("ok")
+    return F.when(
+        F.pmod(F.xxhash64("canon_url"), F.lit(cfg.ban_every)) == 0,
+        F.lit("banned"),
+    ).otherwise(F.lit("ok"))
+
+
+def fold_backoff(
+    budgets: DataFrame, statuses: DataFrame, round_no: int, cfg: CrawlConfig
+) -> DataFrame:
+    """host_budgets' for round R+1 from round R's fetch statuses.
+
+    *budgets*: (host, host_hash, budget, backoff_until_round); *statuses*:
+    (host, status). Hosts with any "banned" status get
+    ``backoff_until_round = greatest(existing, R + 1 + cfg.backoff_rounds)``;
+    a banned host with no budgets row gets one (default budget). Hosts
+    without bans pass through unchanged.
+    """
+    banned = (
+        statuses.where(F.col("status") == "banned").select("host").distinct()
+        .withColumn("_banned", F.lit(True))
+    )
+    until = F.lit(round_no + 1 + cfg.backoff_rounds)
+    # full outer: a banned host may lack a budgets row (gets one, default
+    # budget). Broadcast builds don't apply to full-outer joins; both sides
+    # are small (budgets is the dimension the gate pass broadcasts, banned
+    # is ≤K hosts), so the shuffle is trivial.
+    return (
+        budgets.join(banned, on="host", how="full_outer")
+        .select(
+            "host",
+            F.coalesce(F.col("host_hash"), F.xxhash64("host")).alias("host_hash"),
+            F.coalesce(F.col("budget"), F.lit(cfg.default_budget))
+            .cast("int")
+            .alias("budget"),
+            F.when(
+                F.coalesce(F.col("_banned"), F.lit(False)),
+                F.greatest(
+                    F.coalesce(F.col("backoff_until_round"), F.lit(0)), until
+                ),
+            )
+            .otherwise(F.coalesce(F.col("backoff_until_round"), F.lit(0)))
+            .cast("int")
+            .alias("backoff_until_round"),
+        )
+    )

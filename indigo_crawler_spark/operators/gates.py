@@ -15,6 +15,51 @@ from indigo_crawler_spark.config import CrawlConfig
 from indigo_crawler_spark.functions.udfs import make_robots_allowed_udf
 
 
+def gate_frontier(
+    frontier: DataFrame,
+    robots: DataFrame,
+    budgets: DataFrame,
+    cfg: CrawlConfig,
+    round_no: int,
+) -> DataFrame:
+    """ONE gate pass: frontier + ``_allowed`` (robots) + ``budget`` +
+    ``_backoff`` flags, as a single frame the round caches once.
+
+    This replaces the old split_robots/attach_budget pair on the hot path:
+    splitting into allowed/denied frames before caching made every consumer
+    re-run the robots Arrow UDF over the full frontier (denied was evaluated
+    a second time inside the frontier-advance job). Here the UDF runs exactly
+    once per row per round; allowed/denied/eligible are cheap filters on the
+    cached result.
+    """
+    if cfg.robots_enabled:
+        df = frontier.join(
+            # robots is per-host (frontier-scale, not dimension-scale): a
+            # broadcast build would serialize; SHUFFLE_HASH parallelizes and
+            # never sorts the text blobs.
+            robots.select("host", "robots_txt").hint("SHUFFLE_HASH"),
+            on="host",
+            how="left",
+        ).withColumn(
+            "_allowed",
+            make_robots_allowed_udf(cfg.user_agent)(
+                F.col("canon_url"), F.col("robots_txt")
+            ),
+        ).drop("robots_txt")
+    else:
+        df = frontier.withColumn("_allowed", F.lit(True))
+    b = F.broadcast(budgets.select("host", "budget", "backoff_until_round"))
+    return (
+        df.join(b, on="host", how="left")
+        .withColumn("budget", F.coalesce(F.col("budget"), F.lit(cfg.default_budget)))
+        .withColumn(
+            "_backoff",
+            F.coalesce(F.col("backoff_until_round"), F.lit(0)) > F.lit(round_no),
+        )
+        .drop("backoff_until_round")
+    )
+
+
 def split_robots(candidates: DataFrame, robots: DataFrame, cfg: CrawlConfig) -> tuple[DataFrame, DataFrame]:
     """→ (allowed, denied). Hosts without a robots row are allowed.
 

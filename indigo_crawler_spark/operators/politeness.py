@@ -28,7 +28,9 @@ def politeness_topk(df: DataFrame, budget_col: str = "budget") -> DataFrame:
     )
 
 
-def global_rank(df: DataFrame, order_cols: list) -> tuple[DataFrame, int]:
+def global_rank(
+    df: DataFrame, order_cols: list, gather_col: str | None = None
+) -> tuple[DataFrame, int, list, DataFrame]:
     """Exact global row_number over a total order, DISTRIBUTED:
 
     range-partition + sort on the order key, then rank = per-partition offset
@@ -38,18 +40,26 @@ def global_rank(df: DataFrame, order_cols: list) -> tuple[DataFrame, int]:
     independent of where the range boundaries happen to fall, so the result
     is deterministic even though RangePartitioner samples its bounds.
 
-    Returns (ranked_df, total_rows): the total falls out of the offsets
-    collect for free, saving callers a count() action.
+    Returns (ranked_df, total_rows, gathered, cached): the total falls out of
+    the offsets collect for free; *gathered* is the sorted distinct values of
+    ``gather_col`` (piggybacked on the SAME collect — callers that need e.g.
+    the set of pk buckets touched get it with zero extra actions). *cached*
+    is the cached intermediate: the caller MUST keep it persisted until the
+    ranked output is materialized (recomputation could re-sample different
+    range bounds and invalidate the offsets), then unpersist it.
     """
-    import pandas as pd
-
     s = (
         df.repartitionByRange(*order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
     )
     s = s.cache()
-    counts = {r["_pid"]: r["n"] for r in s.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
+    aggs = [F.count("*").alias("n")]
+    if gather_col is not None:
+        aggs.append(F.collect_set(gather_col).alias("_g"))
+    rows = s.groupBy("_pid").agg(*aggs).collect()
+    counts = {r["_pid"]: r["n"] for r in rows}
+    gathered = sorted({v for r in rows for v in r["_g"]}) if gather_col else []
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc
@@ -73,21 +83,29 @@ def global_rank(df: DataFrame, order_cols: list) -> tuple[DataFrame, int]:
             local += len(pdf)
             yield out[col_names]
 
-    return s.mapInPandas(rank, out_schema), acc
+    return s.mapInPandas(rank, out_schema), acc, gathered, s
 
 
 def sequence_batches(
-    df: DataFrame, round_no: int, limit: int, batch_size: int
-) -> tuple[DataFrame, int]:
+    df: DataFrame,
+    round_no: int,
+    limit: int,
+    batch_size: int,
+    gather_col: str | None = None,
+) -> tuple[DataFrame, int, list, DataFrame]:
     """Global order (priority DESC, canon_url ASC) → top-*limit* rows with
     global_rank / batch_id — the emitted crawl ordering (BASELINE.json:2).
 
     Uses the distributed exact ranker above: scales to any K without a
     single-partition window or an O(partitions·K) TakeOrdered driver merge.
-    Returns (emitted_df, n_emitted) — the emitted count is known without
-    another action (= min(total kept, limit)).
+    Returns (emitted_df, n_emitted, gathered, cached) — the emitted count and
+    the optional ``gather_col`` value set both fall out of the ranker's one
+    collect (zero extra actions); *cached* must stay persisted until the
+    output is materialized (see global_rank), then be unpersisted.
     """
-    ranked, total = global_rank(df, [F.desc("priority"), F.asc("canon_url")])
+    ranked, total, gathered, cached = global_rank(
+        df, [F.desc("priority"), F.asc("canon_url")], gather_col
+    )
     out = (
         ranked.where(F.col("global_rank") <= limit)
         .withColumn("global_rank", F.col("global_rank").cast("int"))
@@ -97,4 +115,4 @@ def sequence_batches(
         )
         .withColumn("round", F.lit(round_no))
     )
-    return out, min(total, limit)
+    return out, min(total, limit), gathered, cached

@@ -17,9 +17,15 @@ the entire true top-B survives above it. Ranks are therefore identical to
 the unsalted window — verified against the oracle in T2 with a forced-low
 threshold.
 
-Only hosts whose candidate count exceeds ``cfg.salt_threshold`` take the
-salted path; the rest use the plain window. The per-host counts double as
-the skew metric (SURVEY A1).
+WHICH hosts to salt is a purely *physical* choice (any selection yields
+identical results), so the engine picks them STATICALLY: bootstrap derives
+``heavy_hosts`` = hosts whose page count exceeds ``cfg.salt_threshold``
+(page count is the available skew proxy — link graphs concentrate on the
+same hosts that dominate the corpus). That removes the per-round
+count+collect skew-detection job entirely; at 1000 executors the saved
+action is pure serial driver latency every round. A host that turns heavy
+only in the frontier falls back to the plain window — slower for that host,
+never wrong.
 """
 
 from __future__ import annotations
@@ -31,37 +37,22 @@ from indigo_crawler_spark.config import CrawlConfig
 from indigo_crawler_spark.operators.politeness import politeness_topk
 
 
-def politeness_topk_skew_aware(df: DataFrame, cfg: CrawlConfig) -> DataFrame:
-    """politeness_topk with explicit salting for heavy hosts.
-
-    Result (rows AND rank_in_host values) is identical to
-    ``politeness_topk(df)``; only the physical plan differs.
+def politeness_topk_skew_aware(
+    df: DataFrame, cfg: CrawlConfig, heavy_hosts: DataFrame | None
+) -> DataFrame:
+    """politeness_topk with explicit salting for the *heavy_hosts* dimension
+    (None/empty ⇒ plain window). Result (rows AND rank_in_host values) is
+    identical to ``politeness_topk(df)``; only the physical plan differs.
     """
-    # ONE job decides: collect the heavy-host list (bounded — by definition
-    # at most total/threshold hosts can exceed the threshold, and we only
-    # need the first few thousand to pick a strategy).
-    heavy_hosts = [
-        r["host"]
-        for r in df.groupBy("host")
-        .agg(F.count("*").alias("_n"))
-        .where(F.col("_n") > cfg.salt_threshold)
-        .select("host")
-        .limit(100_000)
-        .collect()
-    ]
-    if not heavy_hosts:
+    if heavy_hosts is None:
         return politeness_topk(df)
 
-    if len(heavy_hosts) <= 10_000:
-        is_heavy = F.col("host").isin(heavy_hosts)
-        light = df.where(~is_heavy)
-        heavy_rows = df.where(is_heavy)
-    else:
-        heavy = df.sparkSession.createDataFrame([(h,) for h in heavy_hosts], ["host"])
-        heavy_b = F.broadcast(heavy)
-        light = df.join(heavy_b, on="host", how="left_anti")
-        heavy_rows = df.join(heavy_b, on="host", how="left_semi")
-    heavy_rows = heavy_rows.withColumn(
+    # heavy_hosts is dimension-sized by construction (≤ hosts over the page
+    # threshold) — broadcast it; never an isin literal list (a 10k-literal
+    # In-expression bloats codegen).
+    heavy_b = F.broadcast(heavy_hosts.select("host"))
+    light = df.join(heavy_b, on="host", how="left_anti")
+    heavy_rows = df.join(heavy_b, on="host", how="left_semi").withColumn(
         "_salt", F.pmod(F.xxhash64("canon_url"), F.lit(cfg.num_salts))
     )
 

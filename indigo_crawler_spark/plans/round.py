@@ -4,13 +4,16 @@ One round of the reference's while-loop (pick task → validate proxy → fetch 
 parse → dedupe → enqueue) re-expressed over ALL tasks at once
 (BASELINE.json:6). Stage map, with where each runs:
 
-    1. gates      robots (host join + Arrow UDF) / backoff / budget  [JVM + Arrow]
-    2. politeness per-host top-B window                              [shuffle: host]
-    3. cap        bounded global top-K → batch sequencing            [≤K rows]
-    4. fetch      emitted ⋈ page store (broadcast emitted)           [scan + bcast join]
-    5. extract    html → (text, links) once per page, mapInPandas    [Arrow]
-    6. discover   explode links → dedup(min depth) → anti-join seen  [shuffle: url]
-    7. advance    frontier' / seen delta / manifest commit           [write]
+    1. gates      ONE cached pass: robots (host join + Arrow UDF) +
+                  budget/backoff flags + observed counters            [JVM + Arrow]
+    2. politeness per-host top-B window (static heavy-host salting)   [shuffle: host]
+    3. cap        bounded global top-K → batch sequencing + status    [≤K rows]
+    4. fetch      emitted ⋈ page store (broadcast emitted)            [scan + bcast join]
+       ∥ seen delta write ∥ EP3 budget fold                           [pool]
+    5. extract    html → (text, links) once per page, mapInPandas     [Arrow]
+       ∥ bloom/cuckoo fold ∥ compaction ∥ seen digest                 [pool]
+    6. discover   explode links → dedup(min depth) → anti-join seen   [shuffle: url]
+    7. advance    frontier' write → digest → manifest commit          [write]
 
 Scale notes (10^10 frontier, 1000 executors): the frontier never reaches a
 global sort — the only global operation is the bounded top-K (≤round_limit
@@ -26,7 +29,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from indigo_crawler_spark.config import CrawlConfig
@@ -40,10 +43,14 @@ from indigo_crawler_spark.functions.scoring import priority_expr
 from indigo_crawler_spark.functions.udfs import canonicalize_udf
 from indigo_crawler_spark.operators.dedup import dedup_min_by
 from indigo_crawler_spark.operators.extract import extract_pages
-from indigo_crawler_spark.operators.gates import attach_budget, split_robots
+from indigo_crawler_spark.operators.gates import gate_frontier
 from indigo_crawler_spark.operators.politeness import sequence_batches
 from indigo_crawler_spark.plans import schemas
 from indigo_crawler_spark.sources.table_io import TableIO
+
+
+def _sum0(col) -> "F.Column":
+    return F.coalesce(F.sum(col.cast("long")), F.lit(0))
 
 
 @dataclass
@@ -62,9 +69,36 @@ class CrawlState:
 
     io: TableIO
     cfg: CrawlConfig = field(default_factory=CrawlConfig)
+    _heavy_n: int | None = field(default=None, init=False, repr=False)
 
     def frontier(self, r: int) -> DataFrame:
         return self.io.read(f"frontier/round={r}", schemas.FRONTIER)
+
+    def budgets(self, r: int) -> DataFrame:
+        """host_budgets ENTERING round r: the versioned table round r-1's
+        backoff fold wrote (EP3 feedback), else the bootstrap-static one."""
+        if self.cfg.ban_every and r > 0 and self.io.exists(f"host_budgets/round={r}"):
+            return self.io.read(f"host_budgets/round={r}", schemas.HOST_BUDGETS)
+        return self.io.read("host_budgets", schemas.HOST_BUDGETS)
+
+    def heavy_hosts(self) -> DataFrame | None:
+        """Static skew dimension (operators/skew.py) — None when no host
+        crosses the salt threshold. The count comes from the bootstrap
+        manifest, so steady-state rounds pay ZERO actions for skew
+        detection (the old per-round groupBy+collect was serial latency)."""
+        if self._heavy_n is None:
+            m = self.io.read_manifest("bootstrap") or {}
+            n = m.get("n_heavy_hosts")
+            if n is None:  # pre-manifest state dirs: probe once per process
+                n = (
+                    self.io.read("heavy_hosts", schemas.HEAVY_HOSTS).limit(1).count()
+                    if self.io.exists("heavy_hosts")
+                    else 0
+                )
+            self._heavy_n = int(n)
+        if self._heavy_n == 0:
+            return None
+        return self.io.read("heavy_hosts", schemas.HEAVY_HOSTS)
 
     def seen_through(self, r: int) -> DataFrame:
         """Exact membership table for rounds < r: the newest compacted
@@ -156,6 +190,21 @@ def bootstrap(
     state.io.write(robots, "robots")
     state.io.write(host_budgets, "host_budgets")
 
+    # static skew dimension: hosts over the salt threshold by page count
+    # (operators/skew.py — WHICH hosts are salted is purely physical, so a
+    # bootstrap-time proxy removes the per-round detection job). Count rides
+    # the write via observe — no extra action.
+    heavy_obs = Observation()
+    heavy = (
+        state.io.read("host_counts", schemas.HOST_COUNTS)
+        .where(F.col("host_count") > cfg.salt_threshold)
+        .select("host")
+        .observe(heavy_obs, F.count(F.lit(1)).alias("n"))
+    )
+    state.io.write(heavy, "heavy_hosts")
+    n_heavy = int(heavy_obs.get["n"])
+    state._heavy_n = n_heavy
+
     # round-0 frontier from seeds: dedup per canon_url keeping min seed_rank
     sc = _canonicalized(seeds)
     seeds_quarantined = (
@@ -187,6 +236,7 @@ def bootstrap(
     payload = {
         "quarantined_pages": quarantined,
         "quarantined_seeds": seeds_quarantined,
+        "n_heavy_hosts": n_heavy,
         "config_hash": cfg.config_hash(),
     }
     state.io.write_manifest("bootstrap", payload)
@@ -196,235 +246,328 @@ def bootstrap(
 def run_round(
     spark: SparkSession, state: CrawlState, round_no: int, with_counters: bool = True
 ) -> dict:
-    """Execute round R per SEMANTICS.md; returns the manifest payload."""
+    """Execute round R per SEMANTICS.md; returns the manifest payload.
+
+    Serial-latency discipline (the scaling-efficiency budget — every extra
+    driver action is Amdahl serial time at 1000 executors):
+      * counters ride ``observe`` on frames that materialize anyway — zero
+        extra jobs (``with_counters`` is kept for API compatibility; the
+        full counter set is now free and always returned);
+      * the gate pass (robots Arrow UDF + budget join) is ONE cached frame;
+        allowed/denied/eligible are filters on it — the UDF runs once per
+        row per round;
+      * skew salting uses the static bootstrap-derived heavy-host dimension
+        (no per-round detect job);
+      * the emitted-pk pruning list piggybacks on the ranker's offsets
+        collect;
+      * independent writes (seen delta ∥ extract, membership-filter fold ∥
+        discovery, seen digest ∥ frontier write) overlap on a small driver
+        thread pool — Spark schedules concurrent jobs into idle task slots,
+        which matters exactly in the low-parallelism tail stages.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
     cfg = state.cfg
     io = state.io
-    counters: dict[str, int] = {}
 
     frontier = state.frontier(round_no)
-    frontier.cache()
-    if with_counters:
-        counters["candidates"] = frontier.count()
-
     robots = io.read("robots", schemas.ROBOTS)
-    budgets = io.read("host_budgets", schemas.HOST_BUDGETS)
+    budgets = state.budgets(round_no)
 
-    # 1-2. gates
-    allowed, denied = split_robots(frontier, robots, cfg)
-    denied = denied.cache()
-    eligible, backoff_skipped = attach_budget(allowed, budgets, cfg, round_no)
-    if with_counters:
-        counters["robots_denied"] = denied.count()
-        counters["backoff_skipped"] = backoff_skipped.count()
-
-    # 3. per-host politeness top-B (salted for heavy hosts — J4/W2)
-    # 4. global cap + sequencing
+    # 1-2. gates — one cached pass; counters observed, not re-counted
     from indigo_crawler_spark.operators.skew import politeness_topk_skew_aware
 
-    # cache: the gates pipeline (robots Arrow UDF + budget join) feeds both
-    # the skew-detection count and the window — never execute it twice
-    eligible = eligible.cache()
-    kept = politeness_topk_skew_aware(eligible, cfg).cache()
-    emitted, n_emitted = sequence_batches(
-        kept, round_no, cfg.round_limit, cfg.batch_size
+    gate_obs = Observation()
+    gated = (
+        gate_frontier(frontier, robots, budgets, cfg, round_no)
+        .observe(
+            gate_obs,
+            F.count(F.lit(1)).alias("candidates"),
+            _sum0(~F.col("_allowed")).alias("robots_denied"),
+            _sum0(F.col("_allowed") & F.col("_backoff")).alias("backoff_skipped"),
+            _sum0(F.col("_allowed") & ~F.col("_backoff")).alias("eligible"),
+        )
+        .cache()
     )
-    emitted = emitted.cache()
-    if with_counters:
-        n_eligible = eligible.count()
-        n_kept = kept.count()
-        counters["budget_deferred"] = n_eligible - n_kept
-        counters["cap_deferred"] = n_kept - n_emitted
-    counters["emitted"] = n_emitted
+    eligible = gated.where(F.col("_allowed") & ~F.col("_backoff"))
 
+    # 3. per-host politeness top-B (salted for heavy hosts — J4/W2)
+    # 4. global cap + sequencing (distributed exact rank; the pk set of the
+    #    kept rows — a superset of the emitted pks, equal except when the
+    #    global cap bites — falls out of the same collect for store pruning)
+    kept = politeness_topk_skew_aware(eligible, cfg, state.heavy_hosts()).cache()
+    emitted, n_kept, kept_pks, rank_cache = sequence_batches(
+        kept, round_no, cfg.round_limit, cfg.batch_size, gather_col="pk"
+    )
+    n_emitted = min(n_kept, cfg.round_limit)
+    emitted = emitted.cache()
+
+    from indigo_crawler_spark.operators.feedback import fetch_status_expr
+
+    fb_obs = Observation()
     fetch_batches = emitted.select(
         "round", "batch_id", "canon_url", "host", "host_hash", "priority",
         "rank_in_host", "global_rank",
-    )
+        fetch_status_expr(cfg).alias("status"),
+    ).observe(fb_obs, _sum0(F.col("status") == "banned").alias("banned"))
     io.write(fetch_batches, f"fetch_batches/round={round_no}")
+    # emitted is materialized now; the ranker's range-partitioned cache must
+    # not outlive it (recompute would re-sample bounds → stale offsets)
+    rank_cache.unpersist()
+    kept.unpersist()
 
-    # 5. fetch: emitted ⋈ page store — broadcast the ≤K emitted urls into the
-    # store scan so the 100 TB side never shuffles, and prune store buckets
-    # to the pks actually emitted (partition pruning: at P=256 a typical
-    # round touches a fraction of the store's directories).
-    emitted_pks = [r["pk"] for r in emitted.select("pk").distinct().collect()]
-    store = io.read("page_store", schemas.PAGE_STORE).where(
-        F.col("pk").isin(emitted_pks)
-    )
-    # strategy switch on the known emitted count: small rounds broadcast the
-    # url list into the scan; huge rounds (K in the millions) would serialize
-    # a giant broadcast build — shuffle-hash join instead (the store slice
-    # shuffles once; never sorted).
-    emitted_sel = emitted.select("canon_url", "depth")
-    if n_emitted <= 200_000:
-        fetched = store.select("canon_url", "html").join(
-            F.broadcast(emitted_sel), on="canon_url", how="inner"
+    pool = ThreadPoolExecutor(max_workers=4)
+    try:
+        seen_delta = emitted.select(
+            "canon_url",
+            url_hash_expr(F.col("canon_url")).alias("url_hash"),
+            F.col("pk"),
+            F.lit(round_no).alias("first_round"),
         )
-    else:
-        fetched = store.select("canon_url", "html").join(
-            emitted_sel.hint("SHUFFLE_HASH"), on="canon_url", how="inner"
-        )
-    extracted = extract_pages(fetched).cache()
-    if with_counters:
-        counters["fetched_pages"] = extracted.count()
-        counters["links_extracted"] = (
-            extracted.select(F.sum(F.size("links")).alias("n")).collect()[0]["n"] or 0
-        )
-    io.write(extracted.select("canon_url", "text"), f"fetched_text/round={round_no}")
+        f_seen = pool.submit(io.write, seen_delta, f"seen/round={round_no}")
 
-    # 6. discover children: explode → min-depth dedup → not in seen' / frontier'
-    children = (
-        extracted.where(F.col("depth") + 1 <= cfg.max_depth)
-        .select(
+        # EP3 feedback: fold this round's fetch statuses into next round's
+        # budgets (versioned; deterministic ⇒ replay-safe), off the critical
+        # path. Reads emitted from cache — tiny job.
+        f_budgets = None
+        if cfg.ban_every:
+            from indigo_crawler_spark.operators.feedback import fold_backoff
+
+            statuses = emitted.select(
+                "host", fetch_status_expr(cfg).alias("status")
+            )
+            budgets_next = fold_backoff(budgets, statuses, round_no, cfg)
+            f_budgets = pool.submit(
+                io.write, budgets_next, f"host_budgets/round={round_no + 1}"
+            )
+
+        # 5. fetch: emitted ⋈ page store — broadcast the ≤K emitted urls into
+        # the store scan so the 100 TB side never shuffles, and prune store
+        # buckets to the pks actually touched (partition pruning: at P=256 a
+        # typical round reads a fraction of the store's directories).
+        store = io.read("page_store", schemas.PAGE_STORE).where(
+            F.col("pk").isin(kept_pks)
+        )
+        # strategy switch on the known emitted count: small rounds broadcast
+        # the url list into the scan; huge rounds (K in the millions) would
+        # serialize a giant broadcast build — shuffle-hash join instead (the
+        # store slice shuffles once; never sorted).
+        emitted_sel = emitted.select("canon_url", "depth")
+        small_round = n_emitted <= 200_000
+        if small_round:
+            fetched = store.select("canon_url", "html").join(
+                F.broadcast(emitted_sel), on="canon_url", how="inner"
+            )
+        else:
+            fetched = store.select("canon_url", "html").join(
+                emitted_sel.hint("SHUFFLE_HASH"), on="canon_url", how="inner"
+            )
+        ext_obs = Observation()
+        extracted = (
+            extract_pages(fetched)
+            .observe(
+                ext_obs,
+                F.count(F.lit(1)).alias("fetched_pages"),
+                F.coalesce(F.sum(F.size("links")), F.lit(0)).alias("links_extracted"),
+            )
+            .cache()
+        )
+        io.write(
+            extracted.select("canon_url", "text"), f"fetched_text/round={round_no}"
+        )
+
+        f_seen.result()
+        # A4/A6: fold this round's seen delta into the cumulative membership
+        # filter (bloom: pure bitwise OR; cuckoo: fingerprint re-insert — the
+        # deletable variant). Built from the in-memory delta (content-equal
+        # to the just-committed files), overlapped with discovery below.
+        prev_filter = f"seen_bloom/round={round_no - 1}"
+
+        def _fold_filter() -> None:
+            if cfg.filter_kind == "bloom":
+                from indigo_crawler_spark.operators.bloom_ops import (
+                    bloom_geometry,
+                    build_bloom_delta,
+                    merge_blooms,
+                )
+
+                nbits, k = bloom_geometry(cfg.bloom_bucket_capacity, cfg.bloom_fpr)
+                delta_f = build_bloom_delta(seen_delta, nbits, k)
+                merge = merge_blooms
+            else:
+                from indigo_crawler_spark.operators.cuckoo_ops import (
+                    build_cuckoo_delta,
+                    cuckoo_geometry,
+                    merge_cuckoos,
+                )
+
+                nbuckets, _ = cuckoo_geometry(cfg.bloom_bucket_capacity)
+                delta_f = build_cuckoo_delta(seen_delta, nbuckets)
+                merge = merge_cuckoos
+            if round_no > 0 and io.exists(prev_filter):
+                cumulative = merge(io.read(prev_filter, schemas.SEEN_BLOOM), delta_f)
+            else:
+                cumulative = delta_f
+            io.write(cumulative, f"seen_bloom/round={round_no}")
+
+        f_filter = (
+            pool.submit(_fold_filter)
+            if cfg.filter_kind in ("bloom", "cuckoo")
+            else None
+        )
+
+        # compaction: fold the delta chain into one pk-clustered snapshot so
+        # the exact-membership read stays O(1 snapshot + few deltas) at any
+        # round count. Replay safety: skip if a prior (killed-after-
+        # compaction) attempt already committed this snapshot — content is
+        # deterministic, and rewriting would read seen_compact/upto=R while
+        # overwriting it. A half-written dir (no _SUCCESS) is excluded by
+        # _compact_uptos, so the rebuild reads only deltas and safely
+        # overwrites it.
+        f_compact = None
+        if (
+            cfg.seen_compact_every
+            and (round_no + 1) % cfg.seen_compact_every == 0
+            and not io.is_complete(f"seen_compact/upto={round_no}")
+        ):
+            f_compact = pool.submit(
+                lambda: io.write(
+                    state.seen_through(round_no + 1).repartition(
+                        cfg.num_buckets, "pk"
+                    ),
+                    f"seen_compact/upto={round_no}",
+                )
+            )
+
+        # C3 (seen half): digest the committed delta while discovery runs
+        from indigo_crawler_spark.plans.lineage import table_digest
+
+        f_seen_digest = pool.submit(
+            table_digest, io.read(f"seen/round={round_no}", schemas.SEEN)
+        )
+
+        # 6. discover children: explode → min-depth dedup → not in seen'/frontier'
+        children = extracted.where(F.col("depth") + 1 <= cfg.max_depth).select(
             F.explode("links").alias("canon_url"),
             (F.col("depth") + 1).cast("int").alias("depth"),
         )
-    )
-    children = dedup_min_by(children, "canon_url", ["depth"]).withColumn(
-        "host", host_expr("canon_url")
-    )
-    children = children.withColumn(
-        "pk", pk_expr(host_hash_expr(F.col("host")), cfg.num_buckets)
-    ).withColumn("url_hash", url_hash_expr(F.col("canon_url")))
+        children = dedup_min_by(children, "canon_url", ["depth"]).withColumn(
+            "host", host_expr("canon_url")
+        )
+        children = children.withColumn(
+            "pk", pk_expr(host_hash_expr(F.col("host")), cfg.num_buckets)
+        ).withColumn("url_hash", url_hash_expr(F.col("canon_url")))
 
-    seen_prev = state.seen_through(round_no)
-    seen_delta = emitted.select(
-        "canon_url",
-        url_hash_expr(F.col("canon_url")).alias("url_hash"),
-        F.col("pk"),
-        F.lit(round_no).alias("first_round"),
-    )
-    io.write(seen_delta, f"seen/round={round_no}")
+        seen_prev = state.seen_through(round_no)
 
-    # seen check: Bloom prefilter (A5) in front of the exact anti-join (J1).
-    # No false negatives ⇒ only the maybe_seen sliver touches the full seen
-    # table; the certainly-new bulk skips it (this is what keeps the 10^10
-    # seen set from shuffling every round). Results identical by construction.
-    prev_bloom = f"seen_bloom/round={round_no - 1}"
-    if cfg.filter_kind in ("bloom", "cuckoo") and round_no > 0 and io.exists(prev_bloom):
-        filters = io.read(prev_bloom, schemas.SEEN_BLOOM)
-        if cfg.filter_kind == "bloom":
-            from indigo_crawler_spark.operators.bloom_ops import probe_split
+        # seen check: Bloom/cuckoo prefilter (A5) in front of the exact
+        # anti-join (J1). No false negatives ⇒ only the maybe_seen sliver
+        # touches the full seen table; the certainly-new bulk skips it (this
+        # is what keeps the 10^10 seen set off the per-round shuffle).
+        # Probes round R-1's committed filter — unaffected by the round-R
+        # fold running concurrently above.
+        if (
+            cfg.filter_kind in ("bloom", "cuckoo")
+            and round_no > 0
+            and io.exists(prev_filter)
+        ):
+            filters = io.read(prev_filter, schemas.SEEN_BLOOM)
+            if cfg.filter_kind == "bloom":
+                from indigo_crawler_spark.operators.bloom_ops import probe_split
 
-            certainly_new, maybe_seen = probe_split(children, filters)
+                certainly_new, maybe_seen = probe_split(children, filters)
+            else:
+                from indigo_crawler_spark.operators.cuckoo_ops import (
+                    probe_split_cuckoo,
+                )
+
+                certainly_new, maybe_seen = probe_split_cuckoo(children, filters)
+            survivors = maybe_seen.join(
+                seen_prev.select("canon_url"), on="canon_url", how="left_anti"
+            )
+            children_unseen = certainly_new.unionByName(survivors)
         else:
-            from indigo_crawler_spark.operators.cuckoo_ops import probe_split_cuckoo
-
-            certainly_new, maybe_seen = probe_split_cuckoo(children, filters)
-        survivors = maybe_seen.join(
-            seen_prev.select("canon_url"), on="canon_url", how="left_anti"
-        )
-        children_unseen = certainly_new.unionByName(survivors)
-    else:
-        children_unseen = children.join(
-            seen_prev.select("canon_url").hint("SHUFFLE_HASH"),
-            on="canon_url",
-            how="left_anti",
-        )
-
-    # Join strategy notes (10^10 scale): emitted is bounded by K → broadcast;
-    # denied / frontier / seen / host_counts are frontier-scale → broadcast
-    # builds would serialize; SHUFFLE_HASH parallelizes and avoids sorting.
-    remaining = (
-        frontier.join(F.broadcast(emitted.select("canon_url")), on="canon_url", how="left_anti")
-        .join(denied.select("canon_url").hint("SHUFFLE_HASH"), on="canon_url", how="left_anti")
-    )
-
-    # children must not already be in (remaining ∪ emitted) = frontier − denied
-    # (emitted ⊆ frontier and emitted ∩ denied = ∅) — ONE anti-join instead of
-    # two sequential ones (each join is a whole stage + exchange at scale).
-    frontier_not_denied = frontier.select("canon_url").join(
-        denied.select("canon_url").hint("SHUFFLE_HASH"), on="canon_url", how="left_anti"
-    )
-    hc = io.read("host_counts", schemas.HOST_COUNTS)
-    children_full = (
-        children_unseen.drop("url_hash")
-        .join(frontier_not_denied.hint("SHUFFLE_HASH"), on="canon_url", how="left_anti")
-        .join(hc.hint("SHUFFLE_HASH"), on="host", how="left")
-        .withColumn("host_count", F.coalesce(F.col("host_count"), F.lit(0)))
-        .select(
-            "canon_url",
-            "host",
-            host_hash_expr(F.col("host")).alias("host_hash"),
-            pk_expr(host_hash_expr(F.col("host")), cfg.num_buckets).alias("pk"),
-            "depth",
-            F.lit(None).cast("int").alias("seed_rank"),
-            priority_expr(
-                F.col("depth"), F.lit(None).cast("int"), F.col("host_count")
-            ).alias("priority"),
-            F.lit(round_no + 1).alias("discovered_round"),
-        )
-    )
-    frontier_next = remaining.select(*[f.name for f in schemas.FRONTIER.fields]).unionByName(
-        children_full
-    )
-    io.write(frontier_next, f"frontier/round={round_no + 1}")
-
-    # A4/A6: fold this round's seen delta into the cumulative membership
-    # filter (bloom: pure bitwise OR; cuckoo: fingerprint re-insert — the
-    # deletable variant). One binary row per pk bucket either way.
-    if cfg.filter_kind in ("bloom", "cuckoo"):
-        seen_now = io.read(f"seen/round={round_no}", schemas.SEEN)
-        if cfg.filter_kind == "bloom":
-            from indigo_crawler_spark.operators.bloom_ops import (
-                bloom_geometry,
-                build_bloom_delta,
-                merge_blooms,
+            children_unseen = children.join(
+                seen_prev.select("canon_url").hint("SHUFFLE_HASH"),
+                on="canon_url",
+                how="left_anti",
             )
 
-            nbits, k = bloom_geometry(cfg.bloom_bucket_capacity, cfg.bloom_fpr)
-            delta_f = build_bloom_delta(seen_now, nbits, k)
-            merge = merge_blooms
+        # frontier advance off the cached gate frame — denied rows leave by
+        # FILTER (no anti-join against a recomputed denied side), emitted
+        # rows by one bounded-side join. Join strategy (10^10 scale): emitted
+        # is bounded by K → broadcast; frontier/seen/host_counts are
+        # frontier-scale → SHUFFLE_HASH (broadcast builds would serialize).
+        allowed_rows = gated.where(F.col("_allowed"))
+        emitted_urls = emitted.select("canon_url")
+        if not small_round:
+            emitted_urls = emitted_urls.hint("SHUFFLE_HASH")
         else:
-            from indigo_crawler_spark.operators.cuckoo_ops import (
-                build_cuckoo_delta,
-                cuckoo_geometry,
-                merge_cuckoos,
+            emitted_urls = F.broadcast(emitted_urls)
+        remaining = allowed_rows.select(
+            *[f.name for f in schemas.FRONTIER.fields]
+        ).join(emitted_urls, on="canon_url", how="left_anti")
+
+        # children must not already be in (remaining ∪ emitted) = allowed
+        frontier_not_denied = allowed_rows.select("canon_url")
+        hc = io.read("host_counts", schemas.HOST_COUNTS)
+        children_full = (
+            children_unseen.drop("url_hash")
+            .join(
+                frontier_not_denied.hint("SHUFFLE_HASH"),
+                on="canon_url",
+                how="left_anti",
             )
-
-            nbuckets, _ = cuckoo_geometry(cfg.bloom_bucket_capacity)
-            delta_f = build_cuckoo_delta(seen_now, nbuckets)
-            merge = merge_cuckoos
-        if round_no > 0 and io.exists(prev_bloom):
-            cumulative = merge(io.read(prev_bloom, schemas.SEEN_BLOOM), delta_f)
-        else:
-            cumulative = delta_f
-        io.write(cumulative, f"seen_bloom/round={round_no}")
-    if with_counters:
-        counters["links_new"] = io.read(
-            f"frontier/round={round_no + 1}", schemas.FRONTIER
-        ).where(F.col("discovered_round") == round_no + 1).count()
-
-    # compaction: fold the delta chain into one pk-clustered snapshot so the
-    # exact-membership read stays O(1 snapshot + few deltas) at any round
-    # count. Deterministic content ⇒ safe to overwrite on a replayed round.
-    # Replay safety: if a prior (killed-after-compaction) attempt already
-    # committed this snapshot, skip — content is deterministic, and
-    # rewriting would read seen_compact/upto=R while overwriting it.
-    # A half-written dir (no _SUCCESS) is excluded by _compact_uptos, so
-    # the rebuild below reads only deltas and safely overwrites it.
-    if (
-        cfg.seen_compact_every
-        and (round_no + 1) % cfg.seen_compact_every == 0
-        and not io.is_complete(f"seen_compact/upto={round_no}")
-    ):
-        compacted = state.seen_through(round_no + 1).repartition(
-            cfg.num_buckets, "pk"
+            .join(hc.hint("SHUFFLE_HASH"), on="host", how="left")
+            .withColumn("host_count", F.coalesce(F.col("host_count"), F.lit(0)))
+            .select(
+                "canon_url",
+                "host",
+                host_hash_expr(F.col("host")).alias("host_hash"),
+                pk_expr(host_hash_expr(F.col("host")), cfg.num_buckets).alias("pk"),
+                "depth",
+                F.lit(None).cast("int").alias("seed_rank"),
+                priority_expr(
+                    F.col("depth"), F.lit(None).cast("int"), F.col("host_count")
+                ).alias("priority"),
+                F.lit(round_no + 1).alias("discovered_round"),
+            )
         )
-        io.write(compacted, f"seen_compact/upto={round_no}")
+        fn_obs = Observation()
+        frontier_next = remaining.unionByName(children_full).observe(
+            fn_obs,
+            _sum0(F.col("discovered_round") == round_no + 1).alias("links_new"),
+        )
+        io.write(frontier_next, f"frontier/round={round_no + 1}")
 
-    # C3: per-partition lineage digests of this round's committed outputs —
-    # recomputed and checked on resume before trusting a snapshot.
-    # (one tagged-union job for both tables: actions are serial latency)
-    from indigo_crawler_spark.plans.lineage import tables_digest
+        # C3 (frontier half) — the seen half has been digesting concurrently
+        frontier_digest = table_digest(
+            io.read(f"frontier/round={round_no + 1}", schemas.FRONTIER)
+        )
+        digests = {"seen": f_seen_digest.result(), "frontier_next": frontier_digest}
+        if f_filter is not None:
+            f_filter.result()
+        if f_compact is not None:
+            f_compact.result()
+        if f_budgets is not None:
+            f_budgets.result()
+    finally:
+        pool.shutdown(wait=True)
 
-    digests = tables_digest(
-        {
-            "seen": io.read(f"seen/round={round_no}", schemas.SEEN),
-            "frontier_next": io.read(
-                f"frontier/round={round_no + 1}", schemas.FRONTIER
-            ),
-        }
-    )
+    g = gate_obs.get
+    e = ext_obs.get
+    counters = {
+        "candidates": int(g["candidates"]),
+        "robots_denied": int(g["robots_denied"]),
+        "backoff_skipped": int(g["backoff_skipped"]),
+        "budget_deferred": int(g["eligible"]) - n_kept,
+        "cap_deferred": n_kept - n_emitted,
+        "emitted": n_emitted,
+        "banned": int(fb_obs.get["banned"]),
+        "fetched_pages": int(e["fetched_pages"]),
+        "links_extracted": int(e["links_extracted"]),
+        "links_new": int(fn_obs.get["links_new"]),
+    }
     payload = {
         "round": round_no,
         "counters": counters,
@@ -433,7 +576,7 @@ def run_round(
     }
     io.write_manifest(f"round_{round_no:05d}", payload)
 
-    for df in (frontier, denied, eligible, kept, emitted, extracted):
+    for df in (gated, emitted, extracted):
         df.unpersist()
     return payload
 

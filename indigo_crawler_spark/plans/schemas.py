@@ -81,6 +81,7 @@ FETCH_BATCHES = StructType(
         StructField("priority", DoubleType()),
         StructField("rank_in_host", IntegerType()),
         StructField("global_rank", IntegerType()),
+        StructField("status", StringType()),  # synthetic fetch outcome (EP3)
     ]
 )
 
@@ -109,6 +110,9 @@ HOST_COUNTS = StructType(
         StructField("host_count", LongType()),
     ]
 )
+
+# static skew dimension: hosts worth salting (derived once at bootstrap)
+HEAVY_HOSTS = StructType([StructField("host", StringType())])
 
 SEEN_BLOOM = StructType(
     [

@@ -21,6 +21,7 @@ from indigo_crawler_spark.kernels.canonicalize import canonicalize_url
 from indigo_crawler_spark.kernels.priority import priority_score
 from indigo_crawler_spark.kernels.robots import robots_allowed
 from indigo_crawler_spark.kernels.textextract import extract_text_and_links
+from indigo_crawler_spark.kernels.xxh64 import xxhash64
 
 
 def _host_of(canon_url: str) -> str:
@@ -108,6 +109,7 @@ class OracleCrawl:
             "budget_deferred": 0,
             "cap_deferred": 0,
             "emitted": 0,
+            "banned": 0,
             "fetched_pages": 0,
             "links_extracted": 0,
             "links_new": 0,
@@ -148,9 +150,17 @@ class OracleCrawl:
             counters["cap_deferred"] = len(kept) - cfg.round_limit
             kept = kept[: cfg.round_limit]
 
-        # 5. emit fetch batches
+        # 5. emit fetch batches (+ synthetic fetch outcome, EP3 feedback:
+        # banned ⇔ pmod(xxhash64(canon_url), ban_every) == 0 — python %
+        # on the signed kernel hash ≡ Spark's pmod)
         emitted_urls: list[str] = []
+        banned_hosts: set[str] = set()
         for g, (row, rank_in_host) in enumerate(kept, start=1):
+            status = "ok"
+            if cfg.ban_every and xxhash64(row.canon_url) % cfg.ban_every == 0:
+                status = "banned"
+                counters["banned"] += 1
+                banned_hosts.add(row.host)
             res.emitted.append(
                 {
                     "round": r,
@@ -160,6 +170,7 @@ class OracleCrawl:
                     "priority": row.priority,
                     "rank_in_host": rank_in_host,
                     "global_rank": g,
+                    "status": status,
                 }
             )
             emitted_urls.append(row.canon_url)
@@ -191,7 +202,11 @@ class OracleCrawl:
                         discovered_round=r + 1,
                     )
 
-        # 8. advance state
+        # 8. advance state (incl. EP3 backoff fold — mirror of fold_backoff)
+        for h in banned_hosts:
+            self.backoff[h] = max(
+                self.backoff.get(h, 0), r + 1 + cfg.backoff_rounds
+            )
         for u in emitted_urls:
             self.seen[u] = r
             self.frontier.pop(u, None)

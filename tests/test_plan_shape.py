@@ -45,13 +45,14 @@ def test_politeness_window_single_shuffle(spark, frontier_like):
 def test_sequence_batches_no_single_partition_window(spark, frontier_like):
     from indigo_crawler_spark.operators.politeness import sequence_batches
 
-    out, n = sequence_batches(frontier_like, 0, 1000, 100)
+    out, n, _, cached = sequence_batches(frontier_like, 0, 1000, 100)
     assert n == frontier_like.count()
     # distributed rank: range exchange, never a SinglePartition window
     phys = _physical(out)
     assert "rangepartitioning" in phys.lower()
     assert "SinglePartition" not in phys
     assert "Window" not in phys  # rank comes from mapInPandas, not a window
+    cached.unpersist()
 
 
 def test_dedup_min_by_single_shuffle(spark, frontier_like):
