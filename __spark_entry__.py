@@ -333,6 +333,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bloom_prefilter_semi"] = _bloom_prefilter_semi
 
+    # ---- A6 cuckoo: build → delete → probe ≡ set difference. Exact because
+    # inserts are raised-on-failure and deletions only target inserted keys,
+    # so per-(fingerprint, bucket-pair) copy counts make probe(key) ⇔ key not
+    # deleted (verified green vs DuckDB on the fixed sf tables).
+    def _cuckoo_delete_probe(s, d):
+        from indigo_crawler_spark.functions.keys import url_hash_expr
+        from indigo_crawler_spark.operators.cuckoo_ops import (
+            build_cuckoo_delta,
+            cuckoo_geometry,
+            delete_from_cuckoo,
+            probe_split_cuckoo,
+        )
+
+        keys = (
+            _t(s, d, "orders")
+            .select(F.col("o_custkey").cast("string").alias("key"))
+            .distinct()
+            .withColumn("url_hash", url_hash_expr(F.col("key")))
+            .withColumn("pk", F.pmod(F.xxhash64("key"), F.lit(8)))
+        )
+        nbuckets, _slots = cuckoo_geometry(4096)
+        filters = build_cuckoo_delta(keys, nbuckets)
+        gone = keys.join(
+            _t(s, d, "orders")
+            .where(F.col("o_orderstatus") == "F")
+            .select(F.col("o_custkey").cast("string").alias("key"))
+            .distinct(),
+            on="key",
+            how="left_semi",
+        )
+        _, still_present = probe_split_cuckoo(keys, delete_from_cuckoo(filters, gone))
+        return still_present.select(F.col("key").cast("bigint").alias("o_custkey"))
+
+    q["cuckoo_delete_probe"] = _cuckoo_delete_probe
+
     # ---- training-data pipeline: text analysis (SQL-checkable) ----
     def _token_counts(s, d):
         from indigo_crawler_spark.functions.text_analysis import whitespace_token_count
@@ -559,6 +594,10 @@ def oracle_sql() -> dict[str, str]:
         "bloom_prefilter_semi": (
             "SELECT c_custkey FROM customer c WHERE EXISTS "
             "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+        ),
+        "cuckoo_delete_probe": (
+            "SELECT DISTINCT o_custkey FROM orders "
+            "EXCEPT SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'"
         ),
         "token_counts": (
             "SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "

@@ -53,6 +53,37 @@ def _sum0(col) -> "F.Column":
     return F.coalesce(F.sum(col.cast("long")), F.lit(0))
 
 
+def _timer():
+    """Per-phase wall timing, enabled by SPARK_GRAFT_TIMINGS=1 (perf triage
+    only — monotonic durations, never wall-clock values, never in results)."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_TIMINGS") != "1":
+        return None
+    return {}
+
+
+class _timed:
+    def __init__(self, sink, label):
+        self.sink, self.label = sink, label
+
+    def __enter__(self):
+        if self.sink is not None:
+            import time
+
+            self.t0 = time.monotonic()
+        return self
+
+    def __exit__(self, *exc):
+        if self.sink is not None:
+            import time
+
+            self.sink[self.label] = round(
+                self.sink.get(self.label, 0.0) + time.monotonic() - self.t0, 3
+            )
+        return False
+
+
 @dataclass
 class CrawlState:
     """Paths + IO for one crawl's durable state under ``io.root``.
@@ -73,6 +104,28 @@ class CrawlState:
 
     def frontier(self, r: int) -> DataFrame:
         return self.io.read(f"frontier/round={r}", schemas.FRONTIER)
+
+    def fetchable_store(self, pks: list) -> DataFrame:
+        """(canon_url, html) fetchable at the given pk buckets: the bootstrap
+        page store, plus — when the streaming skin has ingested micro-batches
+        — ``page_store_stream``, deduped with the SAME min (warc_ts, url)
+        tie-break per canon_url as bootstrap. Batch-mode rounds take the
+        plain pruned scan (no union, no dedup shuffle); streaming rounds
+        dedup only the pruned slice."""
+        store = self.io.read("page_store", schemas.PAGE_STORE).where(
+            F.col("pk").isin(pks)
+        )
+        if not self.io.exists("page_store_stream"):
+            return store.select("canon_url", "html")
+        stream = self.io.read("page_store_stream", schemas.PAGE_STORE).where(
+            F.col("pk").isin(pks)
+        )
+        both = store.unionByName(stream).select(
+            "canon_url", "url", "warc_ts", "html"
+        )
+        return dedup_min_by(both, "canon_url", ["warc_ts", "url"]).select(
+            "canon_url", "html"
+        )
 
     def budgets(self, r: int) -> DataFrame:
         """host_budgets ENTERING round r: the versioned table round r-1's
@@ -122,6 +175,26 @@ class CrawlState:
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
+        # retired URLs (operators/retire.py) leave the membership — one
+        # SHUFFLE_HASH anti-join on the tiny retired set, bounded by the
+        # retirement round so a later re-crawl's fresh seen row survives.
+        # Idempotent: a compacted snapshot that already excludes them is
+        # unaffected.
+        if self.io.exists("retired"):
+            ret = (
+                self.io.read("retired", schemas.RETIRED)
+                .select(
+                    F.col("canon_url").alias("_r_url"),
+                    F.col("retired_after_round").alias("_r_after"),
+                )
+                .hint("SHUFFLE_HASH")
+            )
+            out = out.join(
+                ret,
+                on=(out["canon_url"] == ret["_r_url"])
+                & (out["first_round"] <= ret["_r_after"]),
+                how="left_anti",
+            )
         return out
 
     def _compact_uptos(self) -> list[int]:
@@ -295,10 +368,12 @@ def run_round(
     # 4. global cap + sequencing (distributed exact rank; the pk set of the
     #    kept rows — a superset of the emitted pks, equal except when the
     #    global cap bites — falls out of the same collect for store pruning)
+    tm = _timer()
     kept = politeness_topk_skew_aware(eligible, cfg, state.heavy_hosts()).cache()
-    emitted, n_kept, kept_pks, rank_cache = sequence_batches(
-        kept, round_no, cfg.round_limit, cfg.batch_size, gather_col="pk"
-    )
+    with _timed(tm, "gates_rank_collect"):
+        emitted, n_kept, kept_pks, rank_cache = sequence_batches(
+            kept, round_no, cfg.round_limit, cfg.batch_size, gather_col="pk"
+        )
     n_emitted = min(n_kept, cfg.round_limit)
     emitted = emitted.cache()
 
@@ -310,7 +385,8 @@ def run_round(
         "rank_in_host", "global_rank",
         fetch_status_expr(cfg).alias("status"),
     ).observe(fb_obs, _sum0(F.col("status") == "banned").alias("banned"))
-    io.write(fetch_batches, f"fetch_batches/round={round_no}")
+    with _timed(tm, "fetch_batches_write"):
+        io.write(fetch_batches, f"fetch_batches/round={round_no}")
     # emitted is materialized now; the ranker's range-partitioned cache must
     # not outlive it (recompute would re-sample bounds → stale offsets)
     rank_cache.unpersist()
@@ -324,7 +400,11 @@ def run_round(
             F.col("pk"),
             F.lit(round_no).alias("first_round"),
         )
-        f_seen = pool.submit(io.write, seen_delta, f"seen/round={round_no}")
+        def _w_seen():
+            with _timed(tm, "seen_write"):
+                io.write(seen_delta, f"seen/round={round_no}")
+
+        f_seen = pool.submit(_w_seen)
 
         # EP3 feedback: fold this round's fetch statuses into next round's
         # budgets (versioned; deterministic ⇒ replay-safe), off the critical
@@ -345,9 +425,7 @@ def run_round(
         # the store scan so the 100 TB side never shuffles, and prune store
         # buckets to the pks actually touched (partition pruning: at P=256 a
         # typical round reads a fraction of the store's directories).
-        store = io.read("page_store", schemas.PAGE_STORE).where(
-            F.col("pk").isin(kept_pks)
-        )
+        store = state.fetchable_store(kept_pks)
         # strategy switch on the known emitted count: small rounds broadcast
         # the url list into the scan; huge rounds (K in the millions) would
         # serialize a giant broadcast build — shuffle-hash join instead (the
@@ -355,11 +433,11 @@ def run_round(
         emitted_sel = emitted.select("canon_url", "depth")
         small_round = n_emitted <= 200_000
         if small_round:
-            fetched = store.select("canon_url", "html").join(
+            fetched = store.join(
                 F.broadcast(emitted_sel), on="canon_url", how="inner"
             )
         else:
-            fetched = store.select("canon_url", "html").join(
+            fetched = store.join(
                 emitted_sel.hint("SHUFFLE_HASH"), on="canon_url", how="inner"
             )
         ext_obs = Observation()
@@ -372,9 +450,11 @@ def run_round(
             )
             .cache()
         )
-        io.write(
-            extracted.select("canon_url", "text"), f"fetched_text/round={round_no}"
-        )
+        with _timed(tm, "extract_text_write"):
+            io.write(
+                extracted.select("canon_url", "text"),
+                f"fetched_text/round={round_no}",
+            )
 
         f_seen.result()
         # A4/A6: fold this round's seen delta into the cumulative membership
@@ -384,6 +464,10 @@ def run_round(
         prev_filter = f"seen_bloom/round={round_no - 1}"
 
         def _fold_filter() -> None:
+            with _timed(tm, "filter_fold"):
+                _fold_filter_inner()
+
+        def _fold_filter_inner() -> None:
             if cfg.filter_kind == "bloom":
                 from indigo_crawler_spark.operators.bloom_ops import (
                     bloom_geometry,
@@ -442,9 +526,11 @@ def run_round(
         # C3 (seen half): digest the committed delta while discovery runs
         from indigo_crawler_spark.plans.lineage import table_digest
 
-        f_seen_digest = pool.submit(
-            table_digest, io.read(f"seen/round={round_no}", schemas.SEEN)
-        )
+        def _d_seen():
+            with _timed(tm, "seen_digest"):
+                return table_digest(io.read(f"seen/round={round_no}", schemas.SEEN))
+
+        f_seen_digest = pool.submit(_d_seen)
 
         # 6. discover children: explode → min-depth dedup → not in seen'/frontier'
         children = extracted.where(F.col("depth") + 1 <= cfg.max_depth).select(
@@ -538,12 +624,14 @@ def run_round(
             fn_obs,
             _sum0(F.col("discovered_round") == round_no + 1).alias("links_new"),
         )
-        io.write(frontier_next, f"frontier/round={round_no + 1}")
+        with _timed(tm, "discover_frontier_write"):
+            io.write(frontier_next, f"frontier/round={round_no + 1}")
 
         # C3 (frontier half) — the seen half has been digesting concurrently
-        frontier_digest = table_digest(
-            io.read(f"frontier/round={round_no + 1}", schemas.FRONTIER)
-        )
+        with _timed(tm, "frontier_digest"):
+            frontier_digest = table_digest(
+                io.read(f"frontier/round={round_no + 1}", schemas.FRONTIER)
+            )
         digests = {"seen": f_seen_digest.result(), "frontier_next": frontier_digest}
         if f_filter is not None:
             f_filter.result()
@@ -568,6 +656,10 @@ def run_round(
         "links_extracted": int(e["links_extracted"]),
         "links_new": int(fn_obs.get["links_new"]),
     }
+    if tm is not None:
+        import sys
+
+        print(f"ROUND_TIMINGS round={round_no} {tm}", file=sys.stderr)
     payload = {
         "round": round_no,
         "counters": counters,

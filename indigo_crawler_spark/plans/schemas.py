@@ -114,6 +114,19 @@ HOST_COUNTS = StructType(
 # static skew dimension: hosts worth salting (derived once at bootstrap)
 HEAVY_HOSTS = StructType([StructField("host", StringType())])
 
+# retired URLs (re-crawlable): subtracted from the seen membership.
+# retired_after_round bounds the subtraction — only seen rows with
+# first_round <= retired_after_round vanish, so a later RE-crawl of the same
+# url (a new seen row with a later first_round) counts as seen again.
+RETIRED = StructType(
+    [
+        StructField("canon_url", StringType()),
+        StructField("url_hash", BinaryType()),
+        StructField("pk", IntegerType()),
+        StructField("retired_after_round", IntegerType()),
+    ]
+)
+
 SEEN_BLOOM = StructType(
     [
         StructField("pk", IntegerType()),

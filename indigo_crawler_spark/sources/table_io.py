@@ -40,6 +40,32 @@ class TableIO:
             w = w.partitionBy(*partition_by)
         w.parquet(self.path(table))
 
+    def rewrite(self, df: DataFrame, table: str) -> None:
+        """Replace *table* with *df* when df DERIVES FROM the table's current
+        content (plain overwrite would hit Spark's read-from-overwritten-path
+        error): write to ``<table>__new``, then swap via two renames. A crash
+        between the renames is repaired on the next read/rewrite (the
+        ``__old`` backup is restored if the live dir is missing). Iceberg
+        backend: a snapshot commit replaces this dance entirely."""
+        if self.fmt == "iceberg":
+            self.write(df, table)
+            return
+        self._repair(table)
+        new = self.path(table + "__new")
+        old = self.path(table + "__old")
+        import shutil
+
+        shutil.rmtree(new, ignore_errors=True)
+        df.write.mode("overwrite").parquet(new)
+        os.rename(self.path(table), old)
+        os.rename(new, self.path(table))
+        shutil.rmtree(old, ignore_errors=True)
+
+    def _repair(self, table: str) -> None:
+        old = self.path(table + "__old")
+        if os.path.isdir(old) and not os.path.isdir(self.path(table)):
+            os.rename(old, self.path(table))
+
     def read(self, table: str, schema: StructType | None = None) -> DataFrame:
         if self.fmt == "iceberg":
             return self.spark.read.table(f"{self.root}.{table}")

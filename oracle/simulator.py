@@ -99,6 +99,33 @@ class OracleCrawl:
         self.seen: dict[str, int] = {}  # canon_url -> first_round
 
     # ------------------------------------------------------------------
+    def add_pages(self, pages) -> None:
+        """Streaming-skin mirror: make newly discovered pages fetchable with
+        the same min (warc_ts, url) tie-break per canon_url as bootstrap.
+        host_count (the priority input) intentionally stays frozen at its
+        bootstrap value — see streaming/skin.py docstring."""
+        for row in pages:
+            c = canonicalize_url(row["url"])
+            if c is None:
+                continue
+            cur = self.store.get(c)
+            key = (row["warc_ts"], row["url"])
+            if cur is None or key < (cur["warc_ts"], cur["url"]):
+                self.store[c] = row
+
+    # ------------------------------------------------------------------
+    def retire(self, urls) -> int:
+        """Mirror of operators/retire.py: currently-seen urls leave the seen
+        set (re-crawlable on rediscovery); unknown urls are no-ops."""
+        n = 0
+        for u in urls:
+            c = canonicalize_url(u)
+            if c is not None and c in self.seen:
+                del self.seen[c]
+                n += 1
+        return n
+
+    # ------------------------------------------------------------------
     def step(self, r: int) -> RoundResult:
         cfg = self.cfg
         res = RoundResult(round=r)

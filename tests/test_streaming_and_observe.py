@@ -32,6 +32,76 @@ def test_observed_write_single_pass(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "t")).count() == 100
 
 
+def test_streamed_pages_become_fetchable(spark, tmp_path):
+    """A page ingested through the streaming path must actually be FETCHED
+    by a later round (text extracted, links discovered) — engine vs oracle,
+    including the min (warc_ts, url) tie-break between duplicate streamed
+    versions of the same url."""
+    from datetime import datetime, timezone
+
+    from indigo_crawler_spark.plans.round import run_rounds
+    from indigo_crawler_spark.streaming.skin import ingest_pages
+    from oracle.simulator import OracleCrawl
+
+    cfg = CrawlConfig(round_limit=50, num_buckets=8)
+    seeds = [{"url": "https://s.example.com/a", "seed_rank": 0}]
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    t1 = datetime(2024, 1, 2, tzinfo=timezone.utc)
+    streamed = [
+        # two versions of /a: the EARLIER (warc_ts, url) must win
+        {
+            "url": "https://s.example.com/a",
+            "warc_ts": t1,
+            "html": b'<html><body><p>late version</p></body></html>',
+            "text": None,
+            "lang": "en",
+        },
+        {
+            "url": "https://s.example.com/a",
+            "warc_ts": t0,
+            "html": b'<html><body><a href="https://s.example.com/b">b</a>'
+            b"<p>early version</p></body></html>",
+            "text": None,
+            "lang": "en",
+        },
+    ]
+
+    state = CrawlState(io=TableIO(spark, str(tmp_path / "stream")), cfg=cfg)
+    bootstrap(
+        spark,
+        pages_df(spark, []),
+        seeds_df(spark, seeds),
+        robots_df(spark, []),
+        budgets_df(spark, []),
+        state,
+    )
+    ingest_pages(pages_df(spark, streamed), state)
+    manifests = run_rounds(spark, state, 2)
+
+    oc = OracleCrawl([], seeds, [], [], cfg)
+    oc.add_pages(streamed)
+    oracle_results = oc.run(2)
+
+    # /a fetched from the stream with the early version's text; /b discovered
+    # and emitted in round 1
+    assert manifests[0]["counters"]["fetched_pages"] == 1
+    texts = {
+        r["canon_url"]: r["text"]
+        for r in state.io.read("fetched_text/round=0", schemas.FETCHED_TEXT).collect()
+    }
+    assert texts == oracle_results[0].texts
+    assert "early version" in texts["https://s.example.com/a"]
+    for r in range(2):
+        got = [
+            row["canon_url"]
+            for row in state.io.read(
+                f"fetch_batches/round={r}", schemas.FETCH_BATCHES
+            ).orderBy("global_rank").collect()
+        ]
+        assert got == [e["canon_url"] for e in oracle_results[r].emitted], f"round {r}"
+    assert got == ["https://s.example.com/b"]  # round 1 emits the discovery
+
+
 def test_streaming_skin_advances_rounds(spark, tmp_path):
     """A memory-rate stream of (empty) page batches drives real rounds via
     foreachBatch — the batch state dir advances exactly as in batch mode."""
