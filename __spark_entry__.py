@@ -412,7 +412,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             simhash_signatures,
         )
 
-        return simhash_near_pairs(simhash_signatures(_t(s, d, "documents")), 16)
+        # d≤7 with the combinatorial default (chunks=9, combo=2): 36 bands
+        # of ~14-bit keys, pigeonhole-complete
+        return simhash_near_pairs(simhash_signatures(_t(s, d, "documents")), 7)
 
     q["minhash_lsh_pairs"] = _minhash_pairs
     q["simhash_pairs"] = _simhash_pairs
@@ -434,27 +436,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from indigo_crawler_spark.operators.similarity import ann_lsh_topk
 
         emb = _t(s, d, "embeddings")
-        return ann_lsh_topk(emb.where(F.col("vec_id") < 10), emb, dim=64, k=5, bits=8)
+        return ann_lsh_topk(
+            emb.where(F.col("vec_id") < 10), emb, dim=64, k=5, bits=8, rotations=3
+        )
 
     q["ann_int_dot_topk"] = _ann_int_topk
     q["cosine_topk"] = _cosine_topk
     q["ann_lsh_topk"] = _ann_lsh
 
     # ---- training-data pipeline: language-ID / fingerprint / multimodal ----
-    def _langid_counts(s, d):  # rows-only: heuristic kernel
-        from indigo_crawler_spark.functions.text_analysis import lang_id_udf
+    def _langid_counts(s, d):
+        # declarative stopword-overlap language ID (SQL-checkable; the
+        # n-gram heuristic kernel variant stays pytest-proven)
+        from indigo_crawler_spark.functions.text_analysis import langid_expr
 
         return (
             _t(s, d, "documents")
-            .groupBy(lang_id_udf("text").alias("lid"))
+            .groupBy(langid_expr("text").alias("lid"))
             .agg(F.count("*").alias("n"))
         )
 
-    def _fingerprints(s, d):  # rows-only: rolling-hash kernel
-        from indigo_crawler_spark.functions.text_analysis import fingerprint_udf
-
+    def _fingerprints(s, d):
+        # document fingerprint = min MD5 over 16-char k-grams (checkable
+        # variant; the winnowing rolling-hash kernel stays pytest-proven)
+        text = F.col("text")
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(text) - 15, F.lit(1))),
+            lambda i: F.md5(text.substr(i, F.lit(16))),
+        )
         return _t(s, d, "documents").select(
-            "doc_id", fingerprint_udf("text").alias("fp64")
+            "doc_id", F.array_min(grams).alias("fp_md5")
         )
 
     def _media_bytes(s, d):
@@ -512,6 +523,8 @@ FROM seq WHERE global_rank <= 200
 
 
 def oracle_sql() -> dict[str, str]:
+    from indigo_crawler_spark.functions.text_analysis import langid_oracle_sql
+
     return {
         "crawl_round0_schedule": _CRAWL_ROUND0_SQL,
         # crawl_two_rounds: omitted (html extraction kernel not SQL-expressible;
@@ -652,6 +665,12 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT q_id, n_id, CAST(list_dot_product(qv, cv) AS BIGINT) AS dot, "
             "         row_number() OVER (PARTITION BY q_id ORDER BY list_dot_product(qv, cv) DESC, n_id ASC) AS rank "
             "  FROM q, c WHERE q_id != n_id) WHERE rank <= 5"
+        ),
+        "langid_counts": langid_oracle_sql(),
+        "doc_fingerprints": (
+            "SELECT doc_id, min(md5(substr(text, i, 16))) AS fp_md5 FROM "
+            "(SELECT doc_id, text, unnest(generate_series(1, greatest(length(text)-15, 1))) AS i "
+            "FROM documents) GROUP BY doc_id"
         ),
         "media_bytes": (
             "SELECT doc_id AS media_id, "

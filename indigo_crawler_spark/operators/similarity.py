@@ -88,15 +88,18 @@ def int_dot_topk(
     )
 
 
-def _hyperplanes(dim: int, bits: int) -> list[list[float]]:
+def _hyperplanes(dim: int, bits: int, rotation: int = 0) -> list[list[float]]:
     """Deterministic sha256-derived hyperplanes (no RNG anywhere):
-    component ∈ (-1, 1) from 4-byte slices of repeated digests."""
+    component ∈ (-1, 1) from 4-byte slices of repeated digests. Rotation 0
+    keeps the original seed strings (stable across versions); rotations ≥ 1
+    are independent plane sets for multi-probe."""
     planes = []
     for b in range(bits):
         vals: list[float] = []
         ctr = 0
         while len(vals) < dim:
-            d = hashlib.sha256(f"lsh:{b}:{ctr}".encode()).digest()
+            seed = f"lsh:{b}:{ctr}" if rotation == 0 else f"lsh:{rotation}:{b}:{ctr}"
+            d = hashlib.sha256(seed.encode()).digest()
             for off in range(0, 32, 4):
                 u = int.from_bytes(d[off : off + 4], "big")
                 vals.append(u / 2**31 - 1.0)
@@ -107,10 +110,10 @@ def _hyperplanes(dim: int, bits: int) -> list[list[float]]:
     return planes
 
 
-def lsh_bucket_expr(vec_col: Column, dim: int, bits: int = 12) -> Column:
+def lsh_bucket_expr(vec_col: Column, dim: int, bits: int = 12, rotation: int = 0) -> Column:
     """Hyperplane-LSH bucket id: bit_b = sign(v · plane_b) ≥ 0."""
     bucket = F.lit(0).cast("long")
-    for b, plane in enumerate(_hyperplanes(dim, bits)):
+    for b, plane in enumerate(_hyperplanes(dim, bits, rotation)):
         proj = F.aggregate(
             F.zip_with(
                 vec_col,
@@ -128,25 +131,57 @@ def lsh_bucket_expr(vec_col: Column, dim: int, bits: int = 12) -> Column:
 
 def ann_lsh_topk(
     queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5, bits: int = 12,
-    id_col: str = "vec_id", vec_col: str = "embedding",
+    rotations: int = 1, id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: hyperplane-LSH bucket equi-join → exact cosine
-    re-rank inside the bucket. The bucket join replaces the cross join — the
-    scale path when both sides are large (corpus shuffles once on bucket id)."""
-    q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
-        lsh_bucket_expr(F.col(vec_col), dim, bits).alias("bk"),
-    ).withColumn("q_norm", _norm(F.col("q_vec")))
-    c = corpus.select(
-        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
-        lsh_bucket_expr(F.col(vec_col), dim, bits).alias("bk"),
-    ).withColumn("n_norm", _norm(F.col("n_vec")))
-    scored = (
-        c.join(q, on="bk")
-        .where(F.col("q_id") != F.col("n_id"))
-        .withColumn(
-            "cos", _dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_norm") * F.col("n_norm"))
+    re-rank over the union of candidates. The bucket join replaces the cross
+    join — the scale path when both sides are large (corpus shuffles once on
+    the exploded (rotation, bucket) key).
+
+    Multi-probe: *rotations* independent sha-derived plane sets; a candidate
+    qualifies by sharing a bucket in ANY rotation — a single rotation has a
+    recall cliff for neighbours straddling one hyperplane, and each extra
+    rotation decays the miss probability geometrically (miss ⇔ separated in
+    ALL rotations). Recall/cost knobs: fewer bits ⇒ bigger buckets (more
+    exact work, higher recall); more rotations ⇒ more candidate unions at
+    linear cost. The recall floor at the defaults is asserted in pytest.
+    """
+
+    def keyed(df, idc, vc):
+        rot_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("rot"),
+                    lsh_bucket_expr(F.col(vc), dim, bits, r).alias("bk"),
+                )
+                for r in range(rotations)
+            ]
         )
+        return df.select(
+            F.col(idc), F.col(vc), F.explode(rot_structs).alias("rb")
+        ).select(F.col(idc), F.col(vc), F.col("rb.rot").alias("rot"), F.col("rb.bk").alias("bk"))
+
+    q = keyed(
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")),
+        "q_id",
+        "q_vec",
+    )
+    c = keyed(
+        corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")),
+        "n_id",
+        "n_vec",
+    )
+    # candidate pairs = bucket-mates in ≥1 rotation (distinct dedups unions)
+    cands = (
+        c.join(q, on=["rot", "bk"])
+        .where(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "q_vec", "n_id", "n_vec")
+        .distinct()
+    )
+    scored = cands.withColumn("q_norm", _norm(F.col("q_vec"))).withColumn(
+        "n_norm", _norm(F.col("n_vec"))
+    ).withColumn(
+        "cos", _dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_norm") * F.col("n_norm"))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
     return (

@@ -176,29 +176,75 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
     return sums.select("doc_id", sig.alias("simhash"))
 
 
-def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Hamming ≤ max_hamming pairs via 4×16-bit band join + bit_count verify.
+def simhash_near_pairs(
+    signatures: DataFrame,
+    max_hamming: int = 3,
+    chunks: int | None = None,
+    combo: int | None = None,
+) -> DataFrame:
+    """Hamming ≤ max_hamming pairs via combinatorial chunk banding + exact
+    bit_count verify (no false positives; no false negatives by pigeonhole).
 
-    Pigeonhole: distance ≤ 3 ⇒ at least one of the 4 16-bit chunks is equal,
-    so the band join loses nothing while avoiding the full cross join.
+    The 64-bit signature splits into *chunks* near-equal pieces; each band
+    key is the hash of a *combo*-subset of pieces (C(chunks, combo) bands,
+    one explode + ONE equi-join for all of them). Pigeonhole guarantee —
+    enforced here: ``chunks - max_hamming >= combo``. A pair at distance
+    ≤ max_hamming corrupts ≤ max_hamming pieces, leaving ≥ combo clean
+    pieces, so at least one band key matches exactly.
+
+    Scale / cost model (n docs, uniform-ish signatures): a band key carries
+    ~combo·(64/chunks) bits, so each bucket holds ~n / 2^(combo·64/chunks)
+    docs and in-bucket work is quadratic in that. Defaults (d≤3 → chunks=5,
+    combo=2) give ~26-bit keys: at n = 10^9 that's ~15 docs/bucket × 10
+    bands — flat. The naive single-piece banding this replaces (chunks=4,
+    combo=1 ⇒ 16-bit keys) packs ~15k docs/bucket at 10^9 ⇒ ~10^8
+    comparisons per bucket; it remains expressible (combo=1) and is
+    pair-identical — asserted in tests. Near-duplicate CLUSTERS concentrate
+    buckets regardless of key width; dedup survivors upstream (exact dedup
+    first) keep that bounded.
     """
-    chunks = [
-        F.shiftright("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF)).alias(f"c_{c}")
-        for c in range(4)
+    from itertools import combinations
+
+    if chunks is None:
+        chunks = max_hamming + 2
+    if combo is None:
+        combo = min(2, max(1, chunks - max_hamming))
+    if chunks - max_hamming < combo:
+        raise ValueError(
+            f"pigeonhole violated: chunks({chunks}) - max_hamming({max_hamming})"
+            f" < combo({combo}) — matching pairs could be missed"
+        )
+    # near-equal bit widths summing to 64
+    base, extra = divmod(64, chunks)
+    widths = [base + (1 if i < extra else 0) for i in range(chunks)]
+    offs = [sum(widths[:i]) for i in range(chunks)]
+    piece = [
+        F.shiftright("simhash", offs[i]).bitwiseAND(F.lit((1 << widths[i]) - 1))
+        for i in range(chunks)
     ]
-    df = signatures.select("doc_id", "simhash", *chunks)
-    pairs = None
-    for c in range(4):
-        left = df.select(
-            F.col("doc_id").alias("a"), F.col("simhash").alias("sig_a"), F.col(f"c_{c}").alias("bk")
-        )
-        right = df.select(
-            F.col("doc_id").alias("b"), F.col("simhash").alias("sig_b"), F.col(f"c_{c}").alias("bk")
-        )
-        p = left.join(right, "bk").where(F.col("a") < F.col("b")).select("a", "b", "sig_a", "sig_b")
-        pairs = p if pairs is None else pairs.unionByName(p)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band_id"),
+                F.xxhash64(*[piece[c] for c in cs]).alias("bh"),
+            )
+            for bi, cs in enumerate(combinations(range(chunks), combo))
+        ]
+    )
+    banded = signatures.select(
+        "doc_id", "simhash", F.explode(band_structs).alias("bk")
+    ).select("doc_id", "simhash", "bk.band_id", "bk.bh")
+    left = banded.select(
+        F.col("doc_id").alias("a"), F.col("simhash").alias("sig_a"), "band_id", "bh"
+    )
+    right = banded.select(
+        F.col("doc_id").alias("b"), F.col("simhash").alias("sig_b"), "band_id", "bh"
+    )
     return (
-        pairs.distinct()
+        left.join(right, ["band_id", "bh"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "sig_a", "sig_b")
+        .distinct()
         .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
         .where(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")

@@ -406,6 +406,20 @@ def run_round(
 
         f_seen = pool.submit(_w_seen)
 
+        # A7 engine-side rollup metrics: (host, status) / (host) / () counts
+        # over the ≤K emitted rows — tiny cached-input job, off the critical
+        # path. The () grand total equals the `emitted` counter; per-host
+        # rows are a TABLE (round_metrics/round=R), not manifest JSON — at
+        # 50M hosts a manifest-embedded rollup would be absurd.
+        metrics = (
+            emitted.select("host", fetch_status_expr(cfg).alias("status"))
+            .rollup("host", "status")
+            .agg(F.count("*").alias("n"))
+        )
+        f_metrics = pool.submit(
+            io.write, metrics, f"round_metrics/round={round_no}"
+        )
+
         # EP3 feedback: fold this round's fetch statuses into next round's
         # budgets (versioned; deterministic ⇒ replay-safe), off the critical
         # path. Reads emitted from cache — tiny job.
@@ -639,6 +653,7 @@ def run_round(
             f_compact.result()
         if f_budgets is not None:
             f_budgets.result()
+        f_metrics.result()
     finally:
         pool.shutdown(wait=True)
 

@@ -114,6 +114,15 @@ HOST_COUNTS = StructType(
 # static skew dimension: hosts worth salting (derived once at bootstrap)
 HEAVY_HOSTS = StructType([StructField("host", StringType())])
 
+# per-round scheduling telemetry: rollup(host, status) counts (A7)
+ROUND_METRICS = StructType(
+    [
+        StructField("host", StringType()),    # null = rolled up
+        StructField("status", StringType()),  # null = rolled up
+        StructField("n", LongType()),
+    ]
+)
+
 # retired URLs (re-crawlable): subtracted from the seen membership.
 # retired_after_round bounds the subtraction — only seen rows with
 # first_round <= retired_after_round vanish, so a later RE-crawl of the same

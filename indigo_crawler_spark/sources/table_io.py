@@ -4,16 +4,25 @@ BASELINE.json names Iceberg; this sandbox has no Iceberg runtime jar and no
 network to fetch one (SURVEY.md §0), so the default backend is a Parquet
 directory tree with the same commit discipline: data files first, the round
 manifest last (atomic rename), so a partially-written round is invisible to
-readers and resume (EP2) recomputes it. With an Iceberg catalog configured,
-``format='iceberg'`` maps reads/writes to ``spark.read.table`` /
-``df.writeTo(t).append()`` and round commits to snapshot commits — nothing
-above this seam changes.
+readers and resume (EP2) recomputes it.
+
+Iceberg backend (``fmt='iceberg'``): ``root`` is a catalog namespace (e.g.
+``my_catalog.crawl``); each engine table maps to an identifier under it.
+Because every engine table is VERSIONED IN ITS NAME (``frontier/round=R``,
+``seen/round=R`` …), a round "commit" is a set of whole-table replacements —
+``writeTo(t).createOrReplace()`` — each of which is an atomic Iceberg
+snapshot commit; no append path is needed and ``rewrite`` needs no
+temp-and-rename dance. Constructing an iceberg-backed TableIO WITHOUT an
+Iceberg catalog on the session raises ``NotImplementedError`` immediately —
+there is deliberately no silent wrong branch (this sandbox cannot exercise
+the backend; the capability check is the honest seam).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import tempfile
 from dataclasses import dataclass
 
@@ -27,14 +36,37 @@ class TableIO:
     root: str
     fmt: str = "parquet"  # "parquet" | "iceberg"
 
+    def __post_init__(self) -> None:
+        if self.fmt == "iceberg":
+            try:
+                self.spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {self.root}")
+            except Exception as e:  # no catalog / no runtime jars
+                raise NotImplementedError(
+                    "fmt='iceberg' needs an Iceberg catalog on the session "
+                    "(spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog "
+                    "+ iceberg-spark-runtime on the classpath) and root="
+                    "'<catalog>.<namespace>'. This environment has no Iceberg "
+                    "runtime; use fmt='parquet'."
+                ) from e
+
     def path(self, *parts: str) -> str:
         return os.path.join(self.root, *parts)
+
+    def _ident(self, table: str) -> str:
+        """Catalog identifier for an engine table path (iceberg backend):
+        'frontier/round=3' → '<root>.frontier_round_3'."""
+        return f"{self.root}.{re.sub(r'[^A-Za-z0-9_]', '_', table)}"
 
     # ---- data ------------------------------------------------------------
     def write(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
         if self.fmt == "iceberg":
-            df.writeTo(f"{self.root}.{table}").createOrReplace()
-            return
+            w = df.writeTo(self._ident(table))
+            if partition_by:
+                from pyspark.sql import functions as F
+
+                w = w.partitionedBy(*[F.col(c) for c in partition_by])
+            w.createOrReplace()  # atomic snapshot commit (tables are
+            return               # name-versioned; replace IS the semantic)
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
@@ -46,7 +78,8 @@ class TableIO:
         error): write to ``<table>__new``, then swap via two renames. A crash
         between the renames is repaired on the next read/rewrite (the
         ``__old`` backup is restored if the live dir is missing). Iceberg
-        backend: a snapshot commit replaces this dance entirely."""
+        backend: ``createOrReplace`` is already an atomic snapshot commit
+        computed before the swap, so it replaces this dance entirely."""
         if self.fmt == "iceberg":
             self.write(df, table)
             return
@@ -66,9 +99,18 @@ class TableIO:
         if os.path.isdir(old) and not os.path.isdir(self.path(table)):
             os.rename(old, self.path(table))
 
-    def read(self, table: str, schema: StructType | None = None) -> DataFrame:
+    def read(
+        self,
+        table: str,
+        schema: StructType | None = None,
+        snapshot_id: int | None = None,
+    ) -> DataFrame:
         if self.fmt == "iceberg":
-            return self.spark.read.table(f"{self.root}.{table}")
+            r = self.spark.read
+            if snapshot_id is not None:
+                r = r.option("snapshot-id", str(snapshot_id))
+            return r.table(self._ident(table))
+        self._repair(table)  # heal a crash mid-rewrite before reading
         p = self.path(table)
         if not self._exists(p):
             if schema is None:
@@ -83,14 +125,17 @@ class TableIO:
         return os.path.exists(p)
 
     def exists(self, table: str) -> bool:
+        if self.fmt == "iceberg":
+            return self.spark.catalog.tableExists(self._ident(table))
         return self._exists(self.path(table))
 
     def is_complete(self, table: str) -> bool:
-        """True iff *table* finished writing (Spark's _SUCCESS marker).
-
-        Distinguishes a committed snapshot from a dir a killed run left
-        half-written — resume must never read (or skip rebuilding) the
-        latter."""
+        """True iff *table* finished writing. Parquet backend: Spark's
+        _SUCCESS marker distinguishes a committed snapshot from a dir a
+        killed run left half-written. Iceberg backend: commits are atomic,
+        so existing ⇒ complete."""
+        if self.fmt == "iceberg":
+            return self.exists(table)
         return self._exists(os.path.join(self.path(table), "_SUCCESS"))
 
     # ---- manifests (the commit record — written LAST, atomically) --------

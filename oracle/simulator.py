@@ -44,6 +44,7 @@ class RoundResult:
     emitted: list[dict] = field(default_factory=list)  # fetch_batches rows
     counters: dict = field(default_factory=dict)
     texts: dict = field(default_factory=dict)  # canon_url -> extracted text
+    metrics: dict = field(default_factory=dict)  # rollup(host, status) -> n
 
 
 class OracleCrawl:
@@ -202,6 +203,10 @@ class OracleCrawl:
             )
             emitted_urls.append(row.canon_url)
         counters["emitted"] = len(emitted_urls)
+        # A7 rollup(host, status) mirror: (host, status), (host), ()
+        for e in res.emitted:
+            for key in ((e["host"], e["status"]), (e["host"], None), (None, None)):
+                res.metrics[key] = res.metrics.get(key, 0) + 1
 
         # 6-7. fetch + extract + discover
         children: dict[str, FrontierRow] = {}

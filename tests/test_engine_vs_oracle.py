@@ -102,6 +102,15 @@ def test_counters_match(crawl):
         assert manifests[r]["counters"] == oracle_results[r].counters, f"round {r}"
 
 
+def test_round_metrics_rollup(crawl):
+    """A7 engine-side rollup(host, status) table == oracle mirror."""
+    state, _, _, oracle_results = crawl
+    for r in range(N_ROUNDS):
+        df = state.io.read(f"round_metrics/round={r}", schemas.ROUND_METRICS)
+        got = {(row["host"], row["status"]): row["n"] for row in df.collect()}
+        assert got == oracle_results[r].metrics, f"round {r}"
+
+
 def test_frontier_matches_oracle(crawl):
     state, _, oc, _ = crawl
     df = state.io.read(f"frontier/round={N_ROUNDS}", schemas.FRONTIER)

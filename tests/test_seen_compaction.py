@@ -91,3 +91,27 @@ def test_resume_killed_between_compaction_and_manifest(spark, tmp_path):
     }
     assert got == set(oc.seen.items())
     shutil.rmtree(str(tmp_path / "k"), ignore_errors=True)
+
+
+def test_iceberg_seam_raises_without_runtime(spark, tmp_path):
+    """fmt='iceberg' without an Iceberg catalog must fail LOUDLY at
+    construction (no silent wrong branch), and TableIO.rewrite must survive
+    a simulated crash between its two renames (parquet backend)."""
+    import os
+
+    import pytest as _pytest
+
+    from indigo_crawler_spark.sources.table_io import TableIO
+
+    with _pytest.raises(NotImplementedError, match="Iceberg"):
+        TableIO(spark, "no_such_catalog.ns", fmt="iceberg")
+
+    io = TableIO(spark, str(tmp_path / "rw"))
+    df = spark.range(10).selectExpr("id", "id * 2 AS v")
+    io.write(df, "t")
+    io.rewrite(io.read("t").where("id < 5"), "t")
+    assert io.read("t").count() == 5
+    # crash window: live dir missing, __old backup present → repaired
+    os.rename(io.path("t"), io.path("t__old"))
+    io.rewrite(io.read("t").where("id < 3"), "t")
+    assert io.read("t").count() == 3
