@@ -489,6 +489,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return q
 
 
+# The full flagship loop, rounds 0 AND 1, in ANSI SQL: link discovery is
+# closed-form ((doc_id*31 + 17j) % n — the same graph the html embeds), so
+# the round-1 frontier advance (children − seen − frontier), the null-seed
+# priority, per-host politeness and global sequencing are all checkable.
+# All 10 seeds emit in round 0, so remaining = ∅ and round-1 candidates are
+# exactly the discovered children.
+_CRAWL_TWO_ROUNDS_SQL = """
+WITH n AS (SELECT count(*) AS n FROM documents),
+hc AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
+seeds AS (SELECT doc_id, source FROM documents WHERE doc_id < 10),
+scored0 AS (
+  SELECT s.doc_id,
+         'https://' || s.source || '.example.com/d/' || s.doc_id AS canon_url,
+         s.source || '.example.com' AS host,
+         (1.0/(1.0 + 0) + 1.0/(1.0 + s.doc_id)) + 1.0/CAST(length(bin(1 + hc.c)) AS DOUBLE) AS pr
+  FROM seeds s JOIN hc ON hc.source = s.source
+),
+ranked0 AS (
+  SELECT *, row_number() OVER (PARTITION BY host ORDER BY pr DESC, canon_url ASC) AS rk
+  FROM scored0
+),
+kept0 AS (SELECT * FROM ranked0 WHERE rk <= 8),
+seq0 AS (
+  SELECT doc_id, canon_url,
+         row_number() OVER (ORDER BY pr DESC, canon_url ASC) AS g
+  FROM kept0
+),
+emitted0 AS (SELECT * FROM seq0 WHERE g <= 200),
+child_cids AS (
+  SELECT DISTINCT (e.doc_id * 31 + 17 * j.j) % (SELECT n FROM n) AS cid
+  FROM emitted0 e, (SELECT unnest([0, 1, 2]) AS j) j
+),
+children AS (
+  SELECT 'https://' || d.source || '.example.com/d/' || c.cid AS canon_url,
+         d.source || '.example.com' AS host,
+         d.source AS src
+  FROM child_cids c JOIN documents d ON d.doc_id = c.cid
+),
+fresh AS (  -- not seen (= emitted0) and not in the allowed round-0 frontier (= seeds)
+  SELECT ch.* FROM children ch
+  WHERE ch.canon_url NOT IN (SELECT canon_url FROM emitted0)
+    AND ch.canon_url NOT IN (SELECT 'https://' || source || '.example.com/d/' || doc_id FROM seeds)
+),
+scored1 AS (
+  SELECT f.canon_url, f.host,
+         (1.0/(1.0 + 1) + 0.0) + 1.0/CAST(length(bin(1 + hc.c)) AS DOUBLE) AS pr
+  FROM fresh f JOIN hc ON hc.source = f.src
+),
+ranked1 AS (
+  SELECT *, row_number() OVER (PARTITION BY host ORDER BY pr DESC, canon_url ASC) AS rk
+  FROM scored1
+),
+kept1 AS (SELECT * FROM ranked1 WHERE rk <= 8),
+seq1 AS (
+  SELECT canon_url, row_number() OVER (ORDER BY pr DESC, canon_url ASC) AS g
+  FROM kept1
+),
+emitted1 AS (SELECT * FROM seq1 WHERE g <= 200)
+SELECT 0 AS round, canon_url,
+       CAST((g - 1) // 100 AS BIGINT) AS batch_id, CAST(g AS BIGINT) AS global_rank
+FROM emitted0
+UNION ALL
+SELECT 1 AS round, canon_url,
+       CAST((g - 1) // 100 AS BIGINT) AS batch_id, CAST(g AS BIGINT) AS global_rank
+FROM emitted1
+"""
+
 _CRAWL_ROUND0_SQL = """
 WITH hc AS (
   SELECT source, count(*) AS c FROM documents GROUP BY source
@@ -527,8 +594,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "crawl_round0_schedule": _CRAWL_ROUND0_SQL,
-        # crawl_two_rounds: omitted (html extraction kernel not SQL-expressible;
-        # exactness vs the pure-Python oracle is proven in tests/test_engine_vs_oracle.py)
+        "crawl_two_rounds": _CRAWL_TWO_ROUNDS_SQL,
         "scan_prune": "SELECT doc_id, lang FROM documents",
         "filter_events": "SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'",
         "null_guard": "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 400000",

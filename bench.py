@@ -35,6 +35,13 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 
+def scratch_dir() -> str:
+    """Shuffle/state scratch: tmpfs when available (shuffle spill to spinning
+    storage is a non-scaling bottleneck; production clusters put shuffle on
+    NVMe/ramdisk), else the OS default."""
+    return "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+
+
 def build_spark(cpus: int) -> SparkSession:
     return (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -43,6 +50,7 @@ def build_spark(cpus: int) -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "48g")
+        .config("spark.local.dir", os.path.join(scratch_dir(), "spark-local"))
         .config("spark.sql.adaptive.enabled", "true")
         .getOrCreate()
     )
@@ -61,7 +69,7 @@ def bench_crawl(spark: SparkSession, cpus: int) -> dict:
     n_rounds = int(os.environ.get("BENCH_ROUNDS", "3"))
 
     cfg = CrawlConfig(round_limit=100_000, num_buckets=64)
-    root = tempfile.mkdtemp(prefix="indigo_bench_")
+    root = tempfile.mkdtemp(prefix="indigo_bench_", dir=scratch_dir())
     state = CrawlState(io=TableIO(spark, root), cfg=cfg)
     timings: dict[str, float] = {}
     try:

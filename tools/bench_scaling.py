@@ -29,16 +29,20 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 WORKLOAD = r"""
-import json, sys, time, tempfile, shutil
+import json, os, sys, time, tempfile, shutil
 sys.path.insert(0, {repo!r})
 from pyspark.sql import SparkSession
 cores = {cores}
+scratch = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
 spark = (SparkSession.builder.master(f"local[{{cores}}]")
          .appName(f"scaling-{{cores}}")
          .config("spark.sql.shuffle.partitions", str(max(cores, 16)))
          .config("spark.sql.session.timeZone", "UTC")
          .config("spark.ui.enabled", "false")
          .config("spark.driver.memory", "48g")
+         # shuffle + crawl state on tmpfs: spill to spinning storage is a
+         # non-scaling bottleneck and production shuffle lives on NVMe/ramdisk
+         .config("spark.local.dir", os.path.join(scratch, "spark-local"))
          # AQE off for the timed portion: its per-exchange materialization
          # barriers add serial latency on the round's many small exchanges,
          # and the plan already handles skew explicitly (salted top-k)
@@ -57,7 +61,7 @@ robots = spark.read.schema(schemas.ROBOTS).parquet(corpus + "/robots")
 budgets = spark.createDataFrame([], schemas.HOST_BUDGETS)
 
 cfg = CrawlConfig(round_limit={limit}, num_buckets=64, default_budget={budget})
-root = tempfile.mkdtemp(prefix=f"indigo_scaling_{{cores}}_")
+root = tempfile.mkdtemp(prefix=f"indigo_scaling_{{cores}}_", dir=scratch)
 state = CrawlState(io=TableIO(spark, root), cfg=cfg)
 # bootstrap is UNTIMED: the metric is scheduler-round throughput
 # ("URLs scheduled+deduped per second", BASELINE.json:2)
@@ -179,7 +183,9 @@ def main() -> None:
             f"commit), round_limit={args.limit}, budget={args.budget}, bloom seen-filter. Corpus "
             "generation and bootstrap are untimed (one-time setup); each level runs "
             f"in a fresh JVM, serialized, best of {args.reps} reps (this sandbox VM "
-            "shows ±2x wall-clock noise). Throughput = URLs processed/sec "
+            "shows ±2x wall-clock noise); shuffle + crawl state on tmpfs at BOTH "
+            "levels (disk spill is a non-scaling artifact of the sandbox's single "
+            "spinning volume). Throughput = URLs processed/sec "
             "(frontier candidates gated+deduped + emitted per round) — the "
             "BASELINE.json 'URLs scheduled+deduped per second' metric.\n\n"
             f"Parallelism levels: N={lo['cores']} vs 4N={hi['cores']} task slots. "
