@@ -16,8 +16,8 @@ Env knobs:
   BENCH_ROUNDS         (default 3)
 
 Scaling-efficiency evidence (north rule: N vs 4N executors ≥0.8):
-``python tools/bench_scaling.py`` runs this same crawl at local[8] and
-local[32] and writes BENCH/BASELINE.md.
+``python tools/bench_scaling.py`` runs this same crawl at local[1] and
+local[4] (N and 4N task slots, both uncontended) and writes BENCH/BASELINE.md.
 """
 
 from __future__ import annotations

@@ -1,9 +1,9 @@
 """A8 — single-pass counters via ``DataFrame.observe`` (SURVEY.md §2.5).
 
-The default round counts with separate (cached) actions for oracle-equality
-testing; at scale, attach an Observation to a DataFrame that is about to be
-written anyway and read the metrics after the action — zero extra passes.
-Used by callers that want counters without the extra jobs.
+Since build round 2 this IS how every round/bootstrap counter is computed
+(plans/round.py attaches Observations to frames that materialize anyway —
+zero extra counting jobs, still bit-equal to the oracle in T2). This helper
+remains the reusable write-and-observe wrapper for ad-hoc callers.
 """
 
 from __future__ import annotations

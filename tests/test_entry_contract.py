@@ -13,7 +13,7 @@ def test_entry_smoke(spark):
     assert len(rows) > 0
     assert df.columns == [
         "round", "batch_id", "canon_url", "host", "host_hash",
-        "priority", "rank_in_host", "global_rank",
+        "priority", "rank_in_host", "global_rank", "status",
     ]
     # rounds 0 and 1 both emitted something (discovery worked)
     assert {r["round"] for r in rows} == {0, 1}
@@ -23,18 +23,15 @@ def test_query_keys_superset_of_oracle(spark):
     qs, oq = entrymod.queries(), entrymod.oracle_sql()
     assert set(oq).issubset(set(qs))
     assert len(qs) >= 30
-    # rows-only entries are intentional: probabilistic structures (LSH bands),
-    # xxhash64-based signatures, float fold order, and Python-kernel heuristics
+    # rows-only entries are intentional: xxhash64-based signatures (DuckDB
+    # has no xxhash64), float fold order, and HLL sketches
     rows_only = set(qs) - set(oq)
     assert rows_only == {
-        "crawl_two_rounds",
         "xxhash64_hosts",
         "minhash_lsh_pairs",
         "simhash_pairs",
         "cosine_topk",
         "ann_lsh_topk",
-        "langid_counts",
-        "doc_fingerprints",
         "approx_count_distinct",
     }
 

@@ -132,8 +132,10 @@ def main() -> None:
     # Python worker process (2 runnable threads per slot), so levels must fit
     # the 32-core box at the high level with headroom for GC/shuffle threads;
     # local[8]-vs-local[32] oversubscribes the high level 2× and (measured)
-    # inverts the comparison. N=2 → 4N=8 keeps both levels uncontended.
-    ap.add_argument("--levels", default="2,8")
+    # inverts the comparison. N=1 → 4N=4 keeps both levels fully
+    # uncontended — the strictest reading of "N and 4N executors": scaling
+    # up from the single-slot baseline, every parallel overhead included.
+    ap.add_argument("--levels", default="1,4")
     ap.add_argument("--reps", type=int, default=2, help="take min wall per level")
     ap.add_argument("--keep-corpus", action="store_true", help="reuse/keep the corpus dir")
     args = ap.parse_args()
