@@ -440,9 +440,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb.where(F.col("vec_id") < 10), emb, dim=64, k=5, bits=8, rotations=3
         )
 
+    def _embedding_near_pairs(s, d):
+        # exact integer-rational cosine threshold (cos >= 3/10) — the
+        # embedding near-dup verifier, all-pairs on a 60-vector slice
+        from indigo_crawler_spark.operators.similarity import int_cosine_near_pairs
+
+        emb = _t(s, d, "embeddings").where(F.col("vec_id") < 60)
+        return int_cosine_near_pairs(emb, t_num=3, t_den=10)
+
     q["ann_int_dot_topk"] = _ann_int_topk
     q["cosine_topk"] = _cosine_topk
     q["ann_lsh_topk"] = _ann_lsh
+    q["embedding_near_pairs"] = _embedding_near_pairs
 
     # ---- training-data pipeline: language-ID / fingerprint / multimodal ----
     def _langid_counts(s, d):
@@ -731,6 +740,19 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT q_id, n_id, CAST(list_dot_product(qv, cv) AS BIGINT) AS dot, "
             "         row_number() OVER (PARTITION BY q_id ORDER BY list_dot_product(qv, cv) DESC, n_id ASC) AS rank "
             "  FROM q, c WHERE q_id != n_id) WHERE rank <= 5"
+        ),
+        "embedding_near_pairs": (
+            "WITH q AS (SELECT vec_id, list_transform(embedding, "
+            "  x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS v "
+            "  FROM embeddings WHERE vec_id < 60) "
+            "SELECT a, b, dot FROM ("
+            "  SELECT qa.vec_id AS a, qb.vec_id AS b, "
+            "    CAST(list_dot_product(qa.v, qb.v) AS BIGINT) AS dot, "
+            "    CAST(list_dot_product(qa.v, qa.v) AS HUGEINT) AS na2, "
+            "    CAST(list_dot_product(qb.v, qb.v) AS HUGEINT) AS nb2 "
+            "  FROM q qa JOIN q qb ON qa.vec_id < qb.vec_id) "
+            "WHERE dot >= 0 AND 100 * CAST(dot AS HUGEINT) * CAST(dot AS HUGEINT) "
+            "  >= 9 * na2 * nb2"
         ),
         "langid_counts": langid_oracle_sql(),
         "doc_fingerprints": (

@@ -100,11 +100,13 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "media_type", "payload").mapInPandas(run, FEATURES)
 
 
-def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
+def frame_sample_plan(features: DataFrame, every_n: int = 10) -> DataFrame:
     """Deterministic frame-sampling plan: which frame indices to decode per
-    video, as a column expression over the extracted n_frames (no decode)."""
-    feats = extract_media_features(media)
-    return feats.select(
+    video, as a column expression over an ALREADY-extracted features frame
+    (pure JVM — no second decode pass; callers hold on to the
+    extract_media_features output precisely so the wide payload column is
+    crossed once)."""
+    return features.select(
         "media_id",
         F.sequence(
             F.lit(0), F.col("n_frames") - 1, F.lit(every_n)

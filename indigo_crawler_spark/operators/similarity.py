@@ -88,6 +88,47 @@ def int_dot_topk(
     )
 
 
+def int_cosine_near_pairs(
+    vecs: DataFrame, t_num: int = 4, t_den: int = 5, scale: int = 1000,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs with an EXACT threshold test.
+
+    Vectors quantize to round(x·scale) ints; for t = t_num/t_den > 0,
+    cos(a,b) ≥ t  ⇔  dot ≥ 0  AND  t_den²·dot² ≥ t_num²·|a|²·|b|² — every
+    quantity an exact integer (decimal(38,0) arithmetic; dot ≤ dim·(6·scale)²
+    keeps dot² well under 38 digits), so the pair set is bit-identical across
+    engines (ANSI-SQL-checkable) — no float fold-order hazards.
+
+    Pair generation here is the all-pairs self-join: the VERIFIER shape (cf.
+    jaccard_pairs). At corpus scale generate candidates with ann_lsh_topk /
+    bucketed LSH first and verify only those pairs with this test.
+    """
+    quant = lambda col: F.transform(  # noqa: E731
+        col, lambda x: F.round(x.cast("double") * scale, 0).cast("long")
+    )
+    idot = lambda u, v: F.aggregate(  # noqa: E731
+        F.zip_with(u, v, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    a = vecs.select(F.col(id_col).alias("a"), quant(F.col(vec_col)).alias("av"))
+    b = vecs.select(F.col(id_col).alias("b"), quant(F.col(vec_col)).alias("bv"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    pairs = (
+        a.join(b, F.col("a") < F.col("b"))
+        .withColumn("dot", idot(F.col("av"), F.col("bv")))
+        .withColumn("na2", idot(F.col("av"), F.col("av")))
+        .withColumn("nb2", idot(F.col("bv"), F.col("bv")))
+    )
+    lhs = F.lit(t_den * t_den).cast("decimal(38,0)") * dec(F.col("dot")) * dec(F.col("dot"))
+    rhs = F.lit(t_num * t_num).cast("decimal(38,0)") * dec(F.col("na2")) * dec(F.col("nb2"))
+    return (
+        pairs.where((F.col("dot") >= 0) & (lhs >= rhs))
+        .select("a", "b", "dot")
+    )
+
+
 def _hyperplanes(dim: int, bits: int, rotation: int = 0) -> list[list[float]]:
     """Deterministic sha256-derived hyperplanes (no RNG anywhere):
     component ∈ (-1, 1) from 4-byte slices of repeated digests. Rotation 0

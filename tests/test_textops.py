@@ -186,6 +186,17 @@ class TestSimilarity:
         got = [r["n_id"] for r in out.orderBy("rank").collect()]
         assert got and got[0] == 1  # identical vector shares every bucket
 
+    def test_int_cosine_near_pairs_exact_threshold(self, spark, vecs):
+        """cos ≥ t as pure integer arithmetic: the identical pair passes at
+        t=1 (cos exactly 1) and nothing above 1 could; a loose t admits
+        more pairs, never fewer."""
+        from indigo_crawler_spark.operators.similarity import int_cosine_near_pairs
+
+        exact = {(r["a"], r["b"]) for r in int_cosine_near_pairs(vecs, 1, 1).collect()}
+        assert (0, 1) in exact  # vec 1 ≡ vec 0 ⇒ cos = 1 exactly
+        loose = {(r["a"], r["b"]) for r in int_cosine_near_pairs(vecs, 1, 2).collect()}
+        assert exact <= loose
+
     def test_ann_multiprobe_recall_floor(self, spark):
         """Multi-probe rotations lift recall@k: ≥0.9 vs brute force at the
         default knobs on a 200-vector deterministic corpus, and strictly no
@@ -228,13 +239,23 @@ class TestMultimodal:
         media = media_from_documents(
             docs.withColumn("n_chars", F.length("text")).where(F.col("doc_id") < 6)
         )
-        feats = {r["media_id"]: r for r in extract_media_features(media).collect()}
+        features = extract_media_features(media).cache()
+        feats = {r["media_id"]: r for r in features.collect()}
         assert len(feats) == 6
         assert feats[0]["n_bytes"] == 43 and len(bytes(feats[0]["sha16"])) == 16
         assert feats[0]["n_frames"] == 1  # fake/image
         assert feats[1]["n_frames"] >= 1  # fake/video
-        plan = {r["media_id"]: r["frame_indices"] for r in frame_sample_plan(media, 10).collect()}
+        # plan over the features frame (no second decode pass, pure JVM)
+        plan = {
+            r["media_id"]: list(r["frame_indices"])
+            for r in frame_sample_plan(features, 10).collect()
+        }
         assert plan[0] == [0]
+        for mid, row in feats.items():
+            want = list(range(0, row["n_frames"], 10))
+            assert plan[mid] == want, f"media {mid}"
+        assert "payload" not in features.columns  # wide binary pruned
+        features.unpersist()
 
     def test_unknown_codec_raises(self):
         from indigo_crawler_spark.operators.multimodal import decode_media
