@@ -401,10 +401,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["exact_dedup_docs"] = _exact_dedup
     q["ngram_jaccard_pairs"] = _ngram_jaccard
 
-    def _minhash_pairs(s, d):  # rows-only: LSH banding not SQL-expressible
+    def _minhash_pairs(s, d):  # rows-only: xxhash64 signatures (fast path)
         from indigo_crawler_spark.operators.text_dedup import minhash_dedup_pairs
 
         return minhash_dedup_pairs(_t(s, d, "documents"), threshold=0.2)
+
+    def _minhash_md5(s, d):
+        # the SQL-checkable MinHash+LSH+verify pipeline (md5-string
+        # permutation minima) — full banding algebra mirrored in DuckDB
+        from indigo_crawler_spark.operators.text_dedup import minhash_md5_pairs
+
+        return minhash_md5_pairs(_t(s, d, "documents"), threshold=0.2)
 
     def _simhash_pairs(s, d):  # rows-only: xxhash64 not available in DuckDB
         from indigo_crawler_spark.operators.text_dedup import (
@@ -417,6 +424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return simhash_near_pairs(simhash_signatures(_t(s, d, "documents")), 7)
 
     q["minhash_lsh_pairs"] = _minhash_pairs
+    q["minhash_md5_pairs"] = _minhash_md5
     q["simhash_pairs"] = _simhash_pairs
 
     # ---- training-data pipeline: similarity search ----
@@ -598,6 +606,50 @@ FROM seq WHERE global_rank <= 200
 """
 
 
+def _minhash_md5_sql(threshold: float = 0.2, k: int = 16, bands: int = 4, rows: int = 4) -> str:
+    """DuckDB mirror of operators/text_dedup.minhash_md5_pairs — identical
+    algebra: md5-string permutation minima, banded candidates, exact-Jaccard
+    verify restricted to banded pairs."""
+    sig_cols = ", ".join(
+        f"min(md5('{i}:' || sh)) AS sig_{i}" for i in range(k)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, md5(concat_ws('|', {cols})) AS bh FROM sigs".format(
+            b=b, cols=", ".join(f"sig_{b * rows + r}" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, shingle AS sh FROM (
+    SELECT doc_id, unnest(list_distinct(
+      [array_to_string(w[i:i+2], ' ') FOR i IN generate_series(1, greatest(len(w)-2, 1))]
+    )) AS shingle
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents) t
+  ) WHERE length(shingle) > 0
+),
+sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+banded AS ({band_selects}),
+cands AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM banded l JOIN banded r ON l.band_id = r.band_id AND l.bh = r.bh AND l.doc_id < r.doc_id
+),
+touched AS (SELECT a AS doc_id FROM cands UNION SELECT b FROM cands),
+vsh AS (SELECT sh.* FROM sh JOIN touched USING (doc_id)),
+sz AS (SELECT doc_id, count(*) AS sz FROM vsh GROUP BY doc_id),
+inter AS (
+  SELECT ga.doc_id AS a, gb.doc_id AS b, count(*) AS inter
+  FROM vsh ga JOIN vsh gb ON ga.sh = gb.sh AND ga.doc_id < gb.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b, ROUND(i.inter / CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 6) AS jaccard
+FROM inter i
+JOIN sz sa ON sa.doc_id = i.a JOIN sz sb ON sb.doc_id = i.b
+JOIN cands c ON c.a = i.a AND c.b = i.b
+WHERE i.inter / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) >= {threshold}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from indigo_crawler_spark.functions.text_analysis import langid_oracle_sql
 
@@ -741,6 +793,7 @@ def oracle_sql() -> dict[str, str]:
             "         row_number() OVER (PARTITION BY q_id ORDER BY list_dot_product(qv, cv) DESC, n_id ASC) AS rank "
             "  FROM q, c WHERE q_id != n_id) WHERE rank <= 5"
         ),
+        "minhash_md5_pairs": _minhash_md5_sql(),
         "embedding_near_pairs": (
             "WITH q AS (SELECT vec_id, list_transform(embedding, "
             "  x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS v "

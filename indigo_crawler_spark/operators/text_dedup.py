@@ -153,6 +153,80 @@ def minhash_dedup_pairs(
     return verified.join(cands, on=["a", "b"], how="left_semi")
 
 
+def word_shingle_strings(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct (doc_id, sh) where sh is the RAW word n-gram string —
+    the cross-engine-checkable base relation (no engine-specific hash)."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("sh"))
+        .where(F.length("sh") > 0)
+        .distinct()
+    )
+
+
+def minhash_md5_pairs(
+    docs: DataFrame, threshold: float = 0.7, n: int = 3, k: int = 16,
+    bands: int = 4, rows: int = 4,
+) -> DataFrame:
+    """MinHash → LSH banding → exact-Jaccard verify, built ONLY from
+    engine-agnostic string primitives so the whole pipeline is
+    ANSI-SQL-checkable (DuckDB runs the identical algebra):
+
+      permutation i's minimum = min(md5('<i>:' || shingle)) — md5 hex strings
+      under lexicographic min ARE a deterministic permutation surrogate;
+      band key = md5 of its rows' concatenated minima; candidates share a
+      band key; survivors pass exact Jaccard on the raw shingle strings.
+
+    Same scale shape as minhash_dedup_pairs (banded candidates, never
+    all-pairs); xxhash64-based minhash_dedup_pairs remains the fast
+    production path (integer aggs beat md5 string aggs).
+    """
+    sh = word_shingle_strings(docs, n).cache()
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"sig_{i}")
+            for i in range(k)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws("|", *[f"sig_{b * rows + r}" for r in range(rows)])
+                ).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", "bk.band_id", "bk.bh"
+    )
+    left = banded.select(F.col("doc_id").alias("a"), "band_id", "bh")
+    right = banded.select(F.col("doc_id").alias("b"), "band_id", "bh")
+    cands = (
+        left.join(right, ["band_id", "bh"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    touched = (
+        cands.select(F.col("a").alias("doc_id"))
+        .union(cands.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    verified = jaccard_pairs(
+        sh.join(touched, "doc_id", "left_semi"), threshold
+    )
+    return verified.join(cands, on=["a", "b"], how="left_semi")
+
+
 def simhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per doc: bit_b = sign(Σ_tokens ±1 by token-hash bit b)."""
     toks = docs.select(

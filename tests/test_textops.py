@@ -108,6 +108,20 @@ class TestDedup:
         assert got <= exact  # verification step ⇒ no false positives
         assert (0, 1) in got  # identical docs always collide in every band
 
+    def test_minhash_md5_variant_no_false_positives(self, spark, docs):
+        """The SQL-checkable md5-string MinHash variant: verified subset of
+        exact Jaccard, identical docs always collide."""
+        from indigo_crawler_spark.operators.text_dedup import (
+            jaccard_pairs,
+            minhash_md5_pairs,
+            word_shingles,
+        )
+
+        got = {(r["a"], r["b"]) for r in minhash_md5_pairs(docs, threshold=0.5).collect()}
+        exact = {(r["a"], r["b"]) for r in jaccard_pairs(word_shingles(docs), 0.5).collect()}
+        assert got <= exact
+        assert (0, 1) in got
+
     def test_simhash(self, spark, docs):
         from indigo_crawler_spark.operators.text_dedup import (
             simhash_near_pairs,
