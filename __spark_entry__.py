@@ -423,9 +423,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # of ~14-bit keys, pigeonhole-complete
         return simhash_near_pairs(simhash_signatures(_t(s, d, "documents")), 7)
 
+    def _simhash_md5_sigs(s, d):
+        # SQL-checkable simhash signatures (md5-nibble bits, 60-bit packing)
+        from indigo_crawler_spark.operators.text_dedup import simhash_md5_signatures
+
+        return simhash_md5_signatures(_t(s, d, "documents"))
+
     q["minhash_lsh_pairs"] = _minhash_pairs
     q["minhash_md5_pairs"] = _minhash_md5
     q["simhash_pairs"] = _simhash_pairs
+    q["simhash_md5_sigs"] = _simhash_md5_sigs
 
     # ---- training-data pipeline: similarity search ----
     def _ann_int_topk(s, d):
@@ -652,6 +659,7 @@ WHERE i.inter / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) >= {threshold}
 
 def oracle_sql() -> dict[str, str]:
     from indigo_crawler_spark.functions.text_analysis import langid_oracle_sql
+    from indigo_crawler_spark.operators.text_dedup import simhash_md5_oracle_sql
 
     return {
         "crawl_round0_schedule": _CRAWL_ROUND0_SQL,
@@ -794,6 +802,7 @@ def oracle_sql() -> dict[str, str]:
             "  FROM q, c WHERE q_id != n_id) WHERE rank <= 5"
         ),
         "minhash_md5_pairs": _minhash_md5_sql(),
+        "simhash_md5_sigs": simhash_md5_oracle_sql(),
         "embedding_near_pairs": (
             "WITH q AS (SELECT vec_id, list_transform(embedding, "
             "  x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS v "

@@ -250,6 +250,65 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
     return sums.select("doc_id", sig.alias("simhash"))
 
 
+def simhash_md5_signatures(
+    docs: DataFrame, bits: int = 60, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """SimHash from md5 nibbles — the ANSI-SQL-checkable variant: bit b of a
+    token's hash = bit (b % 4) of hex nibble (b // 4) of md5(token), so a
+    DuckDB mirror (strpos-on-hex nibble decode) reproduces the signature
+    bit-for-bit. 60 bits (15 nibbles) keeps the packed signature a positive
+    BIGINT in every engine (bit 63 would need unsigned/hugeint semantics).
+    The xxhash64 64-bit variant stays the fast production path."""
+    assert bits % 4 == 0 and bits <= 60
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).where(F.length("tok") > 0)
+    h = F.md5("tok")
+    nib = lambda j: F.conv(F.substring(h, j + 1, 1), 16, 10).cast("int")  # noqa: E731
+    sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(nib(b // 4), b % 4).bitwiseAND(F.lit(1)) == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"s_{b}")
+            for b in range(bits)
+        ]
+    )
+    sig = None
+    for b in range(bits):
+        bit = F.when(F.col(f"s_{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, b)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return sums.select("doc_id", sig.alias("simhash60"))
+
+
+def simhash_md5_oracle_sql(bits: int = 60, table: str = "documents") -> str:
+    """DuckDB mirror of simhash_md5_signatures (identical nibble decode)."""
+    assert bits % 4 == 0 and bits <= 60
+    nib = lambda j: (  # noqa: E731
+        f"(strpos('0123456789abcdef', substr(h, {j + 1}, 1)) - 1)"
+    )
+    s_cols = ", ".join(
+        f"sum(CASE WHEN (({nib(b // 4)} >> {b % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS s_{b}"
+        for b in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN s_{b} > 0 THEN (1::BIGINT << {b}) ELSE 0 END)" for b in range(bits)
+    )
+    return (
+        f"WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text),"
+        f" '\\s+')) AS tok FROM {table}), "
+        f"hs AS (SELECT doc_id, md5(tok) AS h FROM toks WHERE length(tok) > 0), "
+        f"sums AS (SELECT doc_id, {s_cols} FROM hs GROUP BY doc_id) "
+        f"SELECT doc_id, CAST({sig} AS BIGINT) AS simhash60 FROM sums"
+    )
+
+
 def simhash_near_pairs(
     signatures: DataFrame,
     max_hamming: int = 3,
