@@ -98,10 +98,12 @@ def sequence_batches(
 
     Uses the distributed exact ranker above: scales to any K without a
     single-partition window or an O(partitions·K) TakeOrdered driver merge.
-    Returns (emitted_df, n_emitted, gathered, cached) — the emitted count and
-    the optional ``gather_col`` value set both fall out of the ranker's one
-    collect (zero extra actions); *cached* must stay persisted until the
-    output is materialized (see global_rank), then be unpersisted.
+    Returns (emitted_df, n_input, gathered, cached) — n_input is the TOTAL
+    input row count (callers derive the emitted count as min(n_input, limit)
+    and the cap-deferred count as the difference); it and the optional
+    ``gather_col`` value set both fall out of the ranker's one collect (zero
+    extra actions). *cached* must stay persisted until the output is
+    materialized (see global_rank), then be unpersisted.
     """
     ranked, total, gathered, cached = global_rank(
         df, [F.desc("priority"), F.asc("canon_url")], gather_col
@@ -115,4 +117,4 @@ def sequence_batches(
         )
         .withColumn("round", F.lit(round_no))
     )
-    return out, min(total, limit), gathered, cached
+    return out, total, gathered, cached
