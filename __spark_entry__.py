@@ -384,7 +384,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", *[v.alias(k) for k, v in exprs.items()]
         )
 
+    def _regex_token_counts(s, d):
+        # BPE-ish coarse tokenizer (letter runs | digit runs | single punct)
+        from indigo_crawler_spark.functions.text_analysis import regex_token_count
+
+        return _t(s, d, "documents").select(
+            "doc_id", regex_token_count("text").cast("long").alias("n_tokens")
+        )
+
     q["token_counts"] = _token_counts
+    q["regex_token_counts"] = _regex_token_counts
     q["quality_stats"] = _quality_stats
 
     # ---- training-data pipeline: dedup ----
@@ -463,9 +472,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _t(s, d, "embeddings").where(F.col("vec_id") < 60)
         return int_cosine_near_pairs(emb, t_num=3, t_den=10)
 
+    def _ivf_topk(s, d):  # rows-only: float cosine fold order
+        from indigo_crawler_spark.operators.similarity import ivf_topk
+
+        emb = _t(s, d, "embeddings")
+        return ivf_topk(emb.where(F.col("vec_id") < 10), emb, k=5, n_centroids=16, nprobe=4)
+
     q["ann_int_dot_topk"] = _ann_int_topk
     q["cosine_topk"] = _cosine_topk
     q["ann_lsh_topk"] = _ann_lsh
+    q["ivf_topk"] = _ivf_topk
     q["embedding_near_pairs"] = _embedding_near_pairs
 
     # ---- training-data pipeline: language-ID / fingerprint / multimodal ----
@@ -750,6 +766,11 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": (
             "SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
             "len(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT AS n_tokens "
+            "FROM documents"
+        ),
+        "regex_token_counts": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+            "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens "
             "FROM documents"
         ),
         "quality_stats": (

@@ -32,6 +32,7 @@ def test_query_keys_superset_of_oracle(spark):
         "simhash_pairs",
         "cosine_topk",
         "ann_lsh_topk",
+        "ivf_topk",
         "approx_count_distinct",
     }
 

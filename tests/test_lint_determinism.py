@@ -22,7 +22,11 @@ BANNED = [
 ]
 
 # files allowed to call .collect()/.isEmpty() — each use is O(P) or O(1)
-COLLECT_ALLOWED = {"round.py", "lineage.py", "skew.py", "politeness.py", "skin.py"}
+# (similarity.py: the IVF index build collects ≤n_centroids vectors once)
+COLLECT_ALLOWED = {
+    "round.py", "lineage.py", "skew.py", "politeness.py", "skin.py",
+    "similarity.py",
+}
 
 
 def _sources():

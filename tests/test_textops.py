@@ -211,6 +211,33 @@ class TestSimilarity:
         loose = {(r["a"], r["b"]) for r in int_cosine_near_pairs(vecs, 1, 2).collect()}
         assert exact <= loose
 
+    def test_ivf_topk_recall_floor(self, spark):
+        """IVF-flat (deterministic sampled centroids): recall@5 vs brute
+        force ≥ 0.9 at nprobe=8/16 lists on a 200-vector corpus, and probing
+        every list reproduces brute force exactly."""
+        from indigo_crawler_spark.operators.similarity import cosine_topk, ivf_topk
+
+        dim, n, k = 16, 200, 5
+        rows = [
+            (i, [float((i * 31 + j * 17) % 29) - 14.0 + 0.01 * ((i * 7 + j) % 11) for j in range(dim)])
+            for i in range(n)
+        ]
+        vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        queries = vecs.where(F.col("vec_id") < 10)
+        truth = {
+            (r["q_id"], r["n_id"]) for r in cosine_topk(queries, vecs, k=k).collect()
+        }
+        got = {
+            (r["q_id"], r["n_id"])
+            for r in ivf_topk(queries, vecs, k=k, n_centroids=16, nprobe=8).collect()
+        }
+        assert len(got & truth) / len(truth) >= 0.9
+        full = {
+            (r["q_id"], r["n_id"])
+            for r in ivf_topk(queries, vecs, k=k, n_centroids=16, nprobe=16).collect()
+        }
+        assert full == truth  # probing all lists ≡ brute force
+
     def test_ann_multiprobe_recall_floor(self, spark):
         """Multi-probe rotations lift recall@k: ≥0.9 vs brute force at the
         default knobs on a 200-vector deterministic corpus, and strictly no
