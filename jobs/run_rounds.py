@@ -32,6 +32,15 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--num-buckets", type=int, default=256)
     ap.add_argument("--default-budget", type=int, default=8)
     ap.add_argument("--filter-kind", default="bloom", choices=["bloom", "cuckoo", "none"])
+    ap.add_argument(
+        "--ban-every", type=int, default=0,
+        help="EP3 feedback: synthetic ban outcome every Nth url hash (0=off)",
+    )
+    ap.add_argument("--backoff-rounds", type=int, default=2)
+    ap.add_argument(
+        "--retire", help="parquet/text-free path: newline file of urls to retire "
+        "before running (re-crawlable on rediscovery)",
+    )
     ap.add_argument("--no-counters", action="store_true")
     args = ap.parse_args(argv)
 
@@ -49,6 +58,8 @@ def main(argv: list[str] | None = None) -> int:
         num_buckets=args.num_buckets,
         default_budget=args.default_budget,
         filter_kind=args.filter_kind,
+        ban_every=args.ban_every,
+        backoff_rounds=args.backoff_rounds,
     )
     state = CrawlState(io=TableIO(spark, args.state_dir), cfg=cfg)
 
@@ -83,6 +94,14 @@ def main(argv: list[str] | None = None) -> int:
             with_counters=not args.no_counters,
         )
         print("bootstrap committed")
+
+    if args.retire:
+        from indigo_crawler_spark.operators.retire import retire_urls
+
+        with open(args.retire) as f:
+            urls = [(ln.strip(),) for ln in f if ln.strip()]
+        n = retire_urls(state, spark.createDataFrame(urls, "url string"))
+        print(f"retired {n} urls (re-crawlable on rediscovery)")
 
     manifests = run_rounds(spark, state, args.rounds, with_counters=not args.no_counters)
     for m in manifests:
