@@ -241,6 +241,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rollup_counts"] = lambda s, d: _t(s, d, "events").rollup("event_type").agg(
         F.count("*").alias("n")
     )
+    # A7 cube: all 4 grouping-set combinations of (event_type, value_band).
+    # value_band is a STRING so pandas doesn't coerce a nullable int grouping
+    # column to float in the driver's DataFrame compare.
+    q["cube_counts"] = lambda s, d: _t(s, d, "events").withColumn(
+        "value_band", F.when(F.col("value") > 50.0, F.lit("hi")).otherwise(F.lit("lo"))
+    ).cube("event_type", "value_band").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value")
+    )
 
     # ---- W-series windows ----
     def _window_topk(s, d):
@@ -720,6 +728,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "rollup_counts": (
             "SELECT event_type, count(*) AS n FROM events GROUP BY ROLLUP(event_type)"
+        ),
+        "cube_counts": (
+            "SELECT event_type, CASE WHEN value > 50.0 THEN 'hi' ELSE 'lo' END AS value_band, "
+            "count(*) AS n, ROUND(sum(value), 4) AS sum_value "
+            "FROM events GROUP BY CUBE(event_type, CASE WHEN value > 50.0 THEN 'hi' ELSE 'lo' END)"
         ),
         "window_topk_per_customer": (
             "SELECT o_custkey, o_orderkey, o_totalprice, rk FROM ("
