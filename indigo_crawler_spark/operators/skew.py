@@ -18,14 +18,19 @@ the unsalted window — verified against the oracle in T2 with a forced-low
 threshold.
 
 WHICH hosts to salt is a purely *physical* choice (any selection yields
-identical results), so the engine picks them STATICALLY: bootstrap derives
-``heavy_hosts`` = hosts whose page count exceeds ``cfg.salt_threshold``
-(page count is the available skew proxy — link graphs concentrate on the
-same hosts that dominate the corpus). That removes the per-round
-count+collect skew-detection job entirely; at 1000 executors the saved
-action is pure serial driver latency every round. A host that turns heavy
-only in the frontier falls back to the plain window — slower for that host,
-never wrong.
+identical results), so the engine derives the dimension from data it has
+already paid for — never a per-round count+collect detection job (at 1000
+executors that action is pure serial driver latency every round):
+
+  * bootstrap: hosts whose PAGE count exceeds ``cfg.salt_threshold`` (the
+    corpus proxy — link graphs concentrate on hosts that dominate the
+    corpus);
+  * per round R: hosts whose frontier CANDIDATE count in round R-1's gate
+    frame exceeded the same threshold (``heavy_hosts_frontier/round=R``, an
+    agg riding the cached gate pass + a pooled write in plans/round.py) —
+    so a link-farm host with few corpus pages but 10^8 discovered URLs is
+    salted from the round after it first turns heavy. One round of lag,
+    never wrong (salting any subset of hosts is output-identical).
 """
 
 from __future__ import annotations

@@ -145,11 +145,21 @@ class CrawlState:
             return self.io.read(f"host_budgets/round={r}", schemas.HOST_BUDGETS)
         return self.io.read("host_budgets", schemas.HOST_BUDGETS)
 
-    def heavy_hosts(self) -> DataFrame | None:
-        """Static skew dimension (operators/skew.py) — None when no host
-        crosses the salt threshold. The count comes from the bootstrap
-        manifest, so steady-state rounds pay ZERO actions for skew
-        detection (the old per-round groupBy+collect was serial latency)."""
+    def heavy_hosts(self, round_no: int = 0) -> DataFrame | None:
+        """Skew dimension for round *round_no* (operators/skew.py) — None when
+        no host crosses the salt threshold. Two sources, both action-free at
+        round time (counts come from manifests, not Spark jobs):
+
+        * static: hosts heavy by bootstrap PAGE count (the corpus proxy);
+        * frontier-derived: hosts heavy by round round_no-1's per-host
+          CANDIDATE count (``heavy_hosts_frontier/round=R`` written by
+          ``run_round`` — closes the link-farm blind spot where a host with
+          few corpus pages accumulates 10^8 discovered URLs and would
+          otherwise serialize the politeness window into one task).
+
+        Which hosts are salted is purely physical (results identical for any
+        selection — superset property, operators/skew.py), so the union may
+        carry duplicates; the semi/anti joins downstream tolerate them."""
         if self._heavy_n is None:
             m = self.io.read_manifest("bootstrap") or {}
             n = m.get("n_heavy_hosts")
@@ -160,9 +170,34 @@ class CrawlState:
                     else 0
                 )
             self._heavy_n = int(n)
-        if self._heavy_n == 0:
+        static = (
+            self.io.read("heavy_hosts", schemas.HEAVY_HOSTS)
+            if self._heavy_n
+            else None
+        )
+        frontier = self._frontier_heavy(round_no)
+        if static is None:
+            return frontier
+        if frontier is None:
+            return static
+        return static.unionByName(frontier)
+
+    def _frontier_heavy(self, round_no: int) -> DataFrame | None:
+        """Frontier-derived heavy hosts entering *round_no* (written by round
+        round_no-1). The previous round's manifest counter says whether the
+        table is non-empty — a JSON read, never a Spark action — so rounds
+        with no frontier skew skip the (empty) broadcast entirely."""
+        if round_no <= 0:
             return None
-        return self.io.read("heavy_hosts", schemas.HEAVY_HOSTS)
+        m = self.io.read_manifest(f"round_{round_no - 1:05d}")
+        if m is not None and not m.get("counters", {}).get(
+            "frontier_heavy_hosts_next", 0
+        ):
+            return None
+        table = f"heavy_hosts_frontier/round={round_no}"
+        if not self.io.exists(table):
+            return None
+        return self.io.read(table, schemas.HEAVY_HOSTS)
 
     def seen_through(self, r: int) -> DataFrame:
         """Exact membership table for rounds < r: the newest compacted
@@ -381,12 +416,36 @@ def run_round(
     )
     eligible = gated.where(F.col("_allowed") & ~F.col("_backoff"))
 
-    # 3. per-host politeness top-B (salted for heavy hosts — J4/W2)
+    # frontier-skew fold: per-host candidate counts over THIS round's gate
+    # frame become round R+1's salted-host dimension (link-farm hosts heavy
+    # only in the frontier get the two-phase window next round — one round of
+    # lag, never wrong: salting is purely physical). Rides the cached gate
+    # frame; the write overlaps on the pool below. max/heavy counters ride
+    # the same write via observe — zero extra actions.
+    skew_obs = Observation()
+    heavy_next = (
+        gated.groupBy("host")
+        .agg(F.count("*").alias("cand_count"))
+        .observe(
+            skew_obs,
+            F.coalesce(F.max("cand_count"), F.lit(0)).alias("max_host_candidates"),
+            _sum0(F.col("cand_count") > cfg.salt_threshold).alias(
+                "frontier_heavy_next"
+            ),
+        )
+        .where(F.col("cand_count") > cfg.salt_threshold)
+        .select("host")
+    )
+
+    # 3. per-host politeness top-B (salted for heavy hosts — J4/W2; the heavy
+    #    dimension = bootstrap page counts ∪ round R-1's frontier counts)
     # 4. global cap + sequencing (distributed exact rank; the pk set of the
     #    kept rows — a superset of the emitted pks, equal except when the
     #    global cap bites — falls out of the same collect for store pruning)
     tm = _timer()
-    kept = politeness_topk_skew_aware(eligible, cfg, state.heavy_hosts()).cache()
+    kept = politeness_topk_skew_aware(
+        eligible, cfg, state.heavy_hosts(round_no)
+    ).cache()
     with _timed(tm, "gates_rank_collect"):
         emitted, n_kept, kept_pks, rank_cache = sequence_batches(
             kept, round_no, cfg.round_limit, cfg.batch_size, gather_col="pk"
@@ -411,6 +470,9 @@ def run_round(
 
     pool = ThreadPoolExecutor(max_workers=4)
     try:
+        f_skew = pool.submit(
+            io.write, heavy_next, f"heavy_hosts_frontier/round={round_no + 1}"
+        )
         seen_delta = emitted.select(
             "canon_url",
             url_hash_expr(F.col("canon_url")).alias("url_hash"),
@@ -671,11 +733,14 @@ def run_round(
         if f_budgets is not None:
             f_budgets.result()
         f_metrics.result()
+        f_skew.result()
     finally:
         pool.shutdown(wait=True)
 
     counters = {
         "candidates": _obs_int(gate_obs, "candidates"),
+        "max_host_candidates": _obs_int(skew_obs, "max_host_candidates"),
+        "frontier_heavy_hosts_next": _obs_int(skew_obs, "frontier_heavy_next"),
         "robots_denied": _obs_int(gate_obs, "robots_denied"),
         "backoff_skipped": _obs_int(gate_obs, "backoff_skipped"),
         "budget_deferred": _obs_int(gate_obs, "eligible") - n_kept,

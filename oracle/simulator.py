@@ -130,8 +130,18 @@ class OracleCrawl:
     def step(self, r: int) -> RoundResult:
         cfg = self.cfg
         res = RoundResult(round=r)
+        # frontier-skew telemetry mirror (plans/round.py skew fold): per-host
+        # candidate counts over the frontier ENTERING this round; hosts over
+        # salt_threshold are what the engine salts NEXT round.
+        host_cands: dict[str, int] = {}
+        for row in self.frontier.values():
+            host_cands[row.host] = host_cands.get(row.host, 0) + 1
         counters = {
             "candidates": len(self.frontier),
+            "max_host_candidates": max(host_cands.values(), default=0),
+            "frontier_heavy_hosts_next": sum(
+                1 for v in host_cands.values() if v > cfg.salt_threshold
+            ),
             "robots_denied": 0,
             "backoff_skipped": 0,
             "budget_deferred": 0,
