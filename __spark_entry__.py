@@ -341,10 +341,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bloom_prefilter_semi"] = _bloom_prefilter_semi
 
-    # ---- A6 cuckoo: build → delete → probe ≡ set difference. Exact because
-    # inserts are raised-on-failure and deletions only target inserted keys,
-    # so per-(fingerprint, bucket-pair) copy counts make probe(key) ⇔ key not
-    # deleted (verified green vs DuckDB on the fixed sf tables).
+    # ---- A6 cuckoo: build → delete → probe → EXACT backstop ≡ set
+    # difference. The probe alone has no false negatives but can stay
+    # positive for a deleted key whose (fingerprint, bucket-pair) collides
+    # with a surviving key — delete removes one fingerprint copy. Mirroring
+    # the production pattern (filter = prefilter, exact join = truth), the
+    # survivors anti-join the deleted set, making the result dataset- and
+    # seed-independent (the oracle EXCEPT holds by construction, not by the
+    # fixed sf tables happening to be collision-free).
     def _cuckoo_delete_probe(s, d):
         from indigo_crawler_spark.functions.keys import url_hash_expr
         from indigo_crawler_spark.operators.cuckoo_ops import (
@@ -372,7 +376,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             how="left_semi",
         )
         _, still_present = probe_split_cuckoo(keys, delete_from_cuckoo(filters, gone))
-        return still_present.select(F.col("key").cast("bigint").alias("o_custkey"))
+        exact = still_present.join(gone, on="key", how="left_anti")
+        return exact.select(F.col("key").cast("bigint").alias("o_custkey"))
 
     q["cuckoo_delete_probe"] = _cuckoo_delete_probe
 

@@ -74,8 +74,25 @@ def retire_urls(state, urls: DataFrame) -> int:
         )
         .cache()
     )
-    keyed.write.mode("append").parquet(io.path("retired"))
     n = keyed.count()
+    if not n:
+        keyed.unpersist()
+        return 0
+    # Commit the retired delta ATOMICALLY: merge into a rewritten table via
+    # TableIO's temp-dir + rename-swap (crash mid-rewrite is repaired on the
+    # next read). A raw mode("append") could tear — a crash mid-append leaves
+    # some part files visible with no repair path. The retired table is tiny
+    # relative to seen (module docstring), so the full rewrite is cheap.
+    # The cuckoo fingerprint deletion below is a SEPARATE atomic step: a
+    # crash between the two leaves the filter stale-positive for the retired
+    # urls, which only costs backstop traffic — seen_through's anti-join on
+    # the committed retired table already gives the exact answer.
+    if io.exists("retired"):
+        io.rewrite(
+            io.read("retired", schemas.RETIRED).unionByName(keyed), "retired"
+        )
+    else:
+        io.write(keyed, "retired")
 
     if cfg.filter_kind == "cuckoo" and n:
         from indigo_crawler_spark.operators.cuckoo_ops import delete_from_cuckoo

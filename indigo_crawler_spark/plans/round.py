@@ -54,14 +54,26 @@ def _sum0(col) -> "F.Column":
 
 
 def _obs_int(obs: Observation, name: str) -> int:
-    """Observation metric as int. A 0-partition input (an empty in-memory
-    test frame) yields no metrics row at all (CollectMetrics emits nothing
-    and Observation.get raises from toPyRow) — that can only happen when 0
-    rows flowed, so every count/sum metric is 0."""
+    """Observation metric as int.
+
+    The only swallowed failure is the no-metrics-row case: a 0-partition
+    input (an empty in-memory test frame) makes CollectMetrics emit nothing
+    and ``Observation.get`` raise from toPyRow — that can only happen when 0
+    rows flowed, so every count/sum metric is 0 (logged to stderr so a real
+    job failure misrecorded as empty is visible). A metric-NAME typo is NOT
+    swallowed: the metrics dict resolved fine, so the KeyError propagates."""
     try:
-        return int(obs.get[name])
-    except Exception:
+        metrics = obs.get
+    except Exception as exc:  # no metrics row ⇒ 0 rows flowed
+        import sys
+
+        print(
+            f"_obs_int: no metrics row for {name!r} ({exc!r}); recording 0",
+            file=sys.stderr,
+        )
         return 0
+    v = metrics[name]  # KeyError = metric-name bug, surface it
+    return int(v) if v is not None else 0
 
 
 def _timer():
