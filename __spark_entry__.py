@@ -491,10 +491,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _t(s, d, "embeddings")
         return ivf_topk(emb.where(F.col("vec_id") < 10), emb, k=5, n_centroids=16, nprobe=4)
 
+    def _ivf_int_topk(s, d):
+        # the SQL-checkable IVF face: exact-integer centroid assignment +
+        # exact-integer dot re-rank — DuckDB re-derives centroids, probe set
+        # and ranking bit-identically (operators/similarity.ivf_int_topk)
+        from indigo_crawler_spark.operators.similarity import ivf_int_topk
+
+        emb = _t(s, d, "embeddings")
+        return ivf_int_topk(
+            emb.where(F.col("vec_id") < 10), emb, k=5, n_centroids=8, nprobe=2
+        )
+
     q["ann_int_dot_topk"] = _ann_int_topk
     q["cosine_topk"] = _cosine_topk
     q["ann_lsh_topk"] = _ann_lsh
     q["ivf_topk"] = _ivf_topk
+    q["ivf_int_topk"] = _ivf_int_topk
     q["embedding_near_pairs"] = _embedding_near_pairs
 
     # ---- training-data pipeline: language-ID / fingerprint / multimodal ----
@@ -839,6 +851,39 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT q_id, n_id, CAST(list_dot_product(qv, cv) AS BIGINT) AS dot, "
             "         row_number() OVER (PARTITION BY q_id ORDER BY list_dot_product(qv, cv) DESC, n_id ASC) AS rank "
             "  FROM q, c WHERE q_id != n_id) WHERE rank <= 5"
+        ),
+        "ivf_int_topk": (
+            # mirror of operators/similarity.ivf_int_topk (n_centroids=8,
+            # nprobe=2, k=5, scale=1000): deterministic sampled centroids,
+            # exact-integer ||v-c||^2 assignment (ties -> lower cid), exact
+            # integer dot re-rank. list_dot_product returns DOUBLE but every
+            # value here is an integer < 2^53, so comparisons are exact.
+            "WITH p AS (SELECT vec_id, list_transform(embedding, "
+            "  x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS v "
+            "  FROM embeddings), "
+            "st AS (SELECT GREATEST(1, CAST(ceil(count(*) / 8.0) AS BIGINT)) AS step FROM p), "
+            "cent AS (SELECT cid, cv FROM ("
+            "  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv "
+            "  FROM p WHERE vec_id % (SELECT step FROM st) = 0) WHERE cid < 8), "
+            "assign AS (SELECT n_id, nv, cid AS cluster_id FROM ("
+            "  SELECT p.vec_id AS n_id, p.v AS nv, c.cid, "
+            "    row_number() OVER (PARTITION BY p.vec_id ORDER BY "
+            "      list_dot_product(p.v, p.v) - 2*list_dot_product(p.v, c.cv) "
+            "      + list_dot_product(c.cv, c.cv) ASC, c.cid ASC) AS rk "
+            "  FROM p, cent c) WHERE rk = 1), "
+            "probe AS (SELECT q_id, qv, cid AS cluster_id FROM ("
+            "  SELECT p.vec_id AS q_id, p.v AS qv, c.cid, "
+            "    row_number() OVER (PARTITION BY p.vec_id ORDER BY "
+            "      list_dot_product(p.v, p.v) - 2*list_dot_product(p.v, c.cv) "
+            "      + list_dot_product(c.cv, c.cv) ASC, c.cid ASC) AS rk "
+            "  FROM p, cent c WHERE p.vec_id < 10) WHERE rk <= 2) "
+            "SELECT q_id, n_id, dot, rank FROM ("
+            "  SELECT pr.q_id, a.n_id, "
+            "    CAST(list_dot_product(pr.qv, a.nv) AS BIGINT) AS dot, "
+            "    row_number() OVER (PARTITION BY pr.q_id ORDER BY "
+            "      list_dot_product(pr.qv, a.nv) DESC, a.n_id ASC) AS rank "
+            "  FROM probe pr JOIN assign a ON pr.cluster_id = a.cluster_id "
+            "  WHERE pr.q_id != a.n_id) WHERE rank <= 5"
         ),
         "minhash_md5_pairs": _minhash_md5_sql(),
         "simhash_md5_sigs": simhash_md5_oracle_sql(),

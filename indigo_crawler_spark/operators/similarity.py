@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import hashlib
 
+import pandas as pd  # module-level: pandas_udf type hints resolve against module globals
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -129,6 +131,58 @@ def int_cosine_near_pairs(
     )
 
 
+def _sampled_centroids(
+    corpus: DataFrame, n_centroids: int, id_col: str, vec_col: str
+) -> list[list]:
+    """Deterministic IVF centroids: every ceil(N/n_centroids)-th corpus
+    vector by id (no RNG, no k-means iterations — a standard recall/cost
+    baseline). cid = position in ascending-id order. The collect is
+    O(n_centroids) — index-build cost, sanctioned (not O(rows))."""
+    import math
+
+    n = corpus.count()  # one-time index build cost, not per-query
+    step = max(1, math.ceil(n / n_centroids))
+    rows = (
+        corpus.select(id_col, vec_col)
+        .where(F.col(id_col) % step == 0)
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .collect()
+    )
+    return [list(r[vec_col]) for r in rows]
+
+
+def _nearest_centroids_udf(cents: list[list], top: int, dtype: str):
+    """pandas_udf: vector → its *top* nearest centroid ids (ties → lower cid,
+    via stable argsort). The centroid matrix lives ONCE in the UDF closure as
+    a numpy (n_centroids × dim) array — NOT as per-centroid literal column
+    expressions, which at realistic index size (4096 × 768) would put ~3M
+    literal nodes in the plan and stall Catalyst analysis/codegen long before
+    data size matters. One Arrow pass, argmin in numpy; row blocks of 1024
+    bound the (block × n_centroids) distance matrix."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    cmat = np.array(cents, dtype=dtype)
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def nearest(vecs: pd.Series) -> pd.Series:
+        out = []
+        arrs = vecs.to_numpy()
+        for lo in range(0, len(arrs), 1024):
+            block = np.stack(arrs[lo : lo + 1024]).astype(dtype, copy=False)
+            # ||v-c||²: exact in int64 for the quantized variant; float64
+            # elementwise (deterministic — fixed numpy reduction order)
+            diff = block[:, None, :] - cmat[None, :, :]
+            d2 = (diff * diff).sum(axis=2)
+            order = np.argsort(d2, axis=1, kind="stable")[:, :top].astype("int32")
+            out.extend(list(order))
+        return pd.Series(out)
+
+    return nearest
+
+
 def ivf_topk(
     queries: DataFrame, corpus: DataFrame, k: int = 5, n_centroids: int = 16,
     nprobe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
@@ -137,65 +191,37 @@ def ivf_topk(
     lists by nearest centroid; a query probes its *nprobe* nearest lists and
     exact-cosine re-ranks only those candidates.
 
-    Centroids are picked DETERMINISTICALLY (every ceil(N/n_centroids)-th
-    corpus vector by id — no RNG, no k-means iterations; IVF-flat with
-    sampled centroids is a standard recall/cost baseline). Assignment and
-    probing are pure column expressions over broadcast centroid literals.
-
-    Scale shape: the corpus shuffles ONCE on cluster_id (the inverted
-    index); each query fans out to nprobe lists, so work is
-    ~nprobe/n_centroids of brute force. Bigger n_centroids ⇒ smaller lists
-    but lower per-list recall; nprobe trades it back. Recall floor asserted
-    in pytest against brute force.
+    Scale shape: centroid assignment is one Arrow pass over a numpy matrix
+    in the UDF closure (see _nearest_centroids_udf — plan size is O(1) in
+    n_centroids × dim); the corpus shuffles ONCE on cluster_id (the inverted
+    index); the bucket join moves only (q_id, n_id, cluster ids) — vectors
+    re-attach afterwards by id, so they never ride the candidate shuffle.
+    Candidate pairs are unique by construction (each corpus vector lives in
+    exactly one list; a query's nprobe lists are distinct) — no dedup step.
+    Work is ~nprobe/n_centroids of brute force; recall floor asserted in
+    pytest against brute force.
     """
-    import math
+    cents = _sampled_centroids(corpus, n_centroids, id_col, vec_col)
+    assign1 = _nearest_centroids_udf(cents, 1, "float64")
+    probe_n = _nearest_centroids_udf(cents, nprobe, "float64")
 
-    n = corpus.count()  # one-time index build cost, not per-query
-    step = max(1, math.ceil(n / n_centroids))
-    cent_rows = (
-        corpus.select(id_col, vec_col)
-        .where(F.col(id_col) % step == 0)
-        .orderBy(id_col)
-        .limit(n_centroids)
-        .collect()
+    c_vecs = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    q_vecs = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    c_assign = c_vecs.select(
+        "n_id", F.element_at(assign1("n_vec"), 1).alias("cluster_id")
     )
-    cents = [list(r[vec_col]) for r in cent_rows]
-
-    def neg_dist2(vec: Column, c: list) -> Column:
-        # argmax of -||v-c||² == argmin distance; exact arithmetic order
-        carr = F.array(*[F.lit(float(x)) for x in c])
-        return -F.aggregate(
-            F.zip_with(vec, carr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    def cluster_ranks(vec: Column) -> Column:
-        """centroid ids sorted by proximity (struct sort: (-(-d²), cid))."""
-        scored = F.array(
-            *[
-                F.struct((-neg_dist2(vec, c)).alias("d"), F.lit(ci).alias("cid"))
-                for ci, c in enumerate(cents)
-            ]
-        )
-        return F.transform(F.array_sort(scored), lambda s: s["cid"])
-
-    c = corpus.select(
-        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
-    ).withColumn("cluster_id", F.element_at(cluster_ranks(F.col("n_vec")), 1))
-    q = (
-        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
-        .withColumn("probe", F.slice(cluster_ranks(F.col("q_vec")), 1, nprobe))
-        .select("q_id", "q_vec", F.explode("probe").alias("cluster_id"))
+    q_probe = q_vecs.select(
+        "q_id", F.explode(probe_n("q_vec")).alias("cluster_id")
     )
-    cands = (
-        c.join(q, on="cluster_id")
+    cand_ids = (
+        c_assign.join(q_probe, on="cluster_id")
         .where(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "q_vec", "n_id", "n_vec")
-        .distinct()
+        .select("q_id", "n_id")
     )
     scored = (
-        cands.withColumn("q_norm", _norm(F.col("q_vec")))
+        cand_ids.join(F.broadcast(q_vecs), "q_id")
+        .join(c_vecs, "n_id")
+        .withColumn("q_norm", _norm(F.col("q_vec")))
         .withColumn("n_norm", _norm(F.col("n_vec")))
         .withColumn(
             "cos",
@@ -207,6 +233,57 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("q_id", "n_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+def ivf_int_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 5, n_centroids: int = 8,
+    nprobe: int = 2, scale: int = 1000,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat in EXACT integer arithmetic — the ANSI-SQL-checkable face of
+    the IVF operator (cf. int_dot_topk vs cosine_topk): vectors quantize to
+    round(x·scale) BIGINTs; centroid assignment minimizes the exact integer
+    ||v-c||² (ties → lower cid); candidates re-rank by the exact integer dot.
+    Every comparison is on integers, so the probe set and ranking are
+    bit-identical across engines; a DuckDB mirror re-derives the same
+    centroids (deterministic corpus rows), assignment, and top-k.
+
+    Same scale shape as ivf_topk (numpy-closure assignment, id-only
+    candidate join, one corpus shuffle)."""
+    quant = lambda col: F.transform(  # noqa: E731
+        col, lambda x: F.round(x.cast("double") * scale, 0).cast("long")
+    )
+    qn = queries.select(F.col(id_col).alias("q_id"), quant(F.col(vec_col)).alias("q_vec"))
+    cn = corpus.select(F.col(id_col).alias("n_id"), quant(F.col(vec_col)).alias("n_vec"))
+    # centroids from the QUANTIZED frame so no Python-side rounding exists
+    cents = _sampled_centroids(
+        cn.select(F.col("n_id").alias(id_col), F.col("n_vec").alias(vec_col)),
+        n_centroids, id_col, vec_col,
+    )
+    assign1 = _nearest_centroids_udf(cents, 1, "int64")
+    probe_n = _nearest_centroids_udf(cents, nprobe, "int64")
+
+    c_assign = cn.select("n_id", F.element_at(assign1("n_vec"), 1).alias("cluster_id"))
+    q_probe = qn.select("q_id", F.explode(probe_n("q_vec")).alias("cluster_id"))
+    cand_ids = (
+        c_assign.join(q_probe, on="cluster_id")
+        .where(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id")
+    )
+    dot = F.aggregate(
+        F.zip_with("q_vec", "n_vec", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        cand_ids.join(F.broadcast(qn), "q_id").join(cn, "n_id").withColumn("dot", dot)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("dot"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "dot", "rank")
     )
 
 
@@ -270,6 +347,8 @@ def ann_lsh_topk(
     """
 
     def keyed(df, idc, vc):
+        # bucket keys derive from the vector, but only (id, rot, bk) leaves —
+        # vectors never ride the exploded bucket shuffle or the dedup below
         rot_structs = F.array(
             *[
                 F.struct(
@@ -280,27 +359,25 @@ def ann_lsh_topk(
             ]
         )
         return df.select(
-            F.col(idc), F.col(vc), F.explode(rot_structs).alias("rb")
-        ).select(F.col(idc), F.col(vc), F.col("rb.rot").alias("rot"), F.col("rb.bk").alias("bk"))
+            F.col(idc), F.explode(rot_structs).alias("rb")
+        ).select(F.col(idc), F.col("rb.rot").alias("rot"), F.col("rb.bk").alias("bk"))
 
-    q = keyed(
-        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")),
-        "q_id",
-        "q_vec",
-    )
-    c = keyed(
-        corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")),
-        "n_id",
-        "n_vec",
-    )
-    # candidate pairs = bucket-mates in ≥1 rotation (distinct dedups unions)
+    q_vecs = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    c_vecs = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    q = keyed(q_vecs, "q_id", "q_vec")
+    c = keyed(c_vecs, "n_id", "n_vec")
+    # candidate pairs = bucket-mates in ≥1 rotation; the rotation union dedups
+    # on (q_id, n_id) ALONE (16 bytes/row through the distinct), then vectors
+    # re-attach by id — the corpus shuffles once on n_id, queries broadcast
     cands = (
         c.join(q, on=["rot", "bk"])
         .where(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "q_vec", "n_id", "n_vec")
+        .select("q_id", "n_id")
         .distinct()
     )
-    scored = cands.withColumn("q_norm", _norm(F.col("q_vec"))).withColumn(
+    scored = cands.join(F.broadcast(q_vecs), "q_id").join(c_vecs, "n_id").withColumn(
+        "q_norm", _norm(F.col("q_vec"))
+    ).withColumn(
         "n_norm", _norm(F.col("n_vec"))
     ).withColumn(
         "cos", _dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_norm") * F.col("n_norm"))

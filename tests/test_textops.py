@@ -238,6 +238,55 @@ class TestSimilarity:
         }
         assert full == truth  # probing all lists ≡ brute force
 
+    def test_ivf_int_full_probe_equals_brute_force(self, spark, vecs):
+        """ivf_int_topk with nprobe=n_centroids ≡ int_dot_topk EXACTLY —
+        every comparison is integer, so the equality is bitwise, not
+        approximate (the property the DuckDB oracle relies on)."""
+        from indigo_crawler_spark.operators.similarity import (
+            int_dot_topk,
+            ivf_int_topk,
+        )
+
+        queries = vecs.where(F.col("vec_id") < 5)
+        want = {
+            (r["q_id"], r["rank"]): (r["n_id"], r["dot"])
+            for r in int_dot_topk(queries, vecs, k=3).collect()
+        }
+        got = {
+            (r["q_id"], r["rank"]): (r["n_id"], r["dot"])
+            for r in ivf_int_topk(
+                queries, vecs, k=3, n_centroids=4, nprobe=4
+            ).collect()
+        }
+        assert got == want
+
+    def test_ivf_plan_size_bounded_at_realistic_index(self, spark):
+        """n_centroids=256 × dim=128 must NOT inflate the plan: centroids
+        live in the UDF closure as one numpy matrix, not as per-centroid
+        literal arrays (which at this size put ~256·128·2 literal nodes per
+        rank expression into Catalyst). Bound the formatted plan string and
+        prove the query still executes."""
+        import io as _io
+        from contextlib import redirect_stdout
+
+        from indigo_crawler_spark.operators.similarity import ivf_topk
+
+        dim, n = 128, 300
+        rows = [
+            (i, [float((i * 31 + j * 17) % 29) - 14.0 for j in range(dim)])
+            for i in range(n)
+        ]
+        vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = ivf_topk(
+            vecs.where(F.col("vec_id") < 3), vecs, k=3, n_centroids=256, nprobe=4
+        )
+        buf = _io.StringIO()
+        with redirect_stdout(buf):
+            out.explain("formatted")
+        plan = buf.getvalue()
+        assert len(plan) < 100_000, f"plan string blew up: {len(plan)} chars"
+        assert out.count() > 0
+
     def test_ann_multiprobe_recall_floor(self, spark):
         """Multi-probe rotations lift recall@k: ≥0.9 vs brute force at the
         default knobs on a 200-vector deterministic corpus, and strictly no
