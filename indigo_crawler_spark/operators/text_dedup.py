@@ -58,13 +58,78 @@ def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: s
 
 
 def jaccard_pairs(shingles: DataFrame, threshold: float) -> DataFrame:
-    """Exact n-gram Jaccard ≥ threshold pairs via inverted-index self-join."""
+    """Exact n-gram Jaccard ≥ threshold pairs via inverted-index self-join.
+
+    PAIR-GENERATION shape: the self-join key ``sh`` includes stopword
+    n-grams whose posting lists are huge — one hot shingle makes one join
+    key quadratic. Use it only where pair generation itself is the point
+    (the standalone all-pairs verifier query); when candidate pairs already
+    exist (MinHash/LSH output) verify them with ``jaccard_verify_pairs``,
+    which never self-joins on the shingle key."""
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = shingles.select(F.col("doc_id").alias("a"), "sh")
     b = shingles.select(F.col("doc_id").alias("b"), "sh")
     inter = (
         a.join(b, on="sh")
         .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sz_a, "a")
+        .join(sz_b, "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def jaccard_verify_pairs(
+    shingles: DataFrame, cands: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard for GIVEN candidate pairs (a, b) — the hot-shingle-safe
+    verify shape behind MinHash/LSH.
+
+    The inverted-index self-join (``jaccard_pairs``) keys on the shingle
+    itself: one stopword n-gram ("of the and") present in d docs of a
+    candidate cluster costs d² rows in ONE task. Here the intersection is
+    computed per candidate pair instead:
+
+        cands ⋈ shingles(a)  on a        [cost Σ_pairs |A|; key = doc id,
+                                          duplicated once per pair — bounded
+                                          by LSH bucket sizes, not by any
+                                          shingle's corpus frequency]
+              ⋈ shingles(b)  on (b, sh)  [key carries the DOC id — a hot
+                                          shingle spreads across (b, sh)
+                                          keys instead of melting one]
+
+    Exact: |A∩B| counts every shared shingle (none dropped), denominators
+    use full per-doc sizes. Pairs with empty intersection vanish at the
+    inner join — they cannot pass any threshold > 0, same as the self-join
+    path. Output (a, b, jaccard) == jaccard_pairs-then-semi-join-cands,
+    asserted in tests including a 50%-document-frequency hot shingle.
+    """
+    touched = (
+        cands.select(F.col("a").alias("doc_id"))
+        .union(cands.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    sh = shingles.join(touched, "doc_id", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sha = sh.select(F.col("doc_id").alias("a"), "sh")
+    shb = sh.select(F.col("doc_id").alias("b"), "sh")
+    inter = (
+        cands.join(sha, "a")
+        .join(shb, ["b", "sh"])
         .groupBy("a", "b")
         .agg(F.count("*").alias("inter"))
     )
@@ -139,18 +204,12 @@ def minhash_dedup_pairs(
     bands: int = 16, rows: int = 4,
 ) -> DataFrame:
     """MinHash→LSH→exact-verify near-duplicate pairs (no false positives:
-    every emitted pair passed the exact Jaccard check)."""
+    every emitted pair passed the exact Jaccard check). Verification is the
+    per-pair join (jaccard_verify_pairs) — no shingle-keyed self-join, so a
+    hot stopword shingle in a large candidate cluster stays linear."""
     sh = word_shingles(docs, n).cache()
     cands = lsh_candidate_pairs(minhash_signatures(sh, k), bands, rows)
-    verify_base = sh.join(
-        cands.select(F.col("a").alias("doc_id")).union(
-            cands.select(F.col("b").alias("doc_id"))
-        ).distinct(),
-        "doc_id",
-        "left_semi",
-    )
-    verified = jaccard_pairs(verify_base, threshold)
-    return verified.join(cands, on=["a", "b"], how="left_semi")
+    return jaccard_verify_pairs(sh, cands, threshold)
 
 
 def word_shingle_strings(
@@ -216,15 +275,7 @@ def minhash_md5_pairs(
         .select("a", "b")
         .distinct()
     )
-    touched = (
-        cands.select(F.col("a").alias("doc_id"))
-        .union(cands.select(F.col("b").alias("doc_id")))
-        .distinct()
-    )
-    verified = jaccard_pairs(
-        sh.join(touched, "doc_id", "left_semi"), threshold
-    )
-    return verified.join(cands, on=["a", "b"], how="left_semi")
+    return jaccard_verify_pairs(sh, cands, threshold)
 
 
 def simhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -122,6 +122,79 @@ class TestDedup:
         assert got <= exact
         assert (0, 1) in got
 
+    def test_verify_pairs_identical_to_selfjoin_verify(self, spark, docs):
+        """jaccard_verify_pairs (per-pair join, hot-shingle-safe) emits the
+        exact same (a, b, jaccard) rows as the inverted-index self-join
+        restricted to the same candidates."""
+        from indigo_crawler_spark.operators.text_dedup import (
+            jaccard_pairs,
+            jaccard_verify_pairs,
+            lsh_candidate_pairs,
+            minhash_signatures,
+            word_shingles,
+        )
+
+        sh = word_shingles(docs).cache()
+        cands = lsh_candidate_pairs(minhash_signatures(sh)).cache()
+        got = {
+            (r["a"], r["b"], r["jaccard"])
+            for r in jaccard_verify_pairs(sh, cands, 0.2).collect()
+        }
+        old = jaccard_pairs(sh, 0.2).join(cands, ["a", "b"], "left_semi")
+        want = {(r["a"], r["b"], r["jaccard"]) for r in old.collect()}
+        assert got == want and got
+        cands.unpersist()
+        sh.unpersist()
+
+    def test_verify_pairs_hot_shingle_exact(self, spark):
+        """One stopword shingle in 50% of docs (the skew case the per-pair
+        verify exists for): results still exact — equal to brute-force
+        Jaccard over the candidate pairs, hot shingle counted in every
+        intersection and denominator."""
+        from indigo_crawler_spark.operators.text_dedup import (
+            jaccard_verify_pairs,
+            word_shingles,
+        )
+
+        n = 40
+        rows = []
+        for i in range(n):
+            uniq = f"u{i}a u{i}b u{i}c u{i}d w{i % 4}x w{i % 4}y"
+            hot = "of the and " if i % 2 == 0 else ""
+            rows.append((i, f"{hot}{uniq}"))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        sh = word_shingles(docs).cache()
+        # candidates: all same-residue pairs (every pair shares the hot
+        # shingle and/or the w-grams) — a dense cluster on purpose
+        cands = spark.createDataFrame(
+            [(a, b) for a in range(n) for b in range(a + 1, n) if a % 4 == b % 4],
+            "a long, b long",
+        )
+        got = {
+            (r["a"], r["b"]): r["jaccard"]
+            for r in jaccard_verify_pairs(sh, cands, 0.0001).collect()
+        }
+        # brute-force oracle in python
+        shing = {
+            i: {
+                " ".join(ws[j : j + 3])
+                for ws in [rows[i][1].split()]
+                for j in range(max(len(ws) - 2, 1))
+            }
+            for i in range(n)
+        }
+        for a in range(n):
+            for b in range(a + 1, n):
+                if a % 4 != b % 4:
+                    continue
+                inter = len(shing[a] & shing[b])
+                if not inter:
+                    assert (a, b) not in got
+                    continue
+                j = round(inter / len(shing[a] | shing[b]), 6)
+                assert got.get((a, b)) == pytest.approx(j), (a, b)
+        sh.unpersist()
+
     def test_simhash(self, spark, docs):
         from indigo_crawler_spark.operators.text_dedup import (
             simhash_near_pairs,
