@@ -542,9 +542,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         feats = extract_media_features(media_from_documents(_t(s, d, "documents")))
         return feats.select("media_id", "media_type", "n_bytes")
 
+    def _extract_fields(s, d):
+        # structured-record extraction (title / h1-h3 / meta) through the
+        # REAL html parser over deterministically synthesized pages — the
+        # oracle re-derives every field from the construction rule, so a
+        # parse defect (missed title, meta attr order, heading nesting)
+        # hash-mismatches.
+        from indigo_crawler_spark.operators.extract import extract_pages_with_fields
+
+        docs = _t(s, d, "documents")
+        html = F.encode(
+            F.concat(
+                F.lit("<html><head><title>Doc "),
+                F.col("doc_id").cast("string"),
+                F.lit(" "),
+                F.col("source"),
+                F.lit('</title><meta name="lang" content="'),
+                F.col("lang"),
+                F.lit('"><meta name="src" content="'),
+                F.col("source"),
+                F.lit('"></head><body><h1>D'),
+                F.col("doc_id").cast("string"),
+                F.lit("</h1><h2>Section A</h2><p>"),
+                F.col("text"),
+                F.lit("</p></body></html>"),
+            ),
+            "UTF-8",
+        )
+        pages = docs.select(
+            F.col("doc_id").cast("string").alias("canon_url"),
+            F.lit(0).alias("depth"),
+            html.alias("html"),
+        )
+        out = extract_pages_with_fields(pages)
+        return out.select(
+            F.col("canon_url").cast("bigint").alias("doc_id"),
+            "title",
+            F.element_at("headings", 1).alias("h1"),
+            F.size("headings").cast("long").alias("n_headings"),
+            F.element_at(F.col("meta"), F.lit("lang")).alias("meta_lang"),
+            F.element_at(F.col("meta"), F.lit("src")).alias("meta_src"),
+        )
+
     q["langid_counts"] = _langid_counts
     q["doc_fingerprints"] = _fingerprints
     q["media_bytes"] = _media_bytes
+    q["extract_fields"] = _extract_fields
 
     # ---- rows-only (no ANSI-SQL equivalent; exactness proven in pytest) ----
     q["xxhash64_hosts"] = lambda s, d: _t(s, d, "documents").select(
@@ -899,6 +942,13 @@ def oracle_sql() -> dict[str, str]:
             "  FROM q qa JOIN q qb ON qa.vec_id < qb.vec_id) "
             "WHERE dot >= 0 AND 100 * CAST(dot AS HUGEINT) * CAST(dot AS HUGEINT) "
             "  >= 9 * na2 * nb2"
+        ),
+        "extract_fields": (
+            # mirror of the _extract_fields construction rule: the parser
+            # must recover exactly what the html embeds
+            "SELECT doc_id, 'Doc ' || doc_id || ' ' || source AS title, "
+            "'D' || doc_id AS h1, CAST(2 AS BIGINT) AS n_headings, "
+            "lang AS meta_lang, source AS meta_src FROM documents"
         ),
         "langid_counts": langid_oracle_sql(),
         "doc_fingerprints": (

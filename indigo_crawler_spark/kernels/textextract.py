@@ -24,12 +24,30 @@ _BLOCK_TAGS = frozenset(
 )
 
 
+_HEADING_TAGS = frozenset(("h1", "h2", "h3"))
+
+
 class _Extractor(HTMLParser):
+    """One pass collects visible text, anchor hrefs AND the structured
+    record fields (title, h1-h3 headings in document order, meta name →
+    content pairs, first occurrence wins). Field collection never alters
+    the text/link byte streams — the byte-identity invariant
+    (BASELINE.json:15) is untouched; fields are an additive view of the
+    same parse (the reference [P] parsed listing pages into structured
+    records, not just visible text — SURVEY.md §1.1)."""
+
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self._skip_depth = 0
         self._chunks: list[str] = []
         self.hrefs: list[str] = []
+        self._title_chunks: list[str] = []
+        self._in_title = False
+        self._title_done = False
+        self._head_tag: str | None = None
+        self._head_chunks: list[str] = []
+        self.headings: list[str] = []
+        self.meta: dict[str, str] = {}
 
     def handle_starttag(self, tag, attrs):
         if tag in _SKIP_TAGS:
@@ -42,6 +60,19 @@ class _Extractor(HTMLParser):
                 if k == "href" and v is not None:
                     self.hrefs.append(v)
                     break
+        elif tag == "meta":
+            name = content = None
+            for k, v in attrs:
+                if k == "name":
+                    name = v
+                elif k == "content":
+                    content = v
+            if name and content is not None and name not in self.meta:
+                self.meta[name] = content
+        elif tag == "title" and not self._title_done:
+            self._in_title = True
+        elif tag in _HEADING_TAGS and self._head_tag is None:
+            self._head_tag, self._head_chunks = tag, []
         if tag in _BLOCK_TAGS:
             self._chunks.append("\n")
 
@@ -52,21 +83,68 @@ class _Extractor(HTMLParser):
             return
         if self._skip_depth:
             return
+        if tag == "title" and self._in_title:
+            self._in_title = False
+            self._title_done = True
+        elif tag == self._head_tag:
+            self.headings.append(" ".join("".join(self._head_chunks).split()))
+            self._head_tag = None
         if tag in _BLOCK_TAGS:
             self._chunks.append("\n")
 
     def handle_startendtag(self, tag, attrs):
-        # void elements (<br/>): start-side behaviour only
+        # void elements (<br/>, <meta/>): start-side behaviour only
         self.handle_starttag(tag, attrs)
 
     def handle_data(self, data):
-        if not self._skip_depth and data:
-            self._chunks.append(data)
+        if self._skip_depth or not data:
+            return
+        self._chunks.append(data)
+        if self._in_title:
+            self._title_chunks.append(data)
+        if self._head_tag is not None:
+            self._head_chunks.append(data)
 
     def text(self) -> str:
         lines = "".join(self._chunks).split("\n")
         out = [" ".join(ln.split()) for ln in lines]
         return "\n".join(ln for ln in out if ln)
+
+    def title(self) -> str:
+        return " ".join("".join(self._title_chunks).split())
+
+
+def _parse(html: bytes | str | None) -> _Extractor:
+    p = _Extractor()
+    if html is None:
+        return p
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        doc = bytes(html).decode("utf-8", errors="replace")
+    else:
+        doc = html
+    try:
+        p.feed(doc)
+        p.close()
+    except Exception:
+        # html.parser is tolerant; a hard failure yields whatever was collected
+        pass
+    return p
+
+
+def _canon_links(hrefs: list[str], base_url: str | None) -> list[str]:
+    links: list[str] = []
+    for href in hrefs:
+        h = href.strip()
+        if not h:
+            continue
+        try:
+            absu = urljoin(base_url or "", h)
+        except ValueError:
+            continue
+        c = canonicalize_url(absu)
+        if c is not None:
+            links.append(c)
+    return links
 
 
 def extract_text_and_links(
@@ -78,29 +156,23 @@ def extract_text_and_links(
     ``urljoin(base_url, href)`` → ``canonicalize_url``; rejects are dropped;
     duplicates are preserved (in-round dedup happens downstream, A2).
     """
-    if html is None:
-        return "", []
-    if isinstance(html, (bytes, bytearray, memoryview)):
-        doc = bytes(html).decode("utf-8", errors="replace")
-    else:
-        doc = html
-    p = _Extractor()
-    try:
-        p.feed(doc)
-        p.close()
-    except Exception:
-        # html.parser is tolerant; a hard failure yields whatever was collected
-        pass
-    links: list[str] = []
-    for href in p.hrefs:
-        h = href.strip()
-        if not h:
-            continue
-        try:
-            absu = urljoin(base_url or "", h)
-        except ValueError:
-            continue
-        c = canonicalize_url(absu)
-        if c is not None:
-            links.append(c)
-    return p.text(), links
+    p = _parse(html)
+    return p.text(), _canon_links(p.hrefs, base_url)
+
+
+def extract_all(
+    html: bytes | str | None, base_url: str | None
+) -> tuple[str, list[str], str, list[str], dict[str, str]]:
+    """Parse *html* once; return (text, links, title, headings, meta) — the
+    structured-record extraction surface. text/links are byte-identical to
+    ``extract_text_and_links`` (same parse, additive fields)."""
+    p = _parse(html)
+    return p.text(), _canon_links(p.hrefs, base_url), p.title(), p.headings, p.meta
+
+
+def extract_fields(
+    html: bytes | str | None,
+) -> tuple[str, list[str], dict[str, str]]:
+    """(title, h1-h3 headings in order, meta name→content) for one page."""
+    p = _parse(html)
+    return p.title(), p.headings, p.meta

@@ -16,12 +16,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     ArrayType,
     IntegerType,
+    MapType,
     StringType,
     StructField,
     StructType,
 )
 
-from indigo_crawler_spark.kernels.textextract import extract_text_and_links
+from indigo_crawler_spark.kernels.textextract import extract_all, extract_text_and_links
 
 _OUT_SCHEMA = StructType(
     [
@@ -29,6 +30,15 @@ _OUT_SCHEMA = StructType(
         StructField("depth", IntegerType()),
         StructField("text", StringType()),
         StructField("links", ArrayType(StringType())),
+    ]
+)
+
+_FIELDS_SCHEMA = StructType(
+    _OUT_SCHEMA.fields
+    + [
+        StructField("title", StringType()),
+        StructField("headings", ArrayType(StringType())),
+        StructField("meta", MapType(StringType(), StringType())),
     ]
 )
 
@@ -57,3 +67,36 @@ def extract_pages(df: DataFrame) -> DataFrame:
             )
 
     return df.select("canon_url", "depth", "html").mapInPandas(run, _OUT_SCHEMA)
+
+
+def extract_pages_with_fields(df: DataFrame) -> DataFrame:
+    """(canon_url, depth, html) → (…, text, links, title, headings, meta) —
+    the structured-record extraction the reference's listing-page parser
+    produced ([P], SURVEY.md §1.1): title, h1-h3 headings in document order,
+    meta name→content pairs. SAME single parse per page as ``extract_pages``
+    (kernels/textextract.extract_all): the html binary still crosses Arrow
+    exactly once, and text/links stay byte-identical to the F7 path."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts, links, titles, heads, metas = [], [], [], [], []
+            for html, base in zip(pdf["html"], pdf["canon_url"]):
+                t, ls, ti, hs, me = extract_all(html, base)
+                texts.append(t)
+                links.append(ls)
+                titles.append(ti)
+                heads.append(hs)
+                metas.append(me)
+            yield pd.DataFrame(
+                {
+                    "canon_url": pdf["canon_url"],
+                    "depth": pdf["depth"],
+                    "text": texts,
+                    "links": links,
+                    "title": titles,
+                    "headings": heads,
+                    "meta": metas,
+                }
+            )
+
+    return df.select("canon_url", "depth", "html").mapInPandas(run, _FIELDS_SCHEMA)
