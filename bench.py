@@ -72,6 +72,10 @@ def bench_crawl(spark: SparkSession, cpus: int) -> dict:
     root = tempfile.mkdtemp(prefix="indigo_bench_", dir=scratch_dir())
     state = CrawlState(io=TableIO(spark, root), cfg=cfg)
     timings: dict[str, float] = {}
+    round_timings: dict[str, float] = {}
+    # per-phase attribution (VERDICT r2: the ~20s/round floor was previously
+    # unattributable): run_round returns its ROUND_TIMINGS dict when enabled
+    os.environ["SPARK_GRAFT_TIMINGS"] = "1"
     try:
         pages = synthetic.pages_df(spark, n_rows, n_hosts, parallelism=cpus * 2)
         seeds = synthetic.seeds_df(spark, n_rows, n_hosts, n_seeds)
@@ -86,26 +90,36 @@ def bench_crawl(spark: SparkSession, cpus: int) -> dict:
         t_rounds = 0.0
         for r in range(n_rounds):
             t0 = time.time()
-            run_round(spark, state, r, with_counters=False)
+            payload = run_round(spark, state, r, with_counters=False)
             dt = time.time() - t0
             timings[f"crawl_round{r}"] = round(dt, 3)
             t_rounds += dt
+            for phase, sec in (payload.get("timings") or {}).items():
+                round_timings[phase] = round(round_timings.get(phase, 0.0) + sec, 3)
             scheduled += state.io.read(
                 f"fetch_batches/round={r}", schemas.FETCH_BATCHES
             ).count()
 
         return {
             "timings": timings,
+            "round_timings": round_timings,
             "urls_scheduled": scheduled,
             "rounds_sec": round(t_rounds, 3),
             "urls_scheduled_per_sec": round(scheduled / t_rounds, 1) if t_rounds else 0.0,
             "corpus_rows": n_rows,
         }
     finally:
+        os.environ.pop("SPARK_GRAFT_TIMINGS", None)
         shutil.rmtree(root, ignore_errors=True)
 
 
-def bench_queries(spark: SparkSession, sf_dir: str) -> dict:
+def bench_queries(spark: SparkSession, sf_dir: str, reps: int = 3) -> dict:
+    """Median of *reps* timed runs per operator analog — a single sample on
+    this ±2x-noise VM cannot distinguish a regression from jitter (VERDICT
+    r2). First run per name additionally pays JVM/codegen warmup; the median
+    absorbs it."""
+    import statistics
+
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
@@ -119,10 +133,12 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict:
     ]
     out = {}
     for name in names:
-        t0 = time.time()
-        n = qs[name](spark, sf_dir).count()
-        out[name] = round(time.time() - t0, 3)
-        _ = n
+        samples = []
+        for _ in range(reps):
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            samples.append(time.time() - t0)
+        out[name] = round(statistics.median(samples), 3)
     return out
 
 
@@ -132,9 +148,10 @@ def main() -> None:
     spark = build_spark(cpus)
     t_all = time.time()
 
+    reps = int(os.environ.get("BENCH_REPS", "3"))
     crawl = bench_crawl(spark, cpus)
     queries = dict(crawl["timings"])
-    queries.update(bench_queries(spark, sf_dir))
+    queries.update(bench_queries(spark, sf_dir, reps=reps))
 
     total = round(time.time() - t_all, 3)
     sf = 0.1 if "sf0.1" in sf_dir else (0.01 if "sf0.01" in sf_dir else 0.001)
@@ -146,6 +163,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": queries,
                 "sf": sf,
+                "reps": reps,
+                "round_timings": crawl["round_timings"],
                 "urls_scheduled": crawl["urls_scheduled"],
                 "urls_scheduled_per_sec": crawl["urls_scheduled_per_sec"],
                 "corpus_rows": crawl["corpus_rows"],

@@ -774,6 +774,11 @@ def run_round(
         "config_hash": cfg.config_hash(),
     }
     io.write_manifest(f"round_{round_no:05d}", payload)
+    if tm is not None:
+        # returned to the caller (bench attribution) but NEVER in the
+        # on-disk manifest — wall-clock values have no place in the
+        # deterministic commit record
+        payload = {**payload, "timings": dict(tm)}
 
     for df in (gated, emitted, extracted):
         df.unpersist()
