@@ -128,14 +128,16 @@ def main() -> None:
     ap.add_argument("--budget", type=int, default=1000)
     ap.add_argument("--limit", type=int, default=5_000_000)
     ap.add_argument("--corpus", default="/tmp/indigo_scaling_corpus")
-    # N vs 4N task slots. Python-UDF stages pair every task thread with a
-    # Python worker process (2 runnable threads per slot), so levels must fit
-    # the 32-core box at the high level with headroom for GC/shuffle threads;
-    # local[8]-vs-local[32] oversubscribes the high level 2× and (measured)
-    # inverts the comparison. N=1 → 4N=4 keeps both levels fully
-    # uncontended — the strictest reading of "N and 4N executors": scaling
-    # up from the single-slot baseline, every parallel overhead included.
-    ap.add_argument("--levels", default="1,4")
+    # N vs 4N task slots, possibly several pairs ("1,4;2,8"). Python-UDF
+    # stages pair every task thread with a Python worker process (2 runnable
+    # threads per slot), so levels must fit the 32-core box at the high level
+    # with headroom for GC/shuffle threads; local[8]-vs-local[32]
+    # oversubscribes the high level 2× and (measured) inverts the comparison.
+    # 1→4 keeps both levels fully uncontended (the strictest single-slot
+    # baseline — zero coordination overhead in the denominator); 2→8 is
+    # reported alongside so the ≥0.8 claim is not protocol-sensitive
+    # (round-2 ADVICE).
+    ap.add_argument("--levels", default="1,4;2,8")
     ap.add_argument("--reps", type=int, default=2, help="take min wall per level")
     ap.add_argument("--keep-corpus", action="store_true", help="reuse/keep the corpus dir")
     args = ap.parse_args()
@@ -152,8 +154,13 @@ def main() -> None:
         )
     )
 
-    results = []
-    for cores in (int(c) for c in args.levels.split(",")):
+    pairs = [
+        tuple(int(c) for c in pair.split(","))
+        for pair in args.levels.split(";")
+    ]
+    all_cores = sorted({c for pair in pairs for c in pair})
+    results: dict[int, dict] = {}
+    for cores in all_cores:
         best = None
         for rep in range(args.reps):
             time.sleep(10)  # let prior JVM fully die — timings must be isolated
@@ -169,11 +176,13 @@ def main() -> None:
             print(" ", r)
             if best is None or r["wall_sec"] < best["wall_sec"]:
                 best = r
-        results.append(best)
+        results[cores] = best
 
-    lo, hi = results[0], results[-1]
-    ratio = hi["cores"] / lo["cores"]
-    eff = (hi["throughput"] / lo["throughput"]) / ratio
+    effs = []
+    for lo_c, hi_c in pairs:
+        lo, hi = results[lo_c], results[hi_c]
+        ratio = hi_c / lo_c
+        effs.append((lo_c, hi_c, ratio, (hi["throughput"] / lo["throughput"]) / ratio))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(md, "w") as f:
@@ -185,32 +194,42 @@ def main() -> None:
             f"commit), round_limit={args.limit}, budget={args.budget}, bloom seen-filter. Corpus "
             "generation and bootstrap are untimed (one-time setup); each level runs "
             f"in a fresh JVM, serialized, best of {args.reps} reps (this sandbox VM "
-            "shows ±2x wall-clock noise); shuffle + crawl state on tmpfs at BOTH "
+            "shows ±2x wall-clock noise); shuffle + crawl state on tmpfs at ALL "
             "levels (disk spill is a non-scaling artifact of the sandbox's single "
             "spinning volume). Throughput = URLs processed/sec "
             "(frontier candidates gated+deduped + emitted per round) — the "
             "BASELINE.json 'URLs scheduled+deduped per second' metric.\n\n"
-            f"Parallelism levels: N={lo['cores']} vs 4N={hi['cores']} task slots. "
-            "Python-UDF stages pair each task thread with a Python worker process "
-            "(2 runnable threads per slot), so levels are sized to keep even the "
-            "high level uncontended on the 32-core box; local[32] would "
+            "Parallelism levels: N vs 4N task slots at TWO baselines (1→4 and "
+            "2→8) so the ≥0.8 claim is not protocol-sensitive. The 1→4 pair is "
+            "the strictest reading (single-slot baseline has zero coordination "
+            "overhead in the denominator); 2→8 includes it. Python-UDF stages "
+            "pair each task thread with a Python worker process (2 runnable "
+            "threads per slot), so levels are sized to keep even the high level "
+            "uncontended on the 32-core box; local[8]-vs-local[32] would "
             "oversubscribe 2x and measure scheduler thrash instead of scaling.\n\n"
             "| parallelism | wall (s) | URLs processed | throughput (URLs/s) | emitted |\n"
             "|---|---|---|---|---|\n"
         )
-        for r in results:
+        for cores in all_cores:
+            r = results[cores]
             f.write(
                 f"| local[{r['cores']}] | {r['wall_sec']} | {r['processed']} "
                 f"| {r['throughput']} | {r['emitted']} |\n"
             )
+        f.write("\n")
+        for lo_c, hi_c, ratio, eff in effs:
+            f.write(
+                f"**Scaling efficiency local[{lo_c}] → local[{hi_c}] "
+                f"(N → {ratio:g}N): {eff:.3f}** (target ≥ 0.8, BASELINE.json:2).\n\n"
+            )
         f.write(
-            f"\n**Scaling efficiency local[{lo['cores']}] → local[{hi['cores']}] "
-            f"(N → {ratio:g}N): {eff:.3f}** (target ≥ 0.8, BASELINE.json:2).\n\n"
             "Sandbox proxy for the two-cluster-size criterion per driver "
             "instruction (no real cluster available): same job, same input, two "
             "parallelism levels on the 32-core box.\n"
         )
-    print(f"\nefficiency = {eff:.3f} → wrote {md}")
+    for lo_c, hi_c, _ratio, eff in effs:
+        print(f"\nefficiency {lo_c}→{hi_c} = {eff:.3f}")
+    print(f"wrote {md}")
     if not args.keep_corpus:
         shutil.rmtree(args.corpus, ignore_errors=True)
 
