@@ -118,6 +118,10 @@ def jaccard_verify_pairs(
     path. Output (a, b, jaccard) == jaccard_pairs-then-semi-join-cands,
     asserted in tests including a 50%-document-frequency hot shingle.
     """
+    # a duplicated candidate row would double-count the pair's intersection
+    # (the joins below are additive, unlike the old semi-join) — dedup is a
+    # tiny shuffle on the id-only frame
+    cands = cands.dropDuplicates(["a", "b"])
     touched = (
         cands.select(F.col("a").alias("doc_id"))
         .union(cands.select(F.col("b").alias("doc_id")))
