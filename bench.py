@@ -90,8 +90,10 @@ def bench_crawl(spark: SparkSession, cpus: int) -> dict:
         budgets = synthetic.budgets_df(spark, n_hosts)
 
         t0 = time.time()
-        bootstrap(spark, pages, seeds, robots, budgets, state, with_counters=False)
+        bpayload = bootstrap(spark, pages, seeds, robots, budgets, state, with_counters=False)
         timings["crawl_bootstrap"] = round(time.time() - t0, 3)
+        for phase, sec in (bpayload.get("timings") or {}).items():
+            round_timings[f"bootstrap_{phase}"] = sec
 
         scheduled = 0
         t_rounds = 0.0

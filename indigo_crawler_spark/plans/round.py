@@ -293,7 +293,10 @@ def bootstrap(
     so quarantine counting is optional (it costs a second canonicalize pass;
     at scale, use .observe instead of re-running the scan).
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     cfg = state.cfg
+    tm = _timer()
     # quarantine counters ride observe on the writes below — the 100 TB
     # bootstrap pass happens once, not once per counter (with_counters kept
     # for API compatibility; the counts are free now)
@@ -319,13 +322,16 @@ def bootstrap(
         .select("canon_url", "host", "pk", "url", "warc_ts", "html", "lang")
         .sortWithinPartitions("canon_url")  # deterministic layout + rowgroup stats
     )
-    state.io.write(store, "page_store", partition_by=["pk"])
+    with _timed(tm, "store_write"):
+        state.io.write(store, "page_store", partition_by=["pk"])
 
-    store = state.io.read("page_store", schemas.PAGE_STORE)
-    host_counts = store.groupBy("host").agg(F.count("*").alias("host_count"))
-    state.io.write(host_counts, "host_counts")
-    state.io.write(robots, "robots")
-    state.io.write(host_budgets, "host_budgets")
+    # the tail writes are all small derived tables — one cached host-count
+    # agg feeds host_counts, heavy_hosts AND the frontier join (no disk
+    # round-trip between them), and the independent writes overlap on a
+    # pool: at 100 TB the only serial barrier after the corpus pass is the
+    # frontier write itself.
+    store_r = state.io.read("page_store", schemas.PAGE_STORE)
+    hc = store_r.groupBy("host").agg(F.count("*").alias("host_count")).cache()
 
     # static skew dimension: hosts over the salt threshold by page count
     # (operators/skew.py — WHICH hosts are salted is purely physical, so a
@@ -333,43 +339,62 @@ def bootstrap(
     # the write via observe — no extra action.
     heavy_obs = Observation()
     heavy = (
-        state.io.read("host_counts", schemas.HOST_COUNTS)
-        .where(F.col("host_count") > cfg.salt_threshold)
+        hc.where(F.col("host_count") > cfg.salt_threshold)
         .select("host")
         .observe(heavy_obs, F.count(F.lit(1)).alias("n"))
     )
-    state.io.write(heavy, "heavy_hosts")
+
+    pool = ThreadPoolExecutor(max_workers=4)
+    try:
+        def _w(df, table, label):
+            def run():
+                with _timed(tm, label):
+                    state.io.write(df, table)
+            return pool.submit(run)
+
+        futs = [
+            _w(hc, "host_counts", "host_counts_write"),
+            _w(heavy, "heavy_hosts", "heavy_write"),
+            _w(robots, "robots", "dims_write"),
+            _w(host_budgets, "host_budgets", "dims_write"),
+        ]
+
+        # round-0 frontier from seeds: dedup per canon_url keep min seed_rank
+        seeds_obs = Observation()
+        sc = _canonicalized(seeds).observe(
+            seeds_obs, _sum0(F.col("canon_url").isNull()).alias("quarantined")
+        )
+        sc = sc.where(F.col("canon_url").isNotNull())
+        sc = dedup_min_by(
+            sc.select("canon_url", "seed_rank"), "canon_url", ["seed_rank"]
+        ).withColumn("host", host_expr("canon_url"))
+        # hc is per-host (frontier-scale) — shuffle join, never broadcast
+        frontier0 = (
+            sc.join(hc.hint("SHUFFLE_HASH"), on="host", how="left")
+            .withColumn("host_count", F.coalesce(F.col("host_count"), F.lit(0)))
+            .select(
+                "canon_url",
+                "host",
+                host_hash_expr(F.col("host")).alias("host_hash"),
+                pk_expr(host_hash_expr(F.col("host")), cfg.num_buckets).alias("pk"),
+                F.lit(0).alias("depth"),
+                F.col("seed_rank").cast("int").alias("seed_rank"),
+                priority_expr(F.lit(0), F.col("seed_rank"), F.col("host_count")).alias(
+                    "priority"
+                ),
+                F.lit(0).alias("discovered_round"),
+            )
+        )
+        with _timed(tm, "frontier_write"):
+            state.io.write(frontier0, "frontier/round=0")
+        for f in futs:
+            f.result()
+    finally:
+        pool.shutdown(wait=True)
     n_heavy = _obs_int(heavy_obs, "n")
     state._heavy_n = n_heavy
+    hc.unpersist()
 
-    # round-0 frontier from seeds: dedup per canon_url keeping min seed_rank
-    seeds_obs = Observation()
-    sc = _canonicalized(seeds).observe(
-        seeds_obs, _sum0(F.col("canon_url").isNull()).alias("quarantined")
-    )
-    sc = sc.where(F.col("canon_url").isNotNull())
-    sc = dedup_min_by(
-        sc.select("canon_url", "seed_rank"), "canon_url", ["seed_rank"]
-    ).withColumn("host", host_expr("canon_url"))
-    hc = state.io.read("host_counts", schemas.HOST_COUNTS)
-    # hc is per-host (frontier-scale) — shuffle join, never a broadcast build
-    frontier0 = (
-        sc.join(hc.hint("SHUFFLE_HASH"), on="host", how="left")
-        .withColumn("host_count", F.coalesce(F.col("host_count"), F.lit(0)))
-        .select(
-            "canon_url",
-            "host",
-            host_hash_expr(F.col("host")).alias("host_hash"),
-            pk_expr(host_hash_expr(F.col("host")), cfg.num_buckets).alias("pk"),
-            F.lit(0).alias("depth"),
-            F.col("seed_rank").cast("int").alias("seed_rank"),
-            priority_expr(F.lit(0), F.col("seed_rank"), F.col("host_count")).alias(
-                "priority"
-            ),
-            F.lit(0).alias("discovered_round"),
-        )
-    )
-    state.io.write(frontier0, "frontier/round=0")
     payload = {
         "quarantined_pages": _obs_int(pages_obs, "quarantined"),
         "quarantined_seeds": _obs_int(seeds_obs, "quarantined"),
@@ -377,6 +402,8 @@ def bootstrap(
         "config_hash": cfg.config_hash(),
     }
     state.io.write_manifest("bootstrap", payload)
+    if tm is not None:
+        payload = {**payload, "timings": dict(tm)}
     return payload
 
 
