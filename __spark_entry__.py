@@ -502,12 +502,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb.where(F.col("vec_id") < 10), emb, k=5, n_centroids=8, nprobe=2
         )
 
+    def _lsh_int_near_pairs(s, d):
+        # LSH-first embedding near-dup with exact-integer verify — the SCALE
+        # path, hash-checkable end to end (md5-derived integer planes are
+        # re-derived by the DuckDB oracle; cf. minhash_md5_pairs for text)
+        from indigo_crawler_spark.operators.similarity import int_lsh_near_pairs
+
+        emb = _t(s, d, "embeddings").where(F.col("vec_id") < 200)
+        # bits=5 / rotations=4: bucket width and union count sized so the
+        # sf tables (weakly correlated vectors, few true near-dups) yield a
+        # non-trivial verified pair set to hash-check
+        return int_lsh_near_pairs(emb, dim=64, t_num=3, t_den=10, bits=5, rotations=4)
+
     q["ann_int_dot_topk"] = _ann_int_topk
     q["cosine_topk"] = _cosine_topk
     q["ann_lsh_topk"] = _ann_lsh
     q["ivf_topk"] = _ivf_topk
     q["ivf_int_topk"] = _ivf_int_topk
     q["embedding_near_pairs"] = _embedding_near_pairs
+    q["lsh_int_near_pairs"] = _lsh_int_near_pairs
 
     # ---- training-data pipeline: language-ID / fingerprint / multimodal ----
     def _langid_counts(s, d):
@@ -743,6 +756,7 @@ WHERE i.inter / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) >= {threshold}
 
 def oracle_sql() -> dict[str, str]:
     from indigo_crawler_spark.functions.text_analysis import langid_oracle_sql
+    from indigo_crawler_spark.operators.similarity import int_lsh_near_pairs_oracle_sql
     from indigo_crawler_spark.operators.text_dedup import simhash_md5_oracle_sql
 
     return {
@@ -949,6 +963,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, 'Doc ' || doc_id || ' ' || source AS title, "
             "'D' || doc_id AS h1, CAST(2 AS BIGINT) AS n_headings, "
             "lang AS meta_lang, source AS meta_src FROM documents"
+        ),
+        "lsh_int_near_pairs": int_lsh_near_pairs_oracle_sql(
+            dim=64, t_num=3, t_den=10, bits=5, rotations=4,
+            where="WHERE vec_id < 200",
         ),
         "langid_counts": langid_oracle_sql(),
         "doc_fingerprints": (

@@ -287,6 +287,148 @@ def ivf_int_topk(
     )
 
 
+def _int_planes(dim: int, bits: int, rotation: int) -> list[list[int]]:
+    """Deterministic INTEGER hyperplanes for the SQL-checkable LSH variant:
+    component = (first md5 hex nibble of "pl:{rotation}:{bit}:{j}") - 8,
+    i.e. ∈ [-8, 7]. md5 is engine-agnostic, so an ANSI-SQL oracle re-derives
+    the identical planes (cf. simhash_md5_signatures' nibble decode); both
+    sides here inline the resulting integers from this one function."""
+    return [
+        [
+            int(hashlib.md5(f"pl:{rotation}:{b}:{j}".encode()).hexdigest()[0], 16) - 8
+            for j in range(dim)
+        ]
+        for b in range(bits)
+    ]
+
+
+def int_lsh_near_pairs(
+    vecs: DataFrame, dim: int, t_num: int = 3, t_den: int = 10, scale: int = 1000,
+    bits: int = 8, rotations: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs, LSH-FIRST with an exact-integer
+    verify — the SCALE path behind int_cosine_near_pairs' all-pairs verifier
+    shape, and bit-identical across engines end to end:
+
+      1. quantize to round(x·scale) BIGINTs;
+      2. bucket by integer hyperplane signs (md5-derived integer planes,
+         _int_planes — every projection an exact int64);
+      3. candidates share a bucket in ≥1 of *rotations* independent plane
+         sets (one explode + ONE equi-join, dedup on ids alone);
+      4. exact integer-rational cosine test (t_den²·dot² ≥ t_num²·|a|²·|b|²,
+         decimal(38,0)) verifies each candidate pair.
+
+    No false positives ever (step 4 is exact); candidate recall is the LSH
+    knob (bits ↓ or rotations ↑ ⇒ more candidates). Because an ANSI-SQL
+    oracle reproduces the SAME buckets, the full pipeline — not just the
+    verifier — is hash-checkable (cf. minhash_md5_pairs for text).
+
+    Scale shape: the corpus shuffles once on the (rotation, bucket) key with
+    ids only; vectors re-attach by id for the verify join.
+    """
+    quant = lambda col: F.transform(  # noqa: E731
+        col, lambda x: F.round(x.cast("double") * scale, 0).cast("long")
+    )
+    v = vecs.select(F.col(id_col).alias("vid"), quant(F.col(vec_col)).alias("v"))
+
+    def bucket_expr(vec: Column, rotation: int) -> Column:
+        out = F.lit(0).cast("long")
+        for b, plane in enumerate(_int_planes(dim, bits, rotation)):
+            proj = F.aggregate(
+                F.zip_with(vec, F.array(*[F.lit(p) for p in plane]), lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            out = out + F.shiftleft(
+                F.when(proj >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")), b
+            )
+        return out
+
+    rot_structs = F.array(
+        *[
+            F.struct(F.lit(r).alias("rot"), bucket_expr(F.col("v"), r).alias("bk"))
+            for r in range(rotations)
+        ]
+    )
+    keyed = v.select("vid", F.explode(rot_structs).alias("rb")).select(
+        "vid", F.col("rb.rot").alias("rot"), F.col("rb.bk").alias("bk")
+    )
+    left = keyed.select(F.col("vid").alias("a"), "rot", "bk")
+    right = keyed.select(F.col("vid").alias("b"), "rot", "bk")
+    cands = (
+        left.join(right, ["rot", "bk"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    va = v.select(F.col("vid").alias("a"), F.col("v").alias("av"))
+    vb = v.select(F.col("vid").alias("b"), F.col("v").alias("bv"))
+    idot = lambda u, w: F.aggregate(  # noqa: E731
+        F.zip_with(u, w, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    pairs = (
+        cands.join(va, "a")
+        .join(vb, "b")
+        .withColumn("dot", idot(F.col("av"), F.col("bv")))
+        .withColumn("na2", idot(F.col("av"), F.col("av")))
+        .withColumn("nb2", idot(F.col("bv"), F.col("bv")))
+    )
+    lhs = F.lit(t_den * t_den).cast("decimal(38,0)") * dec(F.col("dot")) * dec(F.col("dot"))
+    rhs = F.lit(t_num * t_num).cast("decimal(38,0)") * dec(F.col("na2")) * dec(F.col("nb2"))
+    return pairs.where((F.col("dot") >= 0) & (lhs >= rhs)).select("a", "b", "dot")
+
+
+def int_lsh_near_pairs_oracle_sql(
+    dim: int, t_num: int = 3, t_den: int = 10, scale: int = 1000,
+    bits: int = 8, rotations: int = 2, where: str = "", table: str = "embeddings",
+) -> str:
+    """DuckDB mirror of int_lsh_near_pairs — identical quantization, the
+    SAME integer planes (inlined from _int_planes), same banding and the
+    same exact integer verify. list_dot_product returns DOUBLE but every
+    value is an integer < 2^53, so sign tests and casts are exact; the
+    verify squares run in HUGEINT."""
+    def bucket_sql(r: int) -> str:
+        terms = []
+        for b, plane in enumerate(_int_planes(dim, bits, r)):
+            arr = "[" + ", ".join(str(p) for p in plane) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(v, {arr}) >= 0 THEN (1::BIGINT << {b}) ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    rot_selects = " UNION ALL ".join(
+        f"SELECT vid, {r} AS rot, CAST({bucket_sql(r)} AS BIGINT) AS bk FROM p"
+        for r in range(rotations)
+    )
+    return f"""
+WITH p AS (
+  SELECT vec_id AS vid, list_transform(embedding,
+    x -> CAST(round(CAST(x AS DOUBLE) * {scale}, 0) AS BIGINT)) AS v
+  FROM {table} {where}
+),
+keyed AS ({rot_selects}),
+cands AS (
+  SELECT DISTINCT l.vid AS a, r.vid AS b
+  FROM keyed l JOIN keyed r ON l.rot = r.rot AND l.bk = r.bk AND l.vid < r.vid
+),
+scored AS (
+  SELECT c.a, c.b,
+    CAST(list_dot_product(pa.v, pb.v) AS BIGINT) AS dot,
+    CAST(list_dot_product(pa.v, pa.v) AS HUGEINT) AS na2,
+    CAST(list_dot_product(pb.v, pb.v) AS HUGEINT) AS nb2
+  FROM cands c JOIN p pa ON pa.vid = c.a JOIN p pb ON pb.vid = c.b
+)
+SELECT a, b, dot FROM scored
+WHERE dot >= 0
+  AND {t_den * t_den} * CAST(dot AS HUGEINT) * CAST(dot AS HUGEINT)
+      >= {t_num * t_num} * na2 * nb2
+"""
+
+
 def _hyperplanes(dim: int, bits: int, rotation: int = 0) -> list[list[float]]:
     """Deterministic sha256-derived hyperplanes (no RNG anywhere):
     component ∈ (-1, 1) from 4-byte slices of repeated digests. Rotation 0

@@ -311,6 +311,31 @@ class TestSimilarity:
         }
         assert full == truth  # probing all lists ≡ brute force
 
+    def test_int_lsh_near_pairs_exact_subset(self, spark, vecs):
+        """LSH-first near-dup: never a false positive (⊆ the all-pairs
+        exact-verify set), the identical pair always survives (identical
+        vectors share every bucket in every rotation), and more rotations
+        never lose pairs (candidate sets are unions)."""
+        from indigo_crawler_spark.operators.similarity import (
+            int_cosine_near_pairs,
+            int_lsh_near_pairs,
+        )
+
+        exact = {
+            (r["a"], r["b"], r["dot"])
+            for r in int_cosine_near_pairs(vecs, 1, 2).collect()
+        }
+        got1 = {
+            (r["a"], r["b"], r["dot"])
+            for r in int_lsh_near_pairs(vecs, dim=8, t_num=1, t_den=2, bits=4, rotations=1).collect()
+        }
+        got3 = {
+            (r["a"], r["b"], r["dot"])
+            for r in int_lsh_near_pairs(vecs, dim=8, t_num=1, t_den=2, bits=4, rotations=3).collect()
+        }
+        assert got1 <= got3 <= exact
+        assert any(a == 0 and b == 1 for a, b, _ in got1)  # vec 1 ≡ vec 0
+
     def test_ivf_int_full_probe_equals_brute_force(self, spark, vecs):
         """ivf_int_topk with nprobe=n_centroids ≡ int_dot_topk EXACTLY —
         every comparison is integer, so the equality is bitwise, not
