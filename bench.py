@@ -68,14 +68,12 @@ def bench_crawl(spark: SparkSession, cpus: int) -> dict:
     n_seeds = int(os.environ.get("BENCH_SEEDS", "2000"))
     n_rounds = int(os.environ.get("BENCH_ROUNDS", "3"))
 
-    # Size the bloom to the workload: the config default (1M urls/bucket) is
-    # a 10^9-seen-set deployment figure; at 64 buckets it means building and
-    # OR-merging 115MB of bitmaps per round, which round_timings measured at
-    # ~8s/round — the whole per-round floor — for a corpus that only ever
-    # sees n_rows urls. A real deployment sizes capacity from the A3
-    # approx_count_distinct estimate the same way (4x headroom here).
-    cap = max(4 * n_rows // 64, 4096)
-    cfg = CrawlConfig(round_limit=100_000, num_buckets=64, bloom_bucket_capacity=cap)
+    # bloom_bucket_capacity stays at the default None: the engine now sizes
+    # the filter itself at bootstrap from the A3 approx_count_distinct
+    # estimate riding the store write (4x headroom), persisted in the
+    # bootstrap manifest — the round-2 hand-tuned cap (a 1M default burned
+    # ~8s/round OR-merging 115MB bitmaps for a 200k corpus) is obsolete.
+    cfg = CrawlConfig(round_limit=100_000, num_buckets=64)
     root = tempfile.mkdtemp(prefix="indigo_bench_", dir=scratch_dir())
     state = CrawlState(io=TableIO(spark, root), cfg=cfg)
     timings: dict[str, float] = {}

@@ -26,8 +26,13 @@ class CrawlConfig:
     filter_kind: str = "bloom"        # "bloom" | "cuckoo" | "none"
     bloom_fpr: float = 1e-3
     # expected URLs per pk bucket — fixes bitmap geometry for the crawl
-    # (10^10 URLs / P=256 ⇒ ~4e7; default sized for sandbox benches)
-    bloom_bucket_capacity: int = 1_000_000
+    # (10^10 URLs / P=256 ⇒ ~4e7). None (default) = auto-size at bootstrap
+    # from the A3 approx_count_distinct estimate observed on the store write
+    # (4x headroom), persisted in the bootstrap manifest so every round and
+    # every resume folds bitmaps with the same geometry. Physical knob: any
+    # capacity yields identical crawl results (the filter has no false
+    # negatives and an exact backstop), only different filter cost.
+    bloom_bucket_capacity: int | None = None
     # fold seen deltas into a compacted snapshot every N rounds (0 = never);
     # keeps the exact-membership read from unioning an unbounded dir chain
     seen_compact_every: int = 16

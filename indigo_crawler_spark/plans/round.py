@@ -11,9 +11,9 @@ parse → dedupe → enqueue) re-expressed over ALL tasks at once
     4. fetch      emitted ⋈ page store (broadcast emitted)            [scan + bcast join]
        ∥ seen delta write ∥ EP3 budget fold                           [pool]
     5. extract    html → (text, links) once per page, mapInPandas     [Arrow]
-       ∥ bloom/cuckoo fold ∥ compaction ∥ seen digest                 [pool]
+       ∥ bloom/cuckoo fold ∥ compaction ∥ skew stats                  [pool]
     6. discover   explode links → dedup(min depth) → anti-join seen   [shuffle: url]
-    7. advance    frontier' write → digest → manifest commit          [write]
+    7. advance    frontier' write → one combined digest job → commit  [write]
 
 Scale notes (10^10 frontier, 1000 executors): the frontier never reaches a
 global sort — the only global operation is the bounded top-K (≤round_limit
@@ -27,6 +27,7 @@ because AQE does not skew-split window functions.
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Observation, SparkSession
@@ -87,6 +88,11 @@ def _timer():
 
 
 class _timed:
+    # phases run concurrently on the driver thread pool, so the
+    # read-modify-write accumulation must be atomic (a lost increment makes
+    # bench attribution under-report a phase)
+    _lock = threading.Lock()
+
     def __init__(self, sink, label):
         self.sink, self.label = sink, label
 
@@ -101,9 +107,10 @@ class _timed:
         if self.sink is not None:
             import time
 
-            self.sink[self.label] = round(
-                self.sink.get(self.label, 0.0) + time.monotonic() - self.t0, 3
-            )
+            with _timed._lock:
+                self.sink[self.label] = round(
+                    self.sink.get(self.label, 0.0) + time.monotonic() - self.t0, 3
+                )
         return False
 
 
@@ -124,6 +131,22 @@ class CrawlState:
     io: TableIO
     cfg: CrawlConfig = field(default_factory=CrawlConfig)
     _heavy_n: int | None = field(default=None, init=False, repr=False)
+    _filter_cap: int | None = field(default=None, init=False, repr=False)
+
+    def filter_capacity(self) -> int:
+        """Per-bucket membership-filter capacity: the config override when
+        set, else the A3-derived figure the bootstrap manifest recorded
+        (see ``bootstrap``). Geometry must be identical across every round
+        of a crawl — bitmap merges are pure bitwise OR and never resize —
+        so the derived value is read from the COMMITTED manifest, never
+        re-estimated. Fallback (state dirs bootstrapped before the manifest
+        carried the field): the 10^9-deployment default."""
+        if self.cfg.bloom_bucket_capacity is not None:
+            return self.cfg.bloom_bucket_capacity
+        if self._filter_cap is None:
+            m = self.io.read_manifest("bootstrap") or {}
+            self._filter_cap = int(m.get("bloom_bucket_capacity") or 1_000_000)
+        return self._filter_cap
 
     def frontier(self, r: int) -> DataFrame:
         return self.io.read(f"frontier/round={r}", schemas.FRONTIER)
@@ -305,7 +328,14 @@ def bootstrap(
     pc = (
         _canonicalized(pages)
         .drop("text")
-        .observe(pages_obs, _sum0(F.col("canon_url").isNull()).alias("quarantined"))
+        .observe(
+            pages_obs,
+            _sum0(F.col("canon_url").isNull()).alias("quarantined"),
+            # A3 riding the one full corpus pass: the distinct-URL estimate
+            # that sizes the membership filter (see capacity derivation
+            # below) — zero extra jobs
+            F.approx_count_distinct("canon_url").alias("distinct_urls_est"),
+        )
     )
     pc = pc.where(F.col("canon_url").isNotNull())
     # ONE shuffle: key by pk up front, then dedup on (pk, canon_url) — the
@@ -355,8 +385,10 @@ def bootstrap(
         futs = [
             _w(hc, "host_counts", "host_counts_write"),
             _w(heavy, "heavy_hosts", "heavy_write"),
-            _w(robots, "robots", "dims_write"),
-            _w(host_budgets, "host_budgets", "dims_write"),
+            # unique labels: these two run concurrently on the pool, and a
+            # shared label would interleave two read-modify-writes
+            _w(robots, "robots", "robots_write"),
+            _w(host_budgets, "host_budgets", "budgets_write"),
         ]
 
         # round-0 frontier from seeds: dedup per canon_url keep min seed_rank
@@ -395,10 +427,24 @@ def bootstrap(
     state._heavy_n = n_heavy
     hc.unpersist()
 
+    # A4 sizing from A3: unless the config pins a capacity, the membership
+    # filter's per-bucket geometry derives from the corpus distinct-URL
+    # estimate observed on the store write (4x headroom for discovered URLs
+    # beyond the corpus; floor keeps tiny test crawls out of degenerate
+    # bitmaps). Persisted in the bootstrap manifest so every later round —
+    # including a resumed one — folds bitmaps with the SAME geometry.
+    est = _obs_int(pages_obs, "distinct_urls_est")
+    derived_cap = max(4 * est // max(cfg.num_buckets, 1), 4096)
     payload = {
         "quarantined_pages": _obs_int(pages_obs, "quarantined"),
         "quarantined_seeds": _obs_int(seeds_obs, "quarantined"),
         "n_heavy_hosts": n_heavy,
+        "distinct_urls_est": est,
+        "bloom_bucket_capacity": (
+            cfg.bloom_bucket_capacity
+            if cfg.bloom_bucket_capacity is not None
+            else derived_cap
+        ),
         "config_hash": cfg.config_hash(),
     }
     state.io.write_manifest("bootstrap", payload)
@@ -458,30 +504,36 @@ def run_round(
     # frontier-skew fold: per-host candidate counts over THIS round's gate
     # frame become round R+1's salted-host dimension (link-farm hosts heavy
     # only in the frontier get the two-phase window next round — one round of
-    # lag, never wrong: salting is purely physical). Rides the cached gate
-    # frame; the write overlaps on the pool below. max/heavy counters ride
-    # the same write via observe — zero extra actions.
-    skew_obs = Observation()
-    heavy_next = (
-        gated.groupBy("host")
-        .agg(F.count("*").alias("cand_count"))
-        .observe(
-            skew_obs,
-            F.coalesce(F.max("cand_count"), F.lit(0)).alias("max_host_candidates"),
-            _sum0(F.col("cand_count") > cfg.salt_threshold).alias(
-                "frontier_heavy_next"
-            ),
-        )
-        .where(F.col("cand_count") > cfg.salt_threshold)
-        .select("host")
-    )
+    # lag, never wrong: salting is purely physical). Round-4 serial-floor
+    # shape: ONE single-row stats job on the cached gate frame feeds the
+    # manifest counters, and heavy_hosts_frontier is written ONLY when some
+    # host actually crossed the threshold — a calm round pays a tiny collect
+    # instead of an empty-table write job + file commit every round. Runs on
+    # the pool below (gated's cache is populated by the rank collect first).
+    tm = _timer()
+
+    def _skew_fold() -> tuple[int, int]:
+        with _timed(tm, "skew_fold"):
+            counts = gated.groupBy("host").agg(F.count("*").alias("cand_count"))
+            row = counts.agg(
+                F.coalesce(F.max("cand_count"), F.lit(0)).alias("mx"),
+                _sum0(F.col("cand_count") > cfg.salt_threshold).alias("nh"),
+            ).collect()[0]
+            mx, nh = int(row["mx"]), int(row["nh"])
+            if nh:
+                io.write(
+                    counts.where(F.col("cand_count") > cfg.salt_threshold).select(
+                        "host"
+                    ),
+                    f"heavy_hosts_frontier/round={round_no + 1}",
+                )
+            return mx, nh
 
     # 3. per-host politeness top-B (salted for heavy hosts — J4/W2; the heavy
     #    dimension = bootstrap page counts ∪ round R-1's frontier counts)
     # 4. global cap + sequencing (distributed exact rank; the pk set of the
     #    kept rows — a superset of the emitted pks, equal except when the
     #    global cap bites — falls out of the same collect for store pruning)
-    tm = _timer()
     kept = politeness_topk_skew_aware(
         eligible, cfg, state.heavy_hosts(round_no)
     ).cache()
@@ -490,15 +542,17 @@ def run_round(
             kept, round_no, cfg.round_limit, cfg.batch_size, gather_col="pk"
         )
     n_emitted = min(n_kept, cfg.round_limit)
-    emitted = emitted.cache()
-
     from indigo_crawler_spark.operators.feedback import fetch_status_expr
+
+    # fetch status is SEMANTICS (SEMANTICS.md §Backoff) — computed at ONE
+    # site on the cached emitted frame; fetch_batches, the A7 metrics rollup
+    # and the EP3 budget fold below all reuse the same column
+    emitted = emitted.withColumn("status", fetch_status_expr(cfg)).cache()
 
     fb_obs = Observation()
     fetch_batches = emitted.select(
         "round", "batch_id", "canon_url", "host", "host_hash", "priority",
-        "rank_in_host", "global_rank",
-        fetch_status_expr(cfg).alias("status"),
+        "rank_in_host", "global_rank", "status",
     ).observe(fb_obs, _sum0(F.col("status") == "banned").alias("banned"))
     with _timed(tm, "fetch_batches_write"):
         io.write(fetch_batches, f"fetch_batches/round={round_no}")
@@ -509,9 +563,7 @@ def run_round(
 
     pool = ThreadPoolExecutor(max_workers=4)
     try:
-        f_skew = pool.submit(
-            io.write, heavy_next, f"heavy_hosts_frontier/round={round_no + 1}"
-        )
+        f_skew = pool.submit(_skew_fold)
         seen_delta = emitted.select(
             "canon_url",
             url_hash_expr(F.col("canon_url")).alias("url_hash"),
@@ -530,7 +582,7 @@ def run_round(
         # rows are a TABLE (round_metrics/round=R), not manifest JSON — at
         # 50M hosts a manifest-embedded rollup would be absurd.
         metrics = (
-            emitted.select("host", fetch_status_expr(cfg).alias("status"))
+            emitted.select("host", "status")
             .rollup("host", "status")
             .agg(F.count("*").alias("n"))
         )
@@ -545,9 +597,7 @@ def run_round(
         if cfg.ban_every:
             from indigo_crawler_spark.operators.feedback import fold_backoff
 
-            statuses = emitted.select(
-                "host", fetch_status_expr(cfg).alias("status")
-            )
+            statuses = emitted.select("host", "status")
             budgets_next = fold_backoff(budgets, statuses, round_no, cfg)
             f_budgets = pool.submit(
                 io.write, budgets_next, f"host_budgets/round={round_no + 1}"
@@ -607,7 +657,7 @@ def run_round(
                     merge_blooms,
                 )
 
-                nbits, k = bloom_geometry(cfg.bloom_bucket_capacity, cfg.bloom_fpr)
+                nbits, k = bloom_geometry(state.filter_capacity(), cfg.bloom_fpr)
                 delta_f = build_bloom_delta(seen_delta, nbits, k)
                 merge = merge_blooms
             else:
@@ -617,7 +667,7 @@ def run_round(
                     merge_cuckoos,
                 )
 
-                nbuckets, _ = cuckoo_geometry(cfg.bloom_bucket_capacity)
+                nbuckets, _ = cuckoo_geometry(state.filter_capacity())
                 delta_f = build_cuckoo_delta(seen_delta, nbuckets)
                 merge = merge_cuckoos
             if round_no > 0 and io.exists(prev_filter):
@@ -654,15 +704,6 @@ def run_round(
                     f"seen_compact/upto={round_no}",
                 )
             )
-
-        # C3 (seen half): digest the committed delta while discovery runs
-        from indigo_crawler_spark.plans.lineage import table_digest
-
-        def _d_seen():
-            with _timed(tm, "seen_digest"):
-                return table_digest(io.read(f"seen/round={round_no}", schemas.SEEN))
-
-        f_seen_digest = pool.submit(_d_seen)
 
         # 6. discover children: explode → min-depth dedup → not in seen'/frontier'
         children = extracted.where(F.col("depth") + 1 <= cfg.max_depth).select(
@@ -752,19 +793,33 @@ def run_round(
             )
         )
         fn_obs = Observation()
-        frontier_next = remaining.unionByName(children_full).observe(
-            fn_obs,
-            _sum0(F.col("discovered_round") == round_no + 1).alias("links_new"),
+        frontier_next = (
+            remaining.unionByName(children_full)
+            .observe(
+                fn_obs,
+                _sum0(F.col("discovered_round") == round_no + 1).alias("links_new"),
+            )
+            .cache()
         )
         with _timed(tm, "discover_frontier_write"):
             io.write(frontier_next, f"frontier/round={round_no + 1}")
 
-        # C3 (frontier half) — the seen half has been digesting concurrently
-        with _timed(tm, "frontier_digest"):
-            frontier_digest = table_digest(
-                io.read(f"frontier/round={round_no + 1}", schemas.FRONTIER)
+        # C3 — ONE digest job for BOTH committed tables (round-4 serial-floor
+        # cut: previously the seen digest re-read its committed dir and the
+        # frontier digest re-read frontier/round=R+1 — two extra scan jobs
+        # per round; at a 10^10-row frontier the re-read alone is a full I/O
+        # pass). Both frames are in memory — seen_delta projects the cached
+        # emitted frame, frontier_next was just materialized by its write —
+        # and the writes are deterministic projections of exactly these
+        # frames, so digest-of-intent equals digest-of-file; on resume,
+        # verify_table re-reads the FILES, so a corrupting write is still
+        # caught (earlier, in fact, than file-digesting would).
+        from indigo_crawler_spark.plans.lineage import tables_digest
+
+        with _timed(tm, "tables_digest"):
+            digests = tables_digest(
+                {"seen": seen_delta, "frontier_next": frontier_next}
             )
-        digests = {"seen": f_seen_digest.result(), "frontier_next": frontier_digest}
         if f_filter is not None:
             f_filter.result()
         if f_compact is not None:
@@ -772,14 +827,14 @@ def run_round(
         if f_budgets is not None:
             f_budgets.result()
         f_metrics.result()
-        f_skew.result()
+        max_host_cand, n_heavy_next = f_skew.result()
     finally:
         pool.shutdown(wait=True)
 
     counters = {
         "candidates": _obs_int(gate_obs, "candidates"),
-        "max_host_candidates": _obs_int(skew_obs, "max_host_candidates"),
-        "frontier_heavy_hosts_next": _obs_int(skew_obs, "frontier_heavy_next"),
+        "max_host_candidates": max_host_cand,
+        "frontier_heavy_hosts_next": n_heavy_next,
         "robots_denied": _obs_int(gate_obs, "robots_denied"),
         "backoff_skipped": _obs_int(gate_obs, "backoff_skipped"),
         "budget_deferred": _obs_int(gate_obs, "eligible") - n_kept,
@@ -807,7 +862,7 @@ def run_round(
         # deterministic commit record
         payload = {**payload, "timings": dict(tm)}
 
-    for df in (gated, emitted, extracted):
+    for df in (gated, emitted, extracted, frontier_next):
         df.unpersist()
     return payload
 
