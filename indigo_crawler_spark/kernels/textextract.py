@@ -50,6 +50,15 @@ class _Extractor(HTMLParser):
         self.meta: dict[str, str] = {}
 
     def handle_starttag(self, tag, attrs):
+        if self._in_title and tag != "title":
+            # unclosed <title> (common in truncated real-world HTML —
+            # html.parser does not treat title as CDATA, so no implicit
+            # close happens): title cannot legally contain elements, so any
+            # opening tag ends it here; otherwise the entire remaining
+            # document text would accumulate into the title field. Only the
+            # title view changes — the text/link byte streams are untouched.
+            self._in_title = False
+            self._title_done = True
         if tag in _SKIP_TAGS:
             self._skip_depth += 1
             return

@@ -85,3 +85,50 @@ class TestOps:
         new2, maybe2 = probe_split_cuckoo(cand, filters2)
         assert new2.count() == n_retired  # retired urls now certainly-new
         assert maybe2.count() == 40 - n_retired
+
+    def test_delete_exactness_behind_driver_query(self, spark):
+        """The driver's cuckoo_delete_probe query gained an exact anti-join
+        backstop (production pattern), which makes its oracle check blind to
+        a delete_from_cuckoo that silently deletes nothing (ADVICE r3).
+        This pins deletion exactness at the same dataset/shape the driver
+        uses: after deleting `gone`, (a) deleted keys still probing positive
+        must SHRINK to a small collision residue (a no-op delete keeps all
+        of them positive), and (b) no surviving key may go negative."""
+        from indigo_crawler_spark.functions.keys import url_hash_expr
+        from indigo_crawler_spark.operators.cuckoo_ops import (
+            build_cuckoo_delta,
+            cuckoo_geometry,
+            delete_from_cuckoo,
+            probe_split_cuckoo,
+        )
+
+        orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        keys = (
+            orders.select(F.col("o_custkey").cast("string").alias("key"))
+            .distinct()
+            .withColumn("url_hash", url_hash_expr(F.col("key")))
+            .withColumn("pk", F.pmod(F.xxhash64("key"), F.lit(8)))
+        )
+        nbuckets, _ = cuckoo_geometry(4096)
+        filters = build_cuckoo_delta(keys, nbuckets)
+        gone = keys.join(
+            orders.where(F.col("o_orderstatus") == "F")
+            .select(F.col("o_custkey").cast("string").alias("key"))
+            .distinct(),
+            on="key",
+            how="left_semi",
+        )
+        n_gone = gone.count()
+        assert n_gone > 50  # the probe below must be a real sample
+        _, still = probe_split_cuckoo(keys, delete_from_cuckoo(filters, gone))
+        survivors = keys.join(gone, on="key", how="left_anti")
+        # (a) deletes took effect: at most a small fingerprint-collision
+        # residue of the deleted keys may still probe positive
+        gone_still = still.join(gone, on="key", how="left_semi").count()
+        assert gone_still <= max(2, n_gone // 20), (
+            f"{gone_still}/{n_gone} deleted keys still probe positive — "
+            "delete_from_cuckoo is not actually deleting"
+        )
+        # (b) no false negatives introduced on survivors
+        n_surv = survivors.count()
+        assert still.join(survivors, on="key", how="left_semi").count() == n_surv

@@ -34,6 +34,21 @@ class TestKernelFields:
         assert headings == ["Real"]
         assert meta == {}
 
+    def test_unclosed_title_stops_at_next_tag(self):
+        """Truncated real-world HTML: a <title> that never closes must not
+        swallow the rest of the document — any opening tag ends it (title
+        cannot legally contain elements). The text byte stream is the same
+        with or without the missing </title>."""
+        from indigo_crawler_spark.kernels.textextract import extract_text_and_links
+
+        broken = b"<html><head><title>My Page<body><p>Body text</p><h1>H</h1></body></html>"
+        title, headings, meta = extract_fields(broken)
+        assert title == "My Page"
+        assert headings == ["H"]
+        fixed = broken.replace(b"<title>My Page", b"<title>My Page</title>")
+        assert extract_text_and_links(broken, None)[0] == \
+            extract_text_and_links(fixed, None)[0]
+
     def test_none_and_invalid_utf8(self):
         assert extract_fields(None) == ("", [], {})
         t, h, m = extract_fields(b"<title>ok</title>\xff\xfe")
