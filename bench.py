@@ -14,6 +14,8 @@ Env knobs:
   BENCH_HOSTS          (default 5000)
   BENCH_SEEDS          (default 2000)
   BENCH_ROUNDS         (default 3)
+  BENCH_LH_ROUNDS      (default 24; 0 skips) long-horizon flatness rounds
+  BENCH_LH_PAGES       (default 30000) long-horizon corpus rows
 
 Scaling-efficiency evidence (north rule: N vs 4N executors ≥0.8):
 ``python tools/bench_scaling.py`` runs this same crawl at local[1] and

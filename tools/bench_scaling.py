@@ -164,31 +164,56 @@ def main() -> None:
         tuple(int(c) for c in pair.split(","))
         for pair in args.levels.split(";")
     ]
-    all_cores = sorted({c for pair in pairs for c in pair})
-    results: dict[int, dict] = {}
-    for cores in all_cores:
-        best = None
-        for rep in range(args.reps):
-            time.sleep(10)  # let prior JVM fully die — timings must be isolated
-            print(f"timed run at local[{cores}] (rep {rep + 1}/{args.reps}) ...")
-            out = run_py(
-                WORKLOAD.format(
-                    repo=REPO, cores=cores, corpus=args.corpus, rounds=args.rounds,
-                    budget=args.budget, limit=args.limit,
-                )
-            )
-            line = [ln for ln in out.splitlines() if ln.startswith("RESULT ")][0]
-            r = json.loads(line[len("RESULT "):])
-            print(" ", r)
-            if best is None or r["wall_sec"] < best["wall_sec"]:
-                best = r
-        results[cores] = best
 
+    def timed_run(cores: int, tag: str) -> dict:
+        time.sleep(10)  # let prior JVM fully die — timings must be isolated
+        print(f"timed run at local[{cores}] ({tag}) ...")
+        out = run_py(
+            WORKLOAD.format(
+                repo=REPO, cores=cores, corpus=args.corpus, rounds=args.rounds,
+                budget=args.budget, limit=args.limit,
+            )
+        )
+        line = [ln for ln in out.splitlines() if ln.startswith("RESULT ")][0]
+        r = json.loads(line[len("RESULT "):])
+        print(" ", r)
+        return r
+
+    # INTERLEAVED protocol (build round 4): this VM's speed drifts ±40% on
+    # a tens-of-minutes timescale (hypervisor noise — measured: the same
+    # local[2] run read 159s and 265s ninety minutes apart), so running all
+    # reps of one level and then all reps of the other lets a phase change
+    # masquerade as (anti-)scaling. Instead each rep runs lo then hi
+    # BACK-TO-BACK — the adjacent pair shares its noise environment — and
+    # the reported efficiency is the MEDIAN of the per-rep ratios; the
+    # throughput table still shows the best wall per level.
+    import statistics
+
+    results: dict[int, dict] = {}
+    pair_samples: dict[tuple, list] = {}
+
+    def note(r: dict) -> None:
+        c = r["cores"]
+        if c not in results or r["wall_sec"] < results[c]["wall_sec"]:
+            results[c] = r
+
+    for lo_c, hi_c in pairs:
+        samples = []
+        for rep in range(args.reps):
+            lo = timed_run(lo_c, f"pair {lo_c}->{hi_c}, rep {rep + 1}/{args.reps}")
+            hi = timed_run(hi_c, f"pair {lo_c}->{hi_c}, rep {rep + 1}/{args.reps}")
+            note(lo)
+            note(hi)
+            eff = (hi["throughput"] / lo["throughput"]) / (hi_c / lo_c)
+            print(f"  rep efficiency {lo_c}->{hi_c}: {eff:.3f}")
+            samples.append(eff)
+        pair_samples[(lo_c, hi_c)] = samples
+
+    all_cores = sorted(results)
     effs = []
     for lo_c, hi_c in pairs:
-        lo, hi = results[lo_c], results[hi_c]
-        ratio = hi_c / lo_c
-        effs.append((lo_c, hi_c, ratio, (hi["throughput"] / lo["throughput"]) / ratio))
+        samples = pair_samples[(lo_c, hi_c)]
+        effs.append((lo_c, hi_c, hi_c / lo_c, statistics.median(samples), samples))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(md, "w") as f:
@@ -198,9 +223,9 @@ def main() -> None:
             f"{args.seeds} seeds); timed portion = {args.rounds} steady-state scheduler "
             "rounds (gates → politeness top-k → cap → fetch → extract → discover → "
             f"commit), round_limit={args.limit}, budget={args.budget}, bloom seen-filter. Corpus "
-            "generation and bootstrap are untimed (one-time setup); each level runs "
-            f"in a fresh JVM, serialized, best of {args.reps} reps (this sandbox VM "
-            "shows ±2x wall-clock noise); shuffle + crawl state on tmpfs at ALL "
+            "generation and bootstrap are untimed (one-time setup); every timed run "
+            f"is a fresh JVM, serialized; {args.reps} interleaved lo/hi pair-reps per "
+            "pair, wall table = best per level; shuffle + crawl state on tmpfs at ALL "
             "levels (disk spill is a non-scaling artifact of the sandbox's single "
             "spinning volume). Throughput = URLs processed/sec "
             "(frontier candidates gated+deduped + emitted per round) — the "
@@ -223,18 +248,26 @@ def main() -> None:
                 f"| {r['throughput']} | {r['emitted']} |\n"
             )
         f.write("\n")
-        for lo_c, hi_c, ratio, eff in effs:
+        for lo_c, hi_c, ratio, eff, samples in effs:
             f.write(
                 f"**Scaling efficiency local[{lo_c}] → local[{hi_c}] "
-                f"(N → {ratio:g}N): {eff:.3f}** (target ≥ 0.8, BASELINE.json:2).\n\n"
+                f"(N → {ratio:g}N): {eff:.3f}** — median of "
+                f"{len(samples)} interleaved lo/hi pair-reps "
+                f"(samples: {', '.join(f'{s:.3f}' for s in samples)}); "
+                "each rep runs the two levels back-to-back so both share the "
+                "same machine-noise phase (target ≥ 0.8, BASELINE.json:2).\n\n"
             )
         f.write(
             "Sandbox proxy for the two-cluster-size criterion per driver "
             "instruction (no real cluster available): same job, same input, two "
-            "parallelism levels on the 32-core box.\n"
+            "parallelism levels on the 32-core box. This VM's speed drifts "
+            "±40% on a tens-of-minutes timescale (measured: the same local[2] "
+            "run read 159s and 265s ninety minutes apart), hence the "
+            "interleaved-pair protocol: a level-then-level protocol lets a "
+            "hypervisor phase change masquerade as (anti-)scaling.\n"
         )
-    for lo_c, hi_c, _ratio, eff in effs:
-        print(f"\nefficiency {lo_c}→{hi_c} = {eff:.3f}")
+    for lo_c, hi_c, _ratio, eff, samples in effs:
+        print(f"\nefficiency {lo_c}→{hi_c} = {eff:.3f}  (samples: {samples})")
     print(f"wrote {md}")
     if not args.keep_corpus:
         shutil.rmtree(args.corpus, ignore_errors=True)
