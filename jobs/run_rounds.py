@@ -67,7 +67,12 @@ def main(argv: list[str] | None = None) -> int:
         if args.synthetic:
             from indigo_crawler_spark.sources import synthetic
 
-            n_pages, n_hosts, n_seeds = (int(x) for x in args.synthetic.split(","))
+            # "PAGES" or "PAGES,HOSTS,SEEDS" (defaults: hosts=pages/20,
+            # seeds=pages/40 — the synthetic generator's natural shape)
+            parts = [int(x) for x in args.synthetic.split(",")]
+            n_pages = parts[0]
+            n_hosts = parts[1] if len(parts) > 1 else max(n_pages // 20, 10)
+            n_seeds = parts[2] if len(parts) > 2 else max(n_pages // 40, 5)
             cpus = spark.sparkContext.defaultParallelism
             pages = synthetic.pages_df(spark, n_pages, n_hosts, parallelism=cpus * 2)
             seeds = synthetic.seeds_df(spark, n_pages, n_hosts, n_seeds)

@@ -33,9 +33,9 @@ CFG = CrawlConfig(round_limit=50, num_buckets=16, bloom_bucket_capacity=64)
 N = 3
 
 
-def _bootstrap(spark, root):
+def _bootstrap(spark, root, cfg=CFG):
     fb = fixture_bundle(**TINY)
-    state = CrawlState(io=TableIO(spark, root), cfg=CFG)
+    state = CrawlState(io=TableIO(spark, root), cfg=cfg)
     bootstrap(
         spark,
         pages_df(spark, fb["pages"]),
@@ -91,6 +91,40 @@ def test_kill_mid_round_resume_bit_exact(spark, tmp_path):
     manifests = run_rounds(spark, b, N)
     assert [m["round"] for m in manifests] == [2]
     assert _snapshot(b, N) == ref
+
+
+def test_deep_chain_kill_at_round_17_of_24(spark, tmp_path):
+    """Long-horizon durability: kill mid-round-17 of 24 with compaction
+    every 8 rounds. The resume anchor (round 16) then sits ON a compacted
+    seen snapshot (upto=15) plus one delta — the earlier kill points cover
+    the compaction window itself but not a deep chain anchored past a
+    snapshot — and the recompute must replay rounds 17-23 (including the
+    round-23 compaction) to bit-equality with an uninterrupted run. The
+    small round_limit keeps the frontier from draining before round 24."""
+    n = 24
+    cfg = CrawlConfig(
+        round_limit=6, num_buckets=8, bloom_bucket_capacity=64,
+        seen_compact_every=8,
+    )
+    a = _bootstrap(spark, str(tmp_path / "a"), cfg)
+    run_rounds(spark, a, n)
+    ref = _snapshot(a, n)
+
+    b = _bootstrap(spark, str(tmp_path / "b"), cfg)
+    run_rounds(spark, b, 17)
+    assert last_complete_round(b) == 16
+    assert b.io.is_complete("seen_compact/upto=15")  # anchor is post-snapshot
+    # simulated kill mid-round-17: partial garbage data, NO manifest
+    partial = b.io.path("fetch_batches/round=17")
+    os.makedirs(partial, exist_ok=True)
+    b.io.read("fetch_batches/round=16", schemas.FETCH_BATCHES).limit(2).write.mode(
+        "overwrite"
+    ).parquet(partial)
+
+    manifests = run_rounds(spark, b, n)
+    assert [m["round"] for m in manifests] == list(range(17, n))
+    assert b.io.is_complete("seen_compact/upto=23")  # deep-chain compaction ran
+    assert _snapshot(b, n) == ref
 
 
 def test_rerun_is_idempotent(spark, tmp_path):
