@@ -340,9 +340,9 @@ def _lsh_keyed(df: DataFrame, id_col: str, vec_col: str, planes, dtype: str) -> 
     """(id, rot, bk) rows — one per rotation per vector. Bucket keys derive
     from the vector in one Arrow pass (closure above), but only the id and
     the 8-byte key leave: vectors never ride the exploded bucket shuffle."""
-    udf = _bucket_ids_udf(planes, dtype)
+    buckets = _bucket_ids_udf(planes, dtype)
     return df.select(
-        F.col(id_col), F.posexplode(udf(F.col(vec_col))).alias("rot", "bk")
+        F.col(id_col), F.posexplode(buckets(F.col(vec_col))).alias("rot", "bk")
     )
 
 
