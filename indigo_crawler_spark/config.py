@@ -46,7 +46,21 @@ class CrawlConfig:
     ban_every: int = 0
     backoff_rounds: int = 2
 
+    # capacity is excluded from config_hash: it is pinned PER CRAWL by the
+    # bootstrap manifest (bootstrap records the override or the A3-derived
+    # figure; CrawlState.filter_capacity reads the manifest first), so a
+    # config-default change or a differently-auto-sized rerun must not
+    # refuse to resume a crawl whose results it cannot affect. Everything
+    # else in the dataclass stays in the hash: semantic knobs change
+    # results outright; filter_kind/bloom_fpr change the on-disk filter
+    # geometry mid-chain (folds would merge incompatible bitmaps);
+    # num_buckets changes committed pk values.
+    _HASH_EXCLUDED = ("bloom_bucket_capacity",)
+
     def config_hash(self) -> str:
+        d = {
+            k: v for k, v in asdict(self).items() if k not in self._HASH_EXCLUDED
+        }
         return hashlib.sha256(
-            json.dumps(asdict(self), sort_keys=True).encode()
+            json.dumps(d, sort_keys=True).encode()
         ).hexdigest()[:16]

@@ -260,7 +260,8 @@ def ivf_int_topk(
     centroids (deterministic corpus rows), assignment, and top-k.
 
     Same scale shape as ivf_topk (numpy-closure assignment, id-only
-    candidate join, one corpus shuffle)."""
+    candidate join, one corpus shuffle, broadcast_queries opt-out for
+    corpus-scale query sets)."""
     quant = lambda col: F.transform(  # noqa: E731
         col, lambda x: F.round(x.cast("double") * scale, 0).cast("long")
     )
@@ -320,16 +321,34 @@ def _bucket_ids_udf(planes: list[list[list]], dtype: str):
     from pyspark.sql.types import ArrayType, LongType
 
     tensor = np.asarray(planes, dtype=dtype)  # (R, B, D)
+    dim = tensor.shape[2]
     weights = 1 << np.arange(tensor.shape[1], dtype=np.int64)  # (B,)
+    zeros = np.zeros(dim, dtype=dtype)
+
+    def _safe(v):
+        # NULL / ragged / null-element vectors must not kill the task: the
+        # column-expression fold gives proj=NULL → bit 0 → bucket 0 for
+        # them (so does the SQL mirror), and the exact verify drops the row
+        # anyway; reproduce that instead of letting np.stack raise
+        if v is None:
+            return None
+        try:
+            a = np.asarray(v, dtype=dtype)
+        except (TypeError, ValueError):
+            return None
+        return a if a.shape == (dim,) else None
 
     @pandas_udf(ArrayType(LongType()))
     def buckets(vecs: pd.Series) -> pd.Series:
         out = []
         arrs = vecs.to_numpy()
         for lo in range(0, len(arrs), 1024):
-            block = np.stack(arrs[lo : lo + 1024]).astype(dtype, copy=False)
+            chunk = [_safe(v) for v in arrs[lo : lo + 1024]]
+            ok = np.array([v is not None for v in chunk], dtype=bool)
+            block = np.stack([v if v is not None else zeros for v in chunk])
             proj = np.einsum("rbd,nd->nrb", tensor, block)  # (N, R, B)
             ids = ((proj >= 0) * weights).sum(axis=2).astype(np.int64)
+            ids[~ok] = 0  # NULL-fold parity with the expression/SQL paths
             out.extend(list(ids))
         return pd.Series(out)
 

@@ -134,18 +134,23 @@ class CrawlState:
     _filter_cap: int | None = field(default=None, init=False, repr=False)
 
     def filter_capacity(self) -> int:
-        """Per-bucket membership-filter capacity: the config override when
-        set, else the A3-derived figure the bootstrap manifest recorded
-        (see ``bootstrap``). Geometry must be identical across every round
-        of a crawl — bitmap merges are pure bitwise OR and never resize —
-        so the derived value is read from the COMMITTED manifest, never
-        re-estimated. Fallback (state dirs bootstrapped before the manifest
-        carried the field): the 10^9-deployment default."""
-        if self.cfg.bloom_bucket_capacity is not None:
-            return self.cfg.bloom_bucket_capacity
+        """Per-bucket membership-filter capacity. Geometry must be identical
+        across every round of a crawl — bitmap merges are pure bitwise OR
+        and never resize — so the COMMITTED bootstrap manifest is
+        authoritative: it records the config override or the A3-derived
+        figure at bootstrap time (see ``bootstrap``), and later rounds —
+        including resumes under a different config default or a
+        differently-sized rerun — read that, never re-derive. (This is also
+        why capacity sits outside config_hash.) Fallbacks, in order: the
+        config value (pre-bootstrap / manifest-less state), then the
+        10^9-deployment default for state dirs bootstrapped before the
+        manifest carried the field."""
         if self._filter_cap is None:
             m = self.io.read_manifest("bootstrap") or {}
-            self._filter_cap = int(m.get("bloom_bucket_capacity") or 1_000_000)
+            cap = m.get("bloom_bucket_capacity")
+            if cap is None:
+                cap = self.cfg.bloom_bucket_capacity or 1_000_000
+            self._filter_cap = int(cap)
         return self._filter_cap
 
     def frontier(self, r: int) -> DataFrame:
@@ -556,10 +561,16 @@ def run_round(
     ).observe(fb_obs, _sum0(F.col("status") == "banned").alias("banned"))
     with _timed(tm, "fetch_batches_write"):
         io.write(fetch_batches, f"fetch_batches/round={round_no}")
-    # emitted is materialized now; the ranker's range-partitioned cache must
-    # not outlive it (recompute would re-sample bounds → stale offsets)
-    rank_cache.unpersist()
-    kept.unpersist()
+    # emitted is materialized now, but rank_cache/kept stay persisted until
+    # END of round: every later consumer of `emitted` (seen write, digest,
+    # metrics, budget fold, the extract join) reads the cache, and on a real
+    # cluster a lost cache block triggers recompute through the ranker —
+    # which re-samples range bounds and would produce DIFFERENT ranks than
+    # the frozen offsets if rank_cache were already gone (silent divergence
+    # between committed tables). While rank_cache lives, recompute replays
+    # the exact partition layout the offsets were collected from. Residual
+    # (double-loss of both caches mid-round) surfaces as a digest-verify
+    # refusal on resume — fail-loud, never silent.
 
     pool = ThreadPoolExecutor(max_workers=4)
     try:
@@ -862,7 +873,7 @@ def run_round(
         # deterministic commit record
         payload = {**payload, "timings": dict(tm)}
 
-    for df in (gated, emitted, extracted, frontier_next):
+    for df in (gated, emitted, extracted, frontier_next, rank_cache, kept):
         df.unpersist()
     return payload
 

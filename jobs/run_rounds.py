@@ -5,7 +5,7 @@
         jobs/run_rounds.py --state-dir /data/crawl --rounds 10 \\
         [--pages /data/pages.parquet --seeds /data/seeds.parquet \\
          --robots /data/robots.parquet --budgets /data/budgets.parquet] \\
-        [--synthetic PAGES,HOSTS,SEEDS]
+        [--synthetic PAGES[,HOSTS[,SEEDS]]]
 
 Bootstraps on first run (state dir has no bootstrap manifest), then runs /
 resumes scheduler rounds up to --rounds. Killing the job at any point is
@@ -27,7 +27,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--seeds")
     ap.add_argument("--robots")
     ap.add_argument("--budgets")
-    ap.add_argument("--synthetic", help="PAGES,HOSTS,SEEDS deterministic corpus")
+    ap.add_argument(
+        "--synthetic",
+        help="deterministic corpus: PAGES or PAGES,HOSTS or PAGES,HOSTS,SEEDS "
+        "(defaults: hosts=pages/20, seeds=pages/40)",
+    )
     ap.add_argument("--round-limit", type=int, default=100_000)
     ap.add_argument("--num-buckets", type=int, default=256)
     ap.add_argument("--default-budget", type=int, default=8)

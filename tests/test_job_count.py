@@ -39,6 +39,9 @@ def _job_counter(spark) -> int:
 
 @pytest.fixture(scope="module")
 def state(spark, tmp_path_factory):
+    """Bootstrapped state with round 0 already run and round 1 run inside a
+    job-counter window — both tests below read from this, so each is
+    meaningful standalone."""
     cfg = CrawlConfig(round_limit=50, num_buckets=16)
     fb = fixture_bundle(**TINY)
     st = CrawlState(io=TableIO(spark, str(tmp_path_factory.mktemp("jobs"))), cfg=cfg)
@@ -50,14 +53,15 @@ def state(spark, tmp_path_factory):
         budgets_df(spark, fb["host_budgets"]),
         st,
     )
+    run_round(spark, st, 0)  # warm: round 1 is the steady-state shape
+    before = _job_counter(spark)
+    run_round(spark, st, 1)
+    st.round1_jobs = _job_counter(spark) - before
     return st
 
 
-def test_round_job_count_pinned(spark, state):
-    run_round(spark, state, 0)  # warm: round 1 is the steady-state shape
-    before = _job_counter(spark)
-    run_round(spark, state, 1)
-    jobs = _job_counter(spark) - before
+def test_round_job_count_pinned(state):
+    jobs = state.round1_jobs
     print(f"round 1 submitted {jobs} Spark jobs")
     assert jobs <= MAX_ROUND_JOBS, (
         f"round submitted {jobs} jobs > pinned {MAX_ROUND_JOBS}: a new driver "

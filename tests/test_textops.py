@@ -443,6 +443,26 @@ class TestSimilarity:
         }
         assert fgot == fwant
 
+    def test_lsh_bucket_closure_tolerates_null_and_ragged(self, spark):
+        """A NULL or wrong-length embedding must bucket to 0 (the
+        expression fold's NULL semantics — and what the SQL mirror
+        computes), not kill the Arrow task."""
+        from indigo_crawler_spark.operators.similarity import (
+            _hyperplanes,
+            _lsh_keyed,
+        )
+
+        rows = [(0, [0.5] * 8), (1, None), (2, [0.5] * 5)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = {
+            r["vec_id"]: r["bk"]
+            for r in _lsh_keyed(
+                df, "vec_id", "embedding", [_hyperplanes(8, 4, 0)], "float64"
+            ).collect()
+        }
+        assert got[1] == 0 and got[2] == 0
+        assert got[0] != 0  # all-positive vector crosses no hyperplane at 0
+
     def test_lsh_plan_size_bounded_at_realistic_dims(self, spark):
         """dim=768 × bits=16 × rotations=2 must NOT inflate the plan: the
         plane tensor lives in the UDF closure (one numpy array), not as
