@@ -64,3 +64,15 @@ class CrawlConfig:
         return hashlib.sha256(
             json.dumps(d, sort_keys=True).encode()
         ).hexdigest()[:16]
+
+    def config_hash_legacy(self, bloom_bucket_capacity: int | None) -> str:
+        """Pre-exclusion hash scheme (full asdict, capacity included).
+        Manifests committed before capacity left the hash carry this form;
+        resume accepts it — recomputed with the capacity the crawl's
+        bootstrap manifest pinned, since that is the value the legacy config
+        necessarily held — so the exclusion change itself can never trigger
+        the refusal it was meant to avoid."""
+        d = {**asdict(self), "bloom_bucket_capacity": bloom_bucket_capacity}
+        return hashlib.sha256(
+            json.dumps(d, sort_keys=True).encode()
+        ).hexdigest()[:16]

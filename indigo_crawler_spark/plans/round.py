@@ -304,6 +304,22 @@ def _canonicalized(df: DataFrame, url_col: str = "url") -> DataFrame:
     return df.withColumn("canon_url", canonicalize_udf(F.col(url_col)))
 
 
+def derived_filter_capacity(distinct_urls_est: int, cfg: CrawlConfig) -> int:
+    """A4 sizing from A3: per-bucket filter capacity from the corpus
+    distinct-URL estimate. Headroom over the estimate because the seen set
+    accumulates EVERY emitted url — including discovered ones outside the
+    corpus — and geometry is frozen per crawl (bitmap folds never resize).
+    Bloom overflow is graceful (FPR rises, the exact backstop absorbs it),
+    so 4x suffices; cuckoo overflow is a hard mid-crawl failure (insert
+    refusal raises rather than manufacture false negatives, cuckoo_ops.py:38)
+    and the table degrades near full occupancy, so the cuckoo derivation
+    doubles the headroom to 8x. A crawl expected to discover far beyond that
+    must pin cfg.bloom_bucket_capacity explicitly before bootstrap. The
+    floor keeps tiny test crawls out of degenerate bitmaps."""
+    headroom = 8 if cfg.filter_kind == "cuckoo" else 4
+    return max(headroom * distinct_urls_est // max(cfg.num_buckets, 1), 4096)
+
+
 def bootstrap(
     spark: SparkSession,
     pages: DataFrame,
@@ -439,7 +455,7 @@ def bootstrap(
     # bitmaps). Persisted in the bootstrap manifest so every later round —
     # including a resumed one — folds bitmaps with the SAME geometry.
     est = _obs_int(pages_obs, "distinct_urls_est")
-    derived_cap = max(4 * est // max(cfg.num_buckets, 1), 4096)
+    derived_cap = derived_filter_capacity(est, cfg)
     payload = {
         "quarantined_pages": _obs_int(pages_obs, "quarantined"),
         "quarantined_seeds": _obs_int(seeds_obs, "quarantined"),
@@ -822,15 +838,23 @@ def run_round(
         # pass). Both frames are in memory — seen_delta projects the cached
         # emitted frame, frontier_next was just materialized by its write —
         # and the writes are deterministic projections of exactly these
-        # frames, so digest-of-intent equals digest-of-file; on resume,
-        # verify_table re-reads the FILES, so a corrupting write is still
-        # caught (earlier, in fact, than file-digesting would).
+        # frames, so digest-of-intent equals digest-of-file; the footer
+        # cross-check before the manifest commit (below) catches a write
+        # that failed to materialize them, and resume's verify_table
+        # re-reads the FILES for full content verification. Round-5
+        # serial-floor cut: the digest job overlaps the still-draining
+        # filter/compact/budget/metrics futures on the pool instead of
+        # sitting serially between the frontier write and the joins — it
+        # reads only cached frames, so ordering is free.
         from indigo_crawler_spark.plans.lineage import tables_digest
 
-        with _timed(tm, "tables_digest"):
-            digests = tables_digest(
-                {"seen": seen_delta, "frontier_next": frontier_next}
-            )
+        def _digest() -> dict:
+            with _timed(tm, "tables_digest"):
+                return tables_digest(
+                    {"seen": seen_delta, "frontier_next": frontier_next}
+                )
+
+        f_digest = pool.submit(_digest)
         if f_filter is not None:
             f_filter.result()
         if f_compact is not None:
@@ -838,9 +862,34 @@ def run_round(
         if f_budgets is not None:
             f_budgets.result()
         f_metrics.result()
+        digests = f_digest.result()
         max_host_cand, n_heavy_next = f_skew.result()
     finally:
         pool.shutdown(wait=True)
+
+    # Commit-time materialization cross-check (closes the digest-of-intent
+    # gap): the digests fingerprint the in-memory frames; before the manifest
+    # publishes the round, verify the files just written actually hold that
+    # many rows. Parquet footer metadata only — a driver-side walk, zero
+    # Spark jobs — so a torn or short write refuses the commit NOW instead
+    # of surfacing at the next resume's file re-read.
+    for name, table, expected in (
+        ("seen", f"seen/round={round_no}", digests["seen"]["rows"]),
+        (
+            "frontier_next",
+            f"frontier/round={round_no + 1}",
+            digests["frontier_next"]["rows"],
+        ),
+        ("fetch_batches", f"fetch_batches/round={round_no}", n_emitted),
+    ):
+        on_disk = io.file_row_count(table)
+        if on_disk is not None and on_disk != expected:
+            raise RuntimeError(
+                f"write cross-check failed for {table}: parquet footers hold "
+                f"{on_disk} rows but the round observed {expected} — the "
+                f"write did not faithfully materialize; refusing to commit "
+                f"round {round_no}"
+            )
 
     counters = {
         "candidates": _obs_int(gate_obs, "candidates"),
@@ -919,7 +968,17 @@ def run_rounds(
                     f"lineage digest mismatch at resume anchor round {done}; "
                     "committed state is corrupt — refusing to resume"
                 )
-        if m.get("config_hash") not in (None, state.cfg.config_hash()):
+        # accepted hashes: the current scheme, plus the legacy pre-capacity-
+        # exclusion scheme reconstructed with the capacity the bootstrap
+        # manifest pinned (a state dir committed under the old scheme must
+        # stay resumable — the capacity exclusion cannot change semantics)
+        bm = state.io.read_manifest("bootstrap") or {}
+        accepted = {
+            None,
+            state.cfg.config_hash(),
+            state.cfg.config_hash_legacy(bm.get("bloom_bucket_capacity")),
+        }
+        if m.get("config_hash") not in accepted:
             raise RuntimeError(
                 "config_hash mismatch: resuming with different semantics is not allowed"
             )

@@ -129,6 +129,27 @@ class TableIO:
             return self.spark.catalog.tableExists(self._ident(table))
         return self._exists(self.path(table))
 
+    def file_row_count(self, table: str) -> int | None:
+        """Committed row count straight from the parquet footers — a
+        driver-side metadata walk, zero Spark jobs — for the commit-time
+        write cross-check. None when not cheaply countable (iceberg backend,
+        where the snapshot commit is already atomic, or a missing dir)."""
+        if self.fmt == "iceberg":
+            return None
+        p = self.path(table)
+        if not os.path.isdir(p):
+            return None
+        import pyarrow.parquet as pq
+
+        total = 0
+        for dirpath, _dirs, files in os.walk(p):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += pq.ParquetFile(
+                        os.path.join(dirpath, f)
+                    ).metadata.num_rows
+        return total
+
     def is_complete(self, table: str) -> bool:
         """True iff *table* finished writing. Parquet backend: Spark's
         _SUCCESS marker distinguishes a committed snapshot from a dir a

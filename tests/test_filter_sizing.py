@@ -58,6 +58,24 @@ def test_config_override_wins(spark, tmp_path):
     assert st.filter_capacity() == 32
 
 
+def test_cuckoo_headroom_doubled():
+    """The cuckoo derivation doubles the headroom (8x vs bloom's 4x): cuckoo
+    overflow is a hard mid-crawl failure with per-crawl-frozen geometry,
+    while bloom overflow only raises FPR against the exact backstop
+    (ADVICE r4: discovered URLs beyond the corpus estimate accumulate in
+    the seen set)."""
+    from indigo_crawler_spark.plans.round import derived_filter_capacity
+
+    bloom = CrawlConfig(num_buckets=16)
+    cuckoo = CrawlConfig(num_buckets=16, filter_kind="cuckoo")
+    est = 100_000
+    assert derived_filter_capacity(est, bloom) == 4 * est // 16
+    assert derived_filter_capacity(est, cuckoo) == 8 * est // 16
+    # the floor still wins for tiny crawls, either kind
+    assert derived_filter_capacity(10, bloom) == 4096
+    assert derived_filter_capacity(10, cuckoo) == 4096
+
+
 def test_legacy_manifest_falls_back(spark, tmp_path):
     # a state dir bootstrapped before the manifest carried the field must
     # keep the old default rather than crash or silently resize

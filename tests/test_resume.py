@@ -153,3 +153,53 @@ def test_resume_refuses_config_change(spark, tmp_path):
     other = CrawlState(io=a.io, cfg=CrawlConfig(round_limit=7, num_buckets=16))
     with pytest.raises(RuntimeError, match="config_hash mismatch"):
         run_rounds(spark, other, 3)
+
+
+def test_resume_accepts_legacy_config_hash(spark, tmp_path):
+    """A state dir whose manifests carry the PRE-capacity-exclusion hash
+    (full asdict including bloom_bucket_capacity) must stay resumable under
+    the same semantics — the hash-scheme change itself must never trigger
+    the mismatch refusal it was introduced to avoid (ADVICE r4)."""
+    a = _bootstrap(spark, str(tmp_path / "a"))
+    run_rounds(spark, a, 2)
+    cap = a.io.read_manifest("bootstrap")["bloom_bucket_capacity"]
+    legacy = CFG.config_hash_legacy(cap)
+    assert legacy != CFG.config_hash()  # the schemes genuinely differ
+    for r in range(2):
+        m = a.io.read_manifest(f"round_{r:05d}")
+        m["config_hash"] = legacy
+        a.io.write_manifest(f"round_{r:05d}", m)
+    fresh = CrawlState(io=TableIO(spark, str(tmp_path / "a")), cfg=CFG)
+    manifests = run_rounds(spark, fresh, N)  # must not refuse
+    assert [m["round"] for m in manifests] == [2]
+
+
+def test_corrupt_write_refuses_commit(spark, tmp_path):
+    """Commit-time materialization cross-check: a write that loses rows on
+    the way to disk must refuse the round's manifest AT COMMIT TIME (parquet
+    footer counts vs the observed frame counts), not at the next resume's
+    file re-read."""
+    st = _bootstrap(spark, str(tmp_path / "c"))
+    io = st.io
+    orig_write = io.write
+
+    def torn_write(df, table, partition_by=None):
+        orig_write(df, table, partition_by=partition_by)
+        if table == "seen/round=0":
+            # simulate a torn write: drop one NON-EMPTY committed part file
+            # while _SUCCESS stays — exactly the corruption the digest-of-
+            # intent protocol alone would only catch at the next resume
+            import pyarrow.parquet as pq
+
+            p = io.path(table)
+            for f in sorted(os.listdir(p)):
+                fp = os.path.join(p, f)
+                if f.endswith(".parquet") and pq.ParquetFile(fp).metadata.num_rows:
+                    os.remove(fp)
+                    return
+            raise AssertionError("no non-empty part file to corrupt")
+
+    io.write = torn_write
+    with pytest.raises(RuntimeError, match="write cross-check failed"):
+        run_rounds(spark, st, 1)
+    assert st.io.read_manifest("round_00000") is None  # nothing committed
