@@ -87,6 +87,30 @@ def _timer():
     return {}
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _no_aqe(spark: SparkSession):
+    """AQE off for the round's SERIAL PREFIX (gate pass → salted politeness
+    window → distributed rank collect → fetch_batches write). Every join and
+    shuffle on that path is already explicitly engineered — broadcast /
+    SHUFFLE_HASH hints, explicit skew salting, fixed shuffle partitions,
+    repartitionByRange — so adaptive re-planning cannot change the strategy;
+    it only multiplies the path into per-stage driver jobs, each a serial
+    driver round-trip at 1000 executors (measured: the rank collect alone
+    submitted 11 jobs under AQE, 2 without). Race-free because the prefix
+    runs before the round's thread pool spins up, and the session conf is
+    restored before any concurrent query plans. The big variable-shape
+    queries later in the round (discovery joins, frontier write) keep AQE."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
 class _timed:
     # phases run concurrently on the driver thread pool, so the
     # read-modify-write accumulation must be atomic (a lost increment makes
@@ -555,28 +579,29 @@ def run_round(
     # 4. global cap + sequencing (distributed exact rank; the pk set of the
     #    kept rows — a superset of the emitted pks, equal except when the
     #    global cap bites — falls out of the same collect for store pruning)
-    kept = politeness_topk_skew_aware(
-        eligible, cfg, state.heavy_hosts(round_no)
-    ).cache()
-    with _timed(tm, "gates_rank_collect"):
-        emitted, n_kept, kept_pks, rank_cache = sequence_batches(
-            kept, round_no, cfg.round_limit, cfg.batch_size, gather_col="pk"
-        )
-    n_emitted = min(n_kept, cfg.round_limit)
-    from indigo_crawler_spark.operators.feedback import fetch_status_expr
+    with _no_aqe(spark):
+        kept = politeness_topk_skew_aware(
+            eligible, cfg, state.heavy_hosts(round_no)
+        ).cache()
+        with _timed(tm, "gates_rank_collect"):
+            emitted, n_kept, kept_pks, rank_cache = sequence_batches(
+                kept, round_no, cfg.round_limit, cfg.batch_size, gather_col="pk"
+            )
+        n_emitted = min(n_kept, cfg.round_limit)
+        from indigo_crawler_spark.operators.feedback import fetch_status_expr
 
-    # fetch status is SEMANTICS (SEMANTICS.md §Backoff) — computed at ONE
-    # site on the cached emitted frame; fetch_batches, the A7 metrics rollup
-    # and the EP3 budget fold below all reuse the same column
-    emitted = emitted.withColumn("status", fetch_status_expr(cfg)).cache()
+        # fetch status is SEMANTICS (SEMANTICS.md §Backoff) — computed at ONE
+        # site on the cached emitted frame; fetch_batches, the A7 metrics
+        # rollup and the EP3 budget fold below all reuse the same column
+        emitted = emitted.withColumn("status", fetch_status_expr(cfg)).cache()
 
-    fb_obs = Observation()
-    fetch_batches = emitted.select(
-        "round", "batch_id", "canon_url", "host", "host_hash", "priority",
-        "rank_in_host", "global_rank", "status",
-    ).observe(fb_obs, _sum0(F.col("status") == "banned").alias("banned"))
-    with _timed(tm, "fetch_batches_write"):
-        io.write(fetch_batches, f"fetch_batches/round={round_no}")
+        fb_obs = Observation()
+        fetch_batches = emitted.select(
+            "round", "batch_id", "canon_url", "host", "host_hash", "priority",
+            "rank_in_host", "global_rank", "status",
+        ).observe(fb_obs, _sum0(F.col("status") == "banned").alias("banned"))
+        with _timed(tm, "fetch_batches_write"):
+            io.write(fetch_batches, f"fetch_batches/round={round_no}")
     # emitted is materialized now, but rank_cache/kept stay persisted until
     # END of round: every later consumer of `emitted` (seen write, digest,
     # metrics, budget fold, the extract join) reads the cache, and on a real

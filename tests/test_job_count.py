@@ -26,11 +26,15 @@ from indigo_crawler_spark.sources.fixture_df import (
 )
 from indigo_crawler_spark.sources.table_io import TableIO
 
-# jobs a steady-state round may submit (measured 43 on local[4] at the r4
-# round shape; AQE re-planning makes several physical jobs per logical
-# action, so this bounds the *product* of actions x AQE stages — still a
-# faithful tripwire for "a new driver action slipped into the round path")
-MAX_ROUND_JOBS = 48
+# jobs a steady-state round may submit (measured 36 on local[4] at the r5
+# round shape — down from 43 after the serial prefix went AQE-free, see
+# plans/round.py::_no_aqe; AQE re-planning still makes several physical jobs
+# per logical action on the AQE-on remainder, so this bounds the *product*
+# of actions x AQE stages — a faithful tripwire for "a new driver action
+# slipped into the round path". The constant is calibrated on this repo's
+# test session (local[4], AQE on); it is a regression tripwire, not a
+# portability contract.
+MAX_ROUND_JOBS = 40
 
 
 def _job_counter(spark) -> int:
