@@ -57,6 +57,13 @@ class _Extractor(HTMLParser):
             # opening tag ends it here; otherwise the entire remaining
             # document text would accumulate into the title field. Only the
             # title view changes — the text/link byte streams are untouched.
+            # Known fidelity tradeoff (ADVICE r4): a well-formed RCDATA-style
+            # title containing markup (<title>a <b>c</b></title>, which
+            # browsers keep verbatim as title text) is truncated at the first
+            # inner tag ("a", not "a c"). Accepted: that shape is rare and
+            # benign, while the runaway-title failure swallowed whole
+            # documents; the oracle shares this kernel, so engine and oracle
+            # agree either way.
             self._in_title = False
             self._title_done = True
         if tag in _SKIP_TAGS:
