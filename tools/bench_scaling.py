@@ -200,8 +200,20 @@ def main() -> None:
     for lo_c, hi_c in pairs:
         samples = []
         for rep in range(args.reps):
-            lo = timed_run(lo_c, f"pair {lo_c}->{hi_c}, rep {rep + 1}/{args.reps}")
-            hi = timed_run(hi_c, f"pair {lo_c}->{hi_c}, rep {rep + 1}/{args.reps}")
+            # ABBA order alternation: odd reps run lo→hi, even reps hi→lo.
+            # Back-to-back pairing cancels a phase CHANGE between reps, but a
+            # monotonic drift WITHIN the ~10-minute pair still biases
+            # whichever level runs second; alternating the order makes that
+            # bias cancel in the median instead of accumulating one-sided
+            # (measured: lo-first-only reps spread 0.705-0.920 on a drifting
+            # afternoon vs 0.873-0.894 on a calm one).
+            tag = f"pair {lo_c}->{hi_c}, rep {rep + 1}/{args.reps}"
+            if rep % 2 == 0:
+                lo = timed_run(lo_c, tag)
+                hi = timed_run(hi_c, tag)
+            else:
+                hi = timed_run(hi_c, tag + " (hi first)")
+                lo = timed_run(lo_c, tag)
             note(lo)
             note(hi)
             eff = (hi["throughput"] / lo["throughput"]) / (hi_c / lo_c)
