@@ -892,30 +892,6 @@ def run_round(
     finally:
         pool.shutdown(wait=True)
 
-    # Commit-time materialization cross-check (closes the digest-of-intent
-    # gap): the digests fingerprint the in-memory frames; before the manifest
-    # publishes the round, verify the files just written actually hold that
-    # many rows. Parquet footer metadata only — a driver-side walk, zero
-    # Spark jobs — so a torn or short write refuses the commit NOW instead
-    # of surfacing at the next resume's file re-read.
-    for name, table, expected in (
-        ("seen", f"seen/round={round_no}", digests["seen"]["rows"]),
-        (
-            "frontier_next",
-            f"frontier/round={round_no + 1}",
-            digests["frontier_next"]["rows"],
-        ),
-        ("fetch_batches", f"fetch_batches/round={round_no}", n_emitted),
-    ):
-        on_disk = io.file_row_count(table)
-        if on_disk is not None and on_disk != expected:
-            raise RuntimeError(
-                f"write cross-check failed for {table}: parquet footers hold "
-                f"{on_disk} rows but the round observed {expected} — the "
-                f"write did not faithfully materialize; refusing to commit "
-                f"round {round_no}"
-            )
-
     counters = {
         "candidates": _obs_int(gate_obs, "candidates"),
         "max_host_candidates": max_host_cand,
@@ -934,6 +910,28 @@ def run_round(
         import sys
 
         print(f"ROUND_TIMINGS round={round_no} {tm}", file=sys.stderr)
+
+    # Commit-time materialization cross-check (closes the digest-of-intent
+    # gap): the digests fingerprint the in-memory frames; before the manifest
+    # publishes the round, verify the files just written actually hold that
+    # many rows. Parquet footer metadata only — a driver-side walk, zero
+    # Spark jobs — so a torn or short write refuses the commit NOW instead
+    # of surfacing at the next resume's file re-read.
+    for table, expected in (
+        (f"seen/round={round_no}", digests["seen"]["rows"]),
+        (f"frontier/round={round_no + 1}", digests["frontier_next"]["rows"]),
+        (f"fetch_batches/round={round_no}", n_emitted),
+        (f"fetched_text/round={round_no}", counters["fetched_pages"]),
+    ):
+        on_disk = io.file_row_count(table)
+        if on_disk is not None and on_disk != expected:
+            raise RuntimeError(
+                f"write cross-check failed for {table}: parquet footers hold "
+                f"{on_disk} rows but the round observed {expected} — the "
+                f"write did not faithfully materialize; refusing to commit "
+                f"round {round_no}"
+            )
+
     payload = {
         "round": round_no,
         "counters": counters,
