@@ -950,6 +950,45 @@ def run_round(
     return payload
 
 
+def fsck(state: CrawlState) -> dict:
+    """Offline full-content verification of EVERY committed round (the EP2
+    resume check verifies only the anchor round): recompute each round's
+    seen / next-frontier lineage digests from the FILES on disk and compare
+    to the manifests — all tables in ONE Spark job (tables_digest over a
+    tagged union). Returns {round: {"seen": ok, "frontier_next": ok}};
+    clean iff every flag is True. This is the operator tool for suspected
+    storage faults — at a 10^10-row frontier it re-reads the whole committed
+    chain, so it is on-demand, never a per-round step (the per-round
+    protection is the commit-time footer cross-check + the resume anchor
+    verify)."""
+    from indigo_crawler_spark.plans.lineage import tables_digest
+
+    expected: dict[int, dict] = {}
+    frames: dict[str, DataFrame] = {}
+    for name in state.io.list_manifests():
+        if not name.startswith("round_"):
+            continue
+        r = int(name.split("_")[1])
+        d = (state.io.read_manifest(name) or {}).get("digests") or {}
+        if not d:
+            continue
+        expected[r] = d
+        frames[f"seen_{r}"] = state.io.read(f"seen/round={r}", schemas.SEEN)
+        frames[f"frontier_{r}"] = state.io.read(
+            f"frontier/round={r + 1}", schemas.FRONTIER
+        )
+    if not frames:
+        return {}
+    got = tables_digest(frames)
+    return {
+        r: {
+            "seen": got[f"seen_{r}"] == d["seen"],
+            "frontier_next": got[f"frontier_{r}"] == d["frontier_next"],
+        }
+        for r, d in expected.items()
+    }
+
+
 def last_complete_round(state: CrawlState) -> int | None:
     """EP2 resume anchor: max round with a committed manifest, else None."""
     rounds = [

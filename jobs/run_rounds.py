@@ -22,7 +22,13 @@ import sys
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--state-dir", required=True)
-    ap.add_argument("--rounds", type=int, required=True)
+    ap.add_argument("--rounds", type=int, default=None)
+    ap.add_argument(
+        "--fsck", action="store_true",
+        help="verify EVERY committed round's lineage digests against the "
+        "files on disk (one Spark job), print the report, and exit nonzero "
+        "on any mismatch; no rounds are run",
+    )
     ap.add_argument("--pages")
     ap.add_argument("--seeds")
     ap.add_argument("--robots")
@@ -47,6 +53,8 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument("--no-counters", action="store_true")
     args = ap.parse_args(argv)
+    if args.rounds is None and not args.fsck:
+        ap.error("--rounds is required unless --fsck")
 
     from pyspark.sql import SparkSession
 
@@ -66,6 +74,20 @@ def main(argv: list[str] | None = None) -> int:
         backoff_rounds=args.backoff_rounds,
     )
     state = CrawlState(io=TableIO(spark, args.state_dir), cfg=cfg)
+
+    if args.fsck:
+        import json
+
+        from indigo_crawler_spark.plans.round import fsck
+
+        report = fsck(state)
+        print(json.dumps(report, sort_keys=True))
+        bad = [r for r, v in report.items() if not all(v.values())]
+        if bad:
+            print(f"fsck: corruption in round(s) {sorted(bad)}", file=sys.stderr)
+            return 2
+        print(f"fsck: {len(report)} committed rounds verified clean")
+        return 0
 
     if state.io.read_manifest("bootstrap") is None:
         if args.synthetic:

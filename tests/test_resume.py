@@ -174,6 +174,35 @@ def test_resume_accepts_legacy_config_hash(spark, tmp_path):
     assert [m["round"] for m in manifests] == [2]
 
 
+def test_fsck_catches_old_round_corruption(spark, tmp_path):
+    """`fsck` verifies the WHOLE committed chain in one Spark job — the
+    resume path only verifies the anchor round, so corruption in an OLD
+    round's files (behind its manifest) is invisible to resume but must be
+    flagged by fsck, round-exactly."""
+    from indigo_crawler_spark.plans.round import fsck
+
+    a = _bootstrap(spark, str(tmp_path / "a"))
+    run_rounds(spark, a, 3)
+    clean = fsck(a)
+    assert sorted(clean) == [0, 1, 2]
+    assert all(all(v.values()) for v in clean.values())
+
+    # drop one row from round 0's committed seen delta, keeping its manifest
+    seen0 = a.io.read("seen/round=0", schemas.SEEN)
+    victim = seen0.orderBy("canon_url").limit(1).collect()[0]["canon_url"]
+    cut = seen0.where(F.col("canon_url") != victim).cache()
+    cut.count()
+    cut.write.mode("overwrite").parquet(a.io.path("seen/round=0"))
+    cut.unpersist()
+
+    got = fsck(a)
+    assert got[0]["seen"] is False  # the corrupted table, flagged
+    assert got[0]["frontier_next"]  # sibling table in the same round: clean
+    assert all(all(v.values()) for r, v in got.items() if r != 0)
+    # resume would NOT have seen it: the anchor (round 2) still verifies
+    assert run_rounds(spark, a, 3) == []
+
+
 def test_corrupt_write_refuses_commit(spark, tmp_path):
     """Commit-time materialization cross-check: a write that loses rows on
     the way to disk must refuse the round's manifest AT COMMIT TIME (parquet
