@@ -956,13 +956,18 @@ def fsck(state: CrawlState) -> dict:
     seen / next-frontier lineage digests from the FILES on disk and compare
     to the manifests — all tables in ONE Spark job (tables_digest over a
     tagged union). Returns {round: {"seen": ok, "frontier_next": ok}};
-    clean iff every flag is True. This is the operator tool for suspected
-    storage faults — at a 10^10-row frontier it re-reads the whole committed
-    chain, so it is on-demand, never a per-round step (the per-round
-    protection is the commit-time footer cross-check + the resume anchor
-    verify)."""
+    clean iff no flag is False. A table the cumulative ``gc`` manifest names
+    as reclaimed (plans/state_gc.py) is reported as ``"reclaimed"`` — its
+    files were deliberately dropped after their content was superseded, so
+    there is nothing to re-digest and it is NOT corruption; a missing table
+    the GC manifest does not name still fails its digest check. This is the
+    operator tool for suspected storage faults — at a 10^10-row frontier it
+    re-reads the whole committed chain, so it is on-demand, never a
+    per-round step (the per-round protection is the commit-time footer
+    cross-check + the resume anchor verify)."""
     from indigo_crawler_spark.plans.lineage import tables_digest
 
+    reclaimed = set((state.io.read_manifest("gc") or {}).get("reclaimed", []))
     expected: dict[int, dict] = {}
     frames: dict[str, DataFrame] = {}
     for name in state.io.list_manifests():
@@ -973,17 +978,25 @@ def fsck(state: CrawlState) -> dict:
         if not d:
             continue
         expected[r] = d
-        frames[f"seen_{r}"] = state.io.read(f"seen/round={r}", schemas.SEEN)
-        frames[f"frontier_{r}"] = state.io.read(
-            f"frontier/round={r + 1}", schemas.FRONTIER
-        )
-    if not frames:
-        return {}
-    got = tables_digest(frames)
+        if f"seen/round={r}" not in reclaimed:
+            frames[f"seen_{r}"] = state.io.read(f"seen/round={r}", schemas.SEEN)
+        if f"frontier/round={r + 1}" not in reclaimed:
+            frames[f"frontier_{r}"] = state.io.read(
+                f"frontier/round={r + 1}", schemas.FRONTIER
+            )
+    got = tables_digest(frames) if frames else {}
     return {
         r: {
-            "seen": got[f"seen_{r}"] == d["seen"],
-            "frontier_next": got[f"frontier_{r}"] == d["frontier_next"],
+            "seen": (
+                got[f"seen_{r}"] == d["seen"]
+                if f"seen_{r}" in got
+                else "reclaimed"
+            ),
+            "frontier_next": (
+                got[f"frontier_{r}"] == d["frontier_next"]
+                if f"frontier_{r}" in got
+                else "reclaimed"
+            ),
         }
         for r, d in expected.items()
     }

@@ -150,6 +150,25 @@ class TableIO:
                     ).metadata.num_rows
         return total
 
+    def delete(self, table: str) -> bool:
+        """Drop *table* entirely (state GC). Parquet backend: remove the dir
+        plus any crashed-rewrite leftovers; iceberg: DROP TABLE (one catalog
+        commit). Returns True iff something existed."""
+        if self.fmt == "iceberg":
+            if not self.exists(table):
+                return False
+            self.spark.sql(f"DROP TABLE IF EXISTS {self._ident(table)}")
+            return True
+        import shutil
+
+        found = False
+        for suffix in ("", "__new", "__old"):
+            p = self.path(table + suffix)
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+                found = found or suffix == ""
+        return found
+
     def is_complete(self, table: str) -> bool:
         """True iff *table* finished writing. Parquet backend: Spark's
         _SUCCESS marker distinguishes a committed snapshot from a dir a

@@ -29,6 +29,18 @@ def main(argv: list[str] | None = None) -> int:
         "files on disk (one Spark job), print the report, and exit nonzero "
         "on any mismatch; no rounds are run",
     )
+    ap.add_argument(
+        "--gc", action="store_true",
+        help="reclaim superseded versioned state (old seen deltas behind the "
+        "newest compact snapshot, consumed frontiers/filters/feedback dims), "
+        "record it in the gc manifest, print the report, and exit; no rounds "
+        "are run — never run concurrently with a live crawl",
+    )
+    ap.add_argument(
+        "--gc-drop-outputs", action="store_true",
+        help="with --gc: also reclaim fetch_batches/fetched_text/"
+        "round_metrics for committed rounds (products already shipped)",
+    )
     ap.add_argument("--pages")
     ap.add_argument("--seeds")
     ap.add_argument("--robots")
@@ -53,8 +65,8 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument("--no-counters", action="store_true")
     args = ap.parse_args(argv)
-    if args.rounds is None and not args.fsck:
-        ap.error("--rounds is required unless --fsck")
+    if args.rounds is None and not (args.fsck or args.gc):
+        ap.error("--rounds is required unless --fsck/--gc")
 
     from pyspark.sql import SparkSession
 
@@ -87,6 +99,19 @@ def main(argv: list[str] | None = None) -> int:
             print(f"fsck: corruption in round(s) {sorted(bad)}", file=sys.stderr)
             return 2
         print(f"fsck: {len(report)} committed rounds verified clean")
+        return 0
+
+    if args.gc:
+        import json
+
+        from indigo_crawler_spark.plans.state_gc import gc_state
+
+        report = gc_state(state, keep_outputs=not args.gc_drop_outputs)
+        print(json.dumps(report, sort_keys=True))
+        print(
+            f"gc: reclaimed {len(report['reclaimed'])} tables "
+            f"({report['bytes_reclaimed']} bytes) at anchor {report['anchor']}"
+        )
         return 0
 
     if state.io.read_manifest("bootstrap") is None:
