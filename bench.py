@@ -249,6 +249,7 @@ def bench_long_horizon(
     from indigo_crawler_spark.config import CrawlConfig
     from indigo_crawler_spark.plans import schemas
     from indigo_crawler_spark.plans.round import CrawlState, bootstrap, run_round
+    from indigo_crawler_spark.plans.state_gc import _dir_bytes
     from indigo_crawler_spark.sources import synthetic
     from indigo_crawler_spark.sources.table_io import TableIO
 
@@ -276,12 +277,17 @@ def bench_long_horizon(
         budgets = synthetic.budgets_df(spark, n_hosts)
         bootstrap(spark, pages, seeds, robots, budgets, state, with_counters=False)
         walls, emitted = [], 0
+        state_bytes = []
         retire_walls: dict[str, float] = {}
         retired_total = 0
         for r in range(n_rounds):
             t0 = time.time()
             payload = run_round(spark, state, r, with_counters=False)
             walls.append(round(time.time() - t0, 3))
+            # storage growth series (driver-side os.walk, not timed into the
+            # round wall): without GC this grows with the round count — the
+            # terminal gc block below measures how much of it is dead state
+            state_bytes.append(_dir_bytes(root))
             emitted += payload["counters"]["emitted"]
             # retire after round 1, then every retire_every rounds (1, 7, 13,
             # 19 at the default): the first retire batch must land INSIDE the
@@ -302,6 +308,22 @@ def bench_long_horizon(
                 t0 = time.time()
                 retired_total += retire_urls(state, sample)
                 retire_walls[f"after_round_{r}"] = round(time.time() - t0, 3)
+        # terminal GC (plans/state_gc.py): the storage-boundedness half of
+        # the long-horizon story — flat walls say round 24 COSTS what round
+        # 4 costs; this says a periodically-GC'd crawl's state dir also
+        # STAYS at live-set size instead of growing one table set per round
+        from indigo_crawler_spark.plans.state_gc import gc_state
+
+        t0 = time.time()
+        gc_report = gc_state(state)
+        gc = {
+            "bytes_before": state_bytes[-1],
+            "bytes_after": _dir_bytes(root),
+            "bytes_reclaimed": gc_report["bytes_reclaimed"],
+            "tables_reclaimed": len(gc_report["reclaimed"]),
+            "wall": round(time.time() - t0, 3),
+        }
+
         first8 = statistics.median(walls[:8])
         last8 = statistics.median(walls[-8:])
         out = {
@@ -313,6 +335,8 @@ def bench_long_horizon(
             "first8_median": round(first8, 3),
             "last8_median": round(last8, 3),
             "flatness_ratio": round(last8 / first8, 3) if first8 else None,
+            "state_bytes_per_round": state_bytes,
+            "gc": gc,
         }
         if retire_every:
             out["retire_walls"] = retire_walls

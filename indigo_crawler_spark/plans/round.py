@@ -1011,7 +1011,11 @@ def last_complete_round(state: CrawlState) -> int | None:
 
 
 def run_rounds(
-    spark: SparkSession, state: CrawlState, n_rounds: int, with_counters: bool = True
+    spark: SparkSession,
+    state: CrawlState,
+    n_rounds: int,
+    with_counters: bool = True,
+    gc_every: int = 0,
 ) -> list[dict]:
     """Run/resume rounds up to n_rounds (EP2). A round whose manifest exists
     is skipped (its outputs are committed); a partially-written round —
@@ -1022,6 +1026,14 @@ def run_rounds(
     Before resuming, the anchor round's lineage digests are re-verified
     (C3): corrupted/half-written committed state fails loudly instead of
     silently diverging.
+
+    ``gc_every=N`` reclaims superseded versioned state (plans/state_gc.py)
+    after every Nth committed round — the months-long-crawl mode where
+    storage must track the live set, not the round count. Between rounds
+    nothing is in flight, so the offline-tool caveat doesn't apply: the
+    protected set is exactly the next round's inputs plus the anchor, and
+    a kill inside the GC itself just leaves more tables for the next pass
+    (deletes are idempotent; the gc manifest is written atomically after).
     """
     from indigo_crawler_spark.plans.lineage import verify_table
 
@@ -1060,4 +1072,8 @@ def run_rounds(
     out = []
     for r in range(start, n_rounds):
         out.append(run_round(spark, state, r, with_counters=with_counters))
+        if gc_every and (r + 1) % gc_every == 0 and r + 1 < n_rounds:
+            from indigo_crawler_spark.plans.state_gc import gc_state
+
+            gc_state(state)
     return out

@@ -41,6 +41,12 @@ def main(argv: list[str] | None = None) -> int:
         help="with --gc: also reclaim fetch_batches/fetched_text/"
         "round_metrics for committed rounds (products already shipped)",
     )
+    ap.add_argument(
+        "--gc-every", type=int, default=0,
+        help="reclaim superseded state after every Nth committed round "
+        "(0=off) — keeps a months-long crawl's storage tracking the live "
+        "set instead of the round count",
+    )
     ap.add_argument("--pages")
     ap.add_argument("--seeds")
     ap.add_argument("--robots")
@@ -159,7 +165,13 @@ def main(argv: list[str] | None = None) -> int:
         n = retire_urls(state, spark.createDataFrame(urls, "url string"))
         print(f"retired {n} urls (re-crawlable on rediscovery)")
 
-    manifests = run_rounds(spark, state, args.rounds, with_counters=not args.no_counters)
+    manifests = run_rounds(
+        spark,
+        state,
+        args.rounds,
+        with_counters=not args.no_counters,
+        gc_every=args.gc_every,
+    )
     for m in manifests:
         print(f"round {m['round']} committed: {m.get('counters', {})}")
     print(f"done: {args.rounds} rounds total in {args.state_dir}")

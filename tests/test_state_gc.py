@@ -108,3 +108,11 @@ def test_gc_then_resume_bit_exact(spark, tmp_path):
     assert "fetch_batches/round=0" in rep2["reclaimed"]
     assert not b.io.exists("fetched_text/round=3")
     assert rep2["generation"] == report["generation"] + 1
+
+    # in-loop periodic GC (run_rounds gc_every — the months-long-crawl
+    # mode): same 14 rounds with a GC after every 4th, still bit-identical
+    c = _bootstrap(spark, str(tmp_path / "c"), CFG)
+    run_rounds(spark, c, 14, gc_every=4)
+    assert (c.io.read_manifest("gc") or {}).get("generation", 0) >= 3
+    assert not c.io.exists("frontier/round=0")
+    assert _snapshot(c, 14) == ref
