@@ -26,6 +26,21 @@ _BLOCK_TAGS = frozenset(
 
 _HEADING_TAGS = frozenset(("h1", "h2", "h3"))
 
+# tags allowed to appear INSIDE an unclosed <title> without ending it:
+# purely inline formatting, which a browser's RCDATA title keeps as literal
+# title text (ADVICE r4: force-closing on ANY tag truncated
+# <title>a <b>c</b></title> to "a"). Anything else — head successors
+# (meta/link/base), body/block structure, anchors — still force-closes, so
+# the runaway-title failure (a truncated document's whole body accumulating
+# into the title field) stays fixed.
+_TITLE_INLINE_TAGS = frozenset(
+    (
+        "b", "i", "em", "strong", "span", "small", "sub", "sup", "u", "s",
+        "code", "abbr", "mark", "q", "kbd", "var", "samp", "cite", "dfn",
+        "time", "wbr", "tt", "big", "font", "nobr", "strike", "ins", "del",
+    )
+)
+
 
 class _Extractor(HTMLParser):
     """One pass collects visible text, anchor hrefs AND the structured
@@ -50,20 +65,16 @@ class _Extractor(HTMLParser):
         self.meta: dict[str, str] = {}
 
     def handle_starttag(self, tag, attrs):
-        if self._in_title and tag != "title":
+        if self._in_title and tag != "title" and tag not in _TITLE_INLINE_TAGS:
             # unclosed <title> (common in truncated real-world HTML —
             # html.parser does not treat title as CDATA, so no implicit
-            # close happens): title cannot legally contain elements, so any
-            # opening tag ends it here; otherwise the entire remaining
-            # document text would accumulate into the title field. Only the
-            # title view changes — the text/link byte streams are untouched.
-            # Known fidelity tradeoff (ADVICE r4): a well-formed RCDATA-style
-            # title containing markup (<title>a <b>c</b></title>, which
-            # browsers keep verbatim as title text) is truncated at the first
-            # inner tag ("a", not "a c"). Accepted: that shape is rare and
-            # benign, while the runaway-title failure swallowed whole
-            # documents; the oracle shares this kernel, so engine and oracle
-            # agree either way.
+            # close happens): any non-inline tag ends it here; otherwise the
+            # entire remaining document text would accumulate into the title
+            # field. Inline formatting keeps collecting (RCDATA-style
+            # <title>a <b>c</b></title> → "a c", the browser-adjacent
+            # reading — ADVICE r4). Only the title view changes — the
+            # text/link byte streams are untouched; the oracle shares this
+            # kernel, so engine and oracle agree either way.
             self._in_title = False
             self._title_done = True
         if tag in _SKIP_TAGS:
@@ -100,6 +111,11 @@ class _Extractor(HTMLParser):
         if self._skip_depth:
             return
         if tag == "title" and self._in_title:
+            self._in_title = False
+            self._title_done = True
+        elif self._in_title and tag not in _TITLE_INLINE_TAGS:
+            # e.g. </head> right after an unclosed title — same force-close
+            # rule as the start-tag side
             self._in_title = False
             self._title_done = True
         elif tag == self._head_tag:

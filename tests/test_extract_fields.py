@@ -36,9 +36,8 @@ class TestKernelFields:
 
     def test_unclosed_title_stops_at_next_tag(self):
         """Truncated real-world HTML: a <title> that never closes must not
-        swallow the rest of the document — any opening tag ends it (title
-        cannot legally contain elements). The text byte stream is the same
-        with or without the missing </title>."""
+        swallow the rest of the document — any non-inline tag ends it. The
+        text byte stream is the same with or without the missing </title>."""
         from indigo_crawler_spark.kernels.textextract import extract_text_and_links
 
         broken = b"<html><head><title>My Page<body><p>Body text</p><h1>H</h1></body></html>"
@@ -48,6 +47,20 @@ class TestKernelFields:
         fixed = broken.replace(b"<title>My Page", b"<title>My Page</title>")
         assert extract_text_and_links(broken, None)[0] == \
             extract_text_and_links(fixed, None)[0]
+        # </head> right after the unclosed title also force-closes it
+        t2, _, _ = extract_fields(b"<head><title>My Page</head><body>Body</body>")
+        assert t2 == "My Page"
+
+    def test_rcdata_style_title_keeps_inline_text(self):
+        """Inline formatting inside a title is kept as title TEXT (a
+        browser's RCDATA title keeps the markup verbatim; collecting the
+        data pieces is the closest element-parse reading — ADVICE r4), while
+        structural tags still force-close the runaway case above."""
+        t, _, _ = extract_fields(b"<title>a <b>c</b> d</title><p>body</p>")
+        assert t == "a c d"
+        # the force-close still wins over a runaway even with inline noise
+        t, _, _ = extract_fields(b"<title>a <b>c</b><div>rest of doc")
+        assert t == "a c"
 
     def test_none_and_invalid_utf8(self):
         assert extract_fields(None) == ("", [], {})
