@@ -42,6 +42,17 @@ def main(argv: list[str] | None = None) -> int:
         "round_metrics for committed rounds (products already shipped)",
     )
     ap.add_argument(
+        "--export",
+        help="fold the per-round fetched_text deltas into ONE latest-text-"
+        "per-url corpus table (parquet, partitioned by pk) at this path and "
+        "exit; no rounds are run",
+    )
+    ap.add_argument(
+        "--export-through", type=int, default=None,
+        help="with --export: include rounds 0..N only (default: all "
+        "committed rounds)",
+    )
+    ap.add_argument(
         "--gc-every", type=int, default=0,
         help="reclaim superseded state after every Nth committed round "
         "(0=off) — keeps a months-long crawl's storage tracking the live "
@@ -71,8 +82,8 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument("--no-counters", action="store_true")
     args = ap.parse_args(argv)
-    if args.rounds is None and not (args.fsck or args.gc):
-        ap.error("--rounds is required unless --fsck/--gc")
+    if args.rounds is None and not (args.fsck or args.gc or args.export):
+        ap.error("--rounds is required unless --fsck/--gc/--export")
 
     from pyspark.sql import SparkSession
 
@@ -117,6 +128,16 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"gc: reclaimed {len(report['reclaimed'])} tables "
             f"({report['bytes_reclaimed']} bytes) at anchor {report['anchor']}"
+        )
+        return 0
+
+    if args.export:
+        from indigo_crawler_spark.plans.export import export_corpus
+
+        report = export_corpus(state, args.export, through_round=args.export_through)
+        print(
+            f"export: {report['rows']} urls (rounds 0-{report['rounds'][-1]}) "
+            f"-> {report['out_path']}"
         )
         return 0
 
