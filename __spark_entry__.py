@@ -238,6 +238,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["approx_count_distinct"] = lambda s, d: _t(s, d, "lineitem").agg(
         F.approx_count_distinct("l_partkey", 0.01).alias("n_approx")
     )
+    # A2 dual: latest-row-per-key via one max_by hash agg (the corpus
+    # export's core operator, plans/export.py — supersede-by-latest without
+    # a window). Tie-break total: (ts, event_id) struct comparison.
+    def _latest_by_key(s, d):
+        ev = _t(s, d, "events").select(
+            "user_id",
+            F.struct("ts", "event_id", "value").alias("_row"),
+        )
+        won = ev.groupBy("user_id").agg(
+            F.max_by("_row", F.struct("_row.ts", "_row.event_id")).alias("_row")
+        )
+        return won.select(
+            "user_id",
+            F.col("_row.event_id").alias("event_id"),
+            F.unix_timestamp("_row.ts").alias("ts_epoch"),
+            F.col("_row.value").alias("value"),
+        )
+
+    q["latest_by_key"] = _latest_by_key
     q["rollup_counts"] = lambda s, d: _t(s, d, "events").rollup("event_type").agg(
         F.count("*").alias("n")
     )
@@ -772,6 +791,11 @@ def oracle_sql() -> dict[str, str]:
             " count(*) AS n FROM events GROUP BY 1"
         ),
         "json_get": "SELECT event_id, json_extract_string(props, '$.k') AS k_str FROM events",
+        "latest_by_key": (
+            "SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,"
+            " value FROM (SELECT *, row_number() OVER (PARTITION BY user_id"
+            " ORDER BY ts DESC, event_id DESC) AS rk FROM events) t WHERE rk = 1"
+        ),
         "explode_tokens": (
             "SELECT word, count(*) AS n FROM "
             "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) t GROUP BY word"
