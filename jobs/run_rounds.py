@@ -42,6 +42,12 @@ def main(argv: list[str] | None = None) -> int:
         "round_metrics for committed rounds (products already shipped)",
     )
     ap.add_argument(
+        "--status", action="store_true",
+        help="print a zero-Spark-job summary of the state dir (progress, "
+        "lifetime counters, pending frontier, storage by family, gc "
+        "lineage) and exit; safe against a live crawl",
+    )
+    ap.add_argument(
         "--export",
         help="fold the per-round fetched_text deltas into ONE latest-text-"
         "per-url corpus table (parquet, partitioned by pk) at this path and "
@@ -82,8 +88,23 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument("--no-counters", action="store_true")
     args = ap.parse_args(argv)
-    if args.rounds is None and not (args.fsck or args.gc or args.export):
-        ap.error("--rounds is required unless --fsck/--gc/--export")
+    if args.rounds is None and not (
+        args.fsck or args.gc or args.export or args.status
+    ):
+        ap.error("--rounds is required unless --fsck/--gc/--export/--status")
+
+    if args.status:
+        # status is pure driver work over manifests + dir sizes — no Spark
+        # session, no JVM, instant even while a crawl is running
+        import json
+
+        from indigo_crawler_spark.plans.round import CrawlState as _CS
+        from indigo_crawler_spark.plans.status import crawl_status
+        from indigo_crawler_spark.sources.table_io import TableIO as _TIO
+
+        report = crawl_status(_CS(io=_TIO(None, args.state_dir)))
+        print(json.dumps(report, indent=2, sort_keys=True))
+        return 0
 
     from pyspark.sql import SparkSession
 
