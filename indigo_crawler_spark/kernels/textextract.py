@@ -110,15 +110,15 @@ class _Extractor(HTMLParser):
             return
         if self._skip_depth:
             return
-        if tag == "title" and self._in_title:
+        if self._in_title and (tag == "title" or tag not in _TITLE_INLINE_TAGS):
+            # </title>, or e.g. </head> right after an unclosed title — the
+            # same force-close rule as the start-tag side. A plain `if`, not
+            # part of the chain below: an end tag that closes an unclosed
+            # title may ALSO be the open heading's close (<h1><title>x</h1>)
+            # and must still flush the heading.
             self._in_title = False
             self._title_done = True
-        elif self._in_title and tag not in _TITLE_INLINE_TAGS:
-            # e.g. </head> right after an unclosed title — same force-close
-            # rule as the start-tag side
-            self._in_title = False
-            self._title_done = True
-        elif tag == self._head_tag:
+        if tag == self._head_tag:
             self.headings.append(" ".join("".join(self._head_chunks).split()))
             self._head_tag = None
         if tag in _BLOCK_TAGS:

@@ -43,6 +43,13 @@ def export_corpus(
         raise RuntimeError("no committed rounds — nothing to export")
     last = anchor if through_round is None else min(through_round, anchor)
 
+    # pk must match the crawl's committed bucketing, not this invocation's
+    # config (an --export CLI run never passes --num-buckets): the bootstrap
+    # manifest is authoritative, same as filter_capacity. Config fallback
+    # only for state dirs bootstrapped before the manifest carried the field.
+    bm = state.io.read_manifest("bootstrap") or {}
+    num_buckets = int(bm.get("num_buckets") or state.cfg.num_buckets)
+
     reclaimed = set((state.io.read_manifest("gc") or {}).get("reclaimed", []))
     rounds, parts = [], []
     for r in range(last + 1):
@@ -78,9 +85,7 @@ def export_corpus(
     corpus = latest.select(
         "canon_url",
         host_expr("canon_url").alias("host"),
-        pk_expr(host_hash_expr(host_expr("canon_url")), state.cfg.num_buckets).alias(
-            "pk"
-        ),
+        pk_expr(host_hash_expr(host_expr("canon_url")), num_buckets).alias("pk"),
         "fetch_round",
         "text",
     ).observe(obs, F.count(F.lit(1)).alias("rows"))

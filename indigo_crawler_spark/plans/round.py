@@ -485,6 +485,10 @@ def bootstrap(
         "quarantined_seeds": _obs_int(seeds_obs, "quarantined"),
         "n_heavy_hosts": n_heavy,
         "distinct_urls_est": est,
+        # the bucketing every committed table is laid out with — offline
+        # tools (export) must use THIS, not whatever config their CLI
+        # invocation happened to default to
+        "num_buckets": cfg.num_buckets,
         "bloom_bucket_capacity": (
             cfg.bloom_bucket_capacity
             if cfg.bloom_bucket_capacity is not None

@@ -51,6 +51,15 @@ class TestKernelFields:
         t2, _, _ = extract_fields(b"<head><title>My Page</head><body>Body</body>")
         assert t2 == "My Page"
 
+    def test_end_tag_closes_title_and_flushes_open_heading(self):
+        """<h1><title>x</h1>: the </h1> both force-closes the unclosed title
+        AND flushes the open heading — the two closes must not shadow each
+        other (review finding: an elif chain dropped the heading forever and
+        accumulated the rest of the document into it)."""
+        t, h, _ = extract_fields(b"<h1><title>My page</h1><p>Body text</p>")
+        assert t == "My page"
+        assert h == ["My page"]
+
     def test_rcdata_style_title_keeps_inline_text(self):
         """Inline formatting inside a title is kept as title TEXT (a
         browser's RCDATA title keeps the markup verbatim; collecting the
