@@ -294,7 +294,7 @@ def bench_long_horizon(
             # first-8 window, or the flatness ratio compares a prefix without
             # the retired anti-join / re-discovery work against a suffix that
             # always carries it — a structural asymmetry, not a chain cost
-            if retire_every and r % retire_every == 1:
+            if retire_every and r >= 1 and (r - 1) % retire_every == 0:
                 from indigo_crawler_spark.operators.retire import retire_urls
 
                 sample = (
@@ -379,28 +379,24 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = build_spark(cpus)
-    t_all = time.time()
 
     reps = int(os.environ.get("BENCH_REPS", "3"))
     crawl = bench_crawl(spark, cpus)
     queries = dict(crawl["timings"])
-    queries.update(bench_queries(spark, sf_dir, reps=reps))
-
     # headline total: the BEST rep's crawl (bootstrap + rounds) plus the
     # operator-analog section — the series comparable to earlier rounds'
     # single-shot totals (wall-of-everything would double-count the crawl
-    # reps the drift protocol added). Controls and non-best reps are
-    # reported alongside, not in the total.
-    section_wall = round(time.time() - t_all, 3)
+    # reps the drift protocol added). The query section is timed DIRECTLY
+    # (not derived by subtracting the crawl walls from the overall wall —
+    # that subtraction silently charged the untimed per-rep scaffolding:
+    # corpus DataFrame setup, the per-round fetch_batches counts, warm-up,
+    # state-dir rmtree — to the query section, inflating `total`).
+    # Controls and non-best reps are reported alongside, not in the total.
+    t_q = time.time()
+    queries.update(bench_queries(spark, sf_dir, reps=reps))
+    queries_wall = round(time.time() - t_q, 3)
     crawl_best_total = round(
         crawl["timings"]["crawl_bootstrap"] + crawl["rounds_sec"], 3
-    )
-    queries_wall = round(
-        section_wall
-        - sum(crawl["crawl_bootstrap_sec_all"])
-        - sum(crawl["crawl_rounds_sec_all"])
-        - sum(crawl["control_walls"]),
-        3,
     )
     total = round(crawl_best_total + queries_wall, 3)
     long_horizon = bench_long_horizon(spark, cpus)
