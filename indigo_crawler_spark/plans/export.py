@@ -1,7 +1,7 @@
 """Corpus export — fold per-round ``fetched_text`` deltas into ONE stable
-corpus table (SURVEY.md §2, E39): the handoff from the crawl's round-versioned
-state to a downstream training-data pipeline that wants "the latest text for
-every url ever fetched" as a single partitioned parquet table.
+corpus table (SURVEY.md §2, E39/E41): the handoff from the crawl's
+round-versioned state to a downstream training-data pipeline that wants "the
+latest text for every url ever fetched" as a single partitioned parquet table.
 
 Semantics: one row per canon_url, the text from the LATEST committed round
 that fetched it — a url appears in more than one round only through the
@@ -17,42 +17,128 @@ the engine uses everywhere — so a downstream join against ``page_store`` or
 a per-host groupBy starts co-located. No window, no driver collect; the row
 count rides the write via ``observe``.
 
+Incremental export (E41): a months-long crawl re-exports after every few
+rounds, and re-folding ALL rounds each time is O(total corpus) per export.
+When *out_path* already holds an export (its ``_export_manifest.json`` is
+present), only the rounds AFTER the previous export's ``through_round`` are
+folded: the delta's distinct pk set (≤ num_buckets values) selects which
+corpus buckets can change, the previous export is read partition-pruned to
+exactly those ``pk=`` directories, merged with the delta by the same
+``max_by(fetch_round)`` (prev rounds < new rounds, so supersession order is
+preserved by construction), and ONLY those bucket directories are replaced —
+a staged write plus per-directory swap, so cost is O(delta + affected
+buckets), not O(corpus). On an Iceberg deployment the swap maps to
+``MERGE INTO`` / dynamic partition overwrite; here it is explicit so the
+commit discipline is inspectable. The export manifest is written LAST; a
+crash mid-swap is repaired on the next run (``__old`` backup restore, same
+protocol as TableIO.rewrite) and re-running the export is idempotent because
+the merge recomputes the same latest-row-per-url regardless of which buckets
+already swapped.
+
 A round whose ``fetched_text`` was reclaimed by ``--gc-drop-outputs``
-(plans/state_gc.py) cannot be exported — that is detected from the gc
-manifest and raises loudly rather than silently shipping a partial corpus.
+(plans/state_gc.py) cannot be exported — detected from the gc manifest and
+raised loudly rather than silently shipping a partial corpus. Incremental
+export only needs the NEW rounds' deltas, so a state dir whose old products
+were already gc-dropped can still extend an existing export (the corpus
+itself carries the history) — only a from-scratch export is refused then.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Observation
+import json
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from indigo_crawler_spark.functions.keys import host_expr, host_hash_expr, pk_expr
 from indigo_crawler_spark.plans import schemas
 from indigo_crawler_spark.plans.round import CrawlState, last_complete_round
 
+MANIFEST = "_export_manifest.json"
 
-def export_corpus(
-    state: CrawlState, out_path: str, through_round: int | None = None
-) -> dict:
-    """Write the latest-text-per-url corpus for committed rounds
-    0..*through_round* (default: the resume anchor) to *out_path* as parquet
-    partitioned by pk. Returns ``{"rows", "rounds", "out_path"}``."""
-    anchor = last_complete_round(state)
-    if anchor is None:
-        raise RuntimeError("no committed rounds — nothing to export")
-    last = anchor if through_round is None else min(through_round, anchor)
+# on-disk corpus schema; pk is a partition directory (pk=N), recovered via
+# basePath partition discovery on read
+CORPUS_SCHEMA = StructType(
+    [
+        StructField("canon_url", StringType()),
+        StructField("host", StringType()),
+        StructField("fetch_round", IntegerType()),
+        StructField("text", StringType()),
+        StructField("pk", IntegerType()),
+    ]
+)
 
-    # pk must match the crawl's committed bucketing, not this invocation's
-    # config (an --export CLI run never passes --num-buckets): the bootstrap
-    # manifest is authoritative, same as filter_capacity. Config fallback
-    # only for state dirs bootstrapped before the manifest carried the field.
-    bm = state.io.read_manifest("bootstrap") or {}
-    num_buckets = int(bm.get("num_buckets") or state.cfg.num_buckets)
 
+def _read_export_manifest(out_path: str) -> dict | None:
+    p = os.path.join(out_path, MANIFEST)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_export_manifest(out_path: str, payload: dict) -> None:
+    """Atomic publish (tmp + rename) — the export's commit record, written
+    LAST so a crashed export never advances ``through_round``."""
+    os.makedirs(out_path, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=out_path, suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(payload, f, indent=2, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, os.path.join(out_path, MANIFEST))
+
+
+def _pk_dir(out_path: str, pk: int) -> str:
+    return os.path.join(out_path, f"pk={pk}")
+
+
+def _repair_swaps(out_path: str) -> None:
+    """Heal a crash mid-swap: a ``pk=N__old`` backup whose live dir is gone
+    is restored (the previous export content is never lost mid-protocol)."""
+    if not os.path.isdir(out_path):
+        return
+    for name in os.listdir(out_path):
+        if name.endswith("__old"):
+            live = os.path.join(out_path, name[: -len("__old")])
+            if not os.path.isdir(live):
+                os.rename(os.path.join(out_path, name), live)
+            else:
+                shutil.rmtree(os.path.join(out_path, name))
+
+
+def _pk_rows(out_path: str, pk: int) -> int:
+    """Row count for one bucket straight from the parquet footers — a
+    driver-side metadata walk, zero Spark jobs (same discipline as
+    TableIO.file_row_count)."""
+    import pyarrow.parquet as pq
+
+    d = _pk_dir(out_path, pk)
+    total = 0
+    if os.path.isdir(d):
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+    return total
+
+
+def _delta_union(
+    state: CrawlState, first: int, last: int, num_buckets: int
+) -> tuple[DataFrame, list[int]]:
+    """Union of fetched_text rounds *first..last* with fetch_round/host/pk
+    attached — refuses rounds already reclaimed by --gc-drop-outputs."""
     reclaimed = set((state.io.read_manifest("gc") or {}).get("reclaimed", []))
-    rounds, parts = [], []
-    for r in range(last + 1):
+    parts, rounds = [], []
+    for r in range(first, last + 1):
         table = f"fetched_text/round={r}"
         if table in reclaimed:
             raise RuntimeError(
@@ -71,24 +157,86 @@ def export_corpus(
     union = parts[0]
     for p in parts[1:]:
         union = union.unionByName(p)
+    delta = union.select(
+        "canon_url",
+        host_expr("canon_url").alias("host"),
+        F.col("fetch_round").cast("int").alias("fetch_round"),
+        "text",
+        pk_expr(host_hash_expr(host_expr("canon_url")), num_buckets).alias("pk"),
+    )
+    return delta, rounds
 
-    latest = (
-        union.select(
+
+def _latest_per_url(df: DataFrame) -> DataFrame:
+    """One partial+final hash agg: latest row per canon_url by fetch_round
+    (host/pk ride the struct — they are functions of the url, so any row's
+    values agree; text is the superseding fetch's)."""
+    return (
+        df.select(
             "canon_url",
-            F.struct("fetch_round", "text").alias("_row"),
+            F.struct("fetch_round", "host", "text", "pk").alias("_row"),
         )
         .groupBy("canon_url")
         .agg(F.max_by("_row", F.col("_row.fetch_round")).alias("_row"))
-        .select("canon_url", "_row.fetch_round", "_row.text")
+        .select("canon_url", "_row.host", "_row.fetch_round", "_row.text", "_row.pk")
     )
+
+
+def export_corpus(
+    state: CrawlState, out_path: str, through_round: int | None = None
+) -> dict:
+    """Write/extend the latest-text-per-url corpus for committed rounds
+    0..*through_round* (default: the resume anchor) at *out_path* as parquet
+    partitioned by pk. Full export when *out_path* has no export manifest;
+    incremental (only post-``through_round`` rounds folded, only affected pk
+    buckets rewritten) when it does. Returns ``{"rows", "rounds", "out_path",
+    "mode", "pks_rewritten"}``."""
+    anchor = last_complete_round(state)
+    if anchor is None:
+        raise RuntimeError("no committed rounds — nothing to export")
+    last = anchor if through_round is None else min(through_round, anchor)
+
+    # pk must match the crawl's committed bucketing, not this invocation's
+    # config (an --export CLI run never passes --num-buckets): the bootstrap
+    # manifest is authoritative, same as filter_capacity. Config fallback
+    # only for state dirs bootstrapped before the manifest carried the field.
+    bm = state.io.read_manifest("bootstrap") or {}
+    num_buckets = int(bm.get("num_buckets") or state.cfg.num_buckets)
+
+    prev = _read_export_manifest(out_path)
+    if prev is None:
+        return _export_full(state, out_path, last, num_buckets)
+    if int(prev["num_buckets"]) != num_buckets:
+        raise RuntimeError(
+            f"existing export at {out_path} used num_buckets="
+            f"{prev['num_buckets']}, this crawl uses {num_buckets} — "
+            "bucketing cannot be mixed within one corpus table"
+        )
+    prev_through = int(prev["through_round"])
+    if last < prev_through:
+        raise RuntimeError(
+            f"existing export already covers rounds 0-{prev_through}; "
+            f"cannot shrink it to 0-{last} (--export-through monotone)"
+        )
+    if last == prev_through:
+        return {
+            "rows": int(prev["rows"]),
+            "rounds": [],
+            "out_path": out_path,
+            "mode": "noop",
+            "pks_rewritten": 0,
+        }
+    return _export_incremental(
+        state, out_path, prev, prev_through + 1, last, num_buckets
+    )
+
+
+def _export_full(
+    state: CrawlState, out_path: str, last: int, num_buckets: int
+) -> dict:
+    delta, rounds = _delta_union(state, 0, last, num_buckets)
     obs = Observation()
-    corpus = latest.select(
-        "canon_url",
-        host_expr("canon_url").alias("host"),
-        pk_expr(host_hash_expr(host_expr("canon_url")), num_buckets).alias("pk"),
-        "fetch_round",
-        "text",
-    ).observe(obs, F.count(F.lit(1)).alias("rows"))
+    corpus = _latest_per_url(delta).observe(obs, F.count(F.lit(1)).alias("rows"))
     # layout shuffle: cluster rows by their output partition so each pk dir
     # gets ONE file instead of one per upstream shuffle partition (at
     # production shuffle widths that difference is partitions × buckets
@@ -96,4 +244,105 @@ def export_corpus(
     # knob that sizes every other per-bucket structure in the engine.
     corpus = corpus.repartition(F.col("pk"))
     corpus.write.mode("overwrite").partitionBy("pk").parquet(out_path)
-    return {"rows": int(obs.get["rows"]), "rounds": rounds, "out_path": out_path}
+    rows = int(obs.get["rows"])
+    rows_by_pk = {
+        str(pk): n
+        for pk in range(num_buckets)
+        if (n := _pk_rows(out_path, pk))
+    }
+    _write_export_manifest(
+        out_path,
+        {
+            "through_round": last,
+            "num_buckets": num_buckets,
+            "rows": rows,
+            "rows_by_pk": rows_by_pk,
+        },
+    )
+    return {
+        "rows": rows,
+        "rounds": rounds,
+        "out_path": out_path,
+        "mode": "full",
+        "pks_rewritten": len(rows_by_pk),
+    }
+
+
+def _export_incremental(
+    state: CrawlState,
+    out_path: str,
+    prev: dict,
+    first: int,
+    last: int,
+    num_buckets: int,
+) -> dict:
+    spark = state.io.spark
+    _repair_swaps(out_path)
+    delta, rounds = _delta_union(state, first, last, num_buckets)
+    delta = delta.cache()  # read twice: affected-pk collect + merge
+    try:
+        affected = sorted(
+            r["pk"] for r in delta.select("pk").distinct().collect()
+        )
+        rows_by_pk = dict(prev.get("rows_by_pk", {}))
+        if affected:
+            # partition-pruned read of ONLY the buckets the delta can touch:
+            # explicit pk= dirs + basePath recovers the pk column without
+            # listing (or reading) the untouched ones
+            existing = [
+                _pk_dir(out_path, pk)
+                for pk in affected
+                if os.path.isdir(_pk_dir(out_path, pk))
+            ]
+            if existing:
+                prev_rows = (
+                    spark.read.option("basePath", out_path)
+                    .schema(CORPUS_SCHEMA)
+                    .parquet(*existing)
+                )
+                merged = _latest_per_url(prev_rows.unionByName(delta))
+            else:
+                merged = _latest_per_url(delta)
+            stage = out_path.rstrip("/") + "__stage"
+            shutil.rmtree(stage, ignore_errors=True)
+            merged.repartition(F.col("pk")).write.mode("overwrite").partitionBy(
+                "pk"
+            ).parquet(stage)
+            # per-bucket swap: live → __old backup, staged → live, drop
+            # backup. A crash at any point is healed by _repair_swaps and the
+            # merge is idempotent on re-run (manifest still names the old
+            # through_round until the very end).
+            for pk in affected:
+                live = _pk_dir(out_path, pk)
+                staged = _pk_dir(stage, pk)
+                if not os.path.isdir(staged):
+                    continue  # delta rows all superseded by... impossible,
+                    # but an empty merge output for a bucket is a no-op
+                old = live + "__old"
+                shutil.rmtree(old, ignore_errors=True)
+                if os.path.isdir(live):
+                    os.rename(live, old)
+                os.rename(staged, live)
+                shutil.rmtree(old, ignore_errors=True)
+            shutil.rmtree(stage, ignore_errors=True)
+            for pk in affected:
+                rows_by_pk[str(pk)] = _pk_rows(out_path, pk)
+    finally:
+        delta.unpersist()
+    rows = sum(rows_by_pk.values())
+    _write_export_manifest(
+        out_path,
+        {
+            "through_round": last,
+            "num_buckets": num_buckets,
+            "rows": rows,
+            "rows_by_pk": rows_by_pk,
+        },
+    )
+    return {
+        "rows": rows,
+        "rounds": rounds,
+        "out_path": out_path,
+        "mode": "incremental",
+        "pks_rewritten": len(affected),
+    }

@@ -156,9 +156,14 @@ def main(argv: list[str] | None = None) -> int:
         from indigo_crawler_spark.plans.export import export_corpus
 
         report = export_corpus(state, args.export, through_round=args.export_through)
+        folded = (
+            f"rounds {report['rounds'][0]}-{report['rounds'][-1]} folded"
+            if report["rounds"]
+            else "already up to date"
+        )
         print(
-            f"export: {report['rows']} urls (rounds 0-{report['rounds'][-1]}) "
-            f"-> {report['out_path']}"
+            f"export[{report['mode']}]: {report['rows']} urls ({folded}, "
+            f"{report['pks_rewritten']} buckets rewritten) -> {report['out_path']}"
         )
         return 0
 

@@ -73,3 +73,119 @@ def test_export_latest_text_per_url(spark, tmp_path):
     gc_state(state, keep_outputs=False)
     with pytest.raises(RuntimeError, match="reclaimed"):
         export_corpus(state, str(tmp_path / "corpus2"))
+
+
+def test_export_incremental_equals_full(spark, tmp_path):
+    """E41: extending an existing export folds ONLY the new rounds and
+    rewrites ONLY the pk buckets the delta touches — and the result is
+    bit-equal (rows, fetch_rounds, partitioning) to a from-scratch full
+    export of the same round range."""
+    import os
+
+    cfg = CrawlConfig(round_limit=50, num_buckets=64, bloom_bucket_capacity=64)
+    fb = fixture_bundle(**TINY)
+    state = CrawlState(io=TableIO(spark, str(tmp_path / "crawl")), cfg=cfg)
+    bootstrap(
+        spark,
+        pages_df(spark, fb["pages"]),
+        seeds_df(spark, fb["seeds"]),
+        robots_df(spark, fb["robots"]),
+        budgets_df(spark, fb["host_budgets"]),
+        state,
+    )
+    run_rounds(spark, state, N_BEFORE)
+    inc = str(tmp_path / "corpus_inc")
+    r0 = export_corpus(state, inc)
+    assert r0["mode"] == "full" and r0["rounds"] == list(range(N_BEFORE))
+
+    # snapshot each bucket dir's file listing so untouched buckets are
+    # provably untouched (parquet part files carry unique names)
+    listing_before = {
+        d: sorted(os.listdir(os.path.join(inc, d)))
+        for d in os.listdir(inc)
+        if d.startswith("pk=")
+    }
+
+    # retire round 0's fetches so some urls re-crawl (supersession must hold
+    # across the incremental boundary), then extend the crawl
+    retired = [
+        row["canon_url"]
+        for row in state.io.read("fetch_batches/round=0", None).collect()
+    ]
+    retire_urls(state, spark.createDataFrame([(u,) for u in retired], "url string"))
+    run_rounds(spark, state, N_TOTAL)
+
+    r1 = export_corpus(state, inc)
+    assert r1["mode"] == "incremental"
+    assert r1["rounds"] == list(range(N_BEFORE, N_TOTAL))
+    assert 0 < r1["pks_rewritten"] <= cfg.num_buckets
+
+    full = str(tmp_path / "corpus_full")
+    r2 = export_corpus(state, full)
+    assert r2["mode"] == "full"
+
+    def snap(path):
+        return {
+            row["canon_url"]: (row["fetch_round"], row["text"], row["host"], row["pk"])
+            for row in spark.read.parquet(path).collect()
+        }
+
+    got_inc, got_full = snap(inc), snap(full)
+    assert got_inc == got_full
+    assert r1["rows"] == r2["rows"] == len(got_full)
+    # at least one url superseded ACROSS the boundary: fetched in rounds
+    # <N_BEFORE originally, latest row now from a later round
+    assert any(
+        u in set(retired) and fr >= N_BEFORE for u, (fr, *_rest) in got_inc.items()
+    )
+
+    # buckets the delta did not touch kept their exact files (no rewrite)
+    listing_after = {
+        d: sorted(os.listdir(os.path.join(inc, d)))
+        for d in os.listdir(inc)
+        if d.startswith("pk=")
+    }
+    untouched = [
+        d
+        for d in listing_before
+        if d in listing_after and listing_before[d] == listing_after[d]
+    ]
+    rewritten = [d for d in listing_before if d not in untouched]
+    assert len(rewritten) <= r1["pks_rewritten"]
+
+    # re-export with nothing new: a no-op, nothing rewritten
+    r3 = export_corpus(state, inc)
+    assert r3["mode"] == "noop" and r3["pks_rewritten"] == 0
+    assert r3["rows"] == r1["rows"]
+
+    # gc-drop old products, crawl on: a fresh full export is impossible, but
+    # the existing corpus still extends — the corpus carries its own history
+    gc_state(state, keep_outputs=False)
+    run_rounds(spark, state, N_TOTAL + 2)
+    with pytest.raises(RuntimeError, match="reclaimed"):
+        export_corpus(state, str(tmp_path / "corpus3"))
+    r4 = export_corpus(state, inc)
+    assert r4["mode"] == "incremental"
+    assert r4["rounds"] == [N_TOTAL, N_TOTAL + 1]
+
+
+def test_export_repair_half_swap(spark, tmp_path):
+    """A crash between the two renames of a bucket swap leaves pk=N__old
+    with no live dir; the next export run restores it before merging."""
+    import os
+
+    from indigo_crawler_spark.plans.export import _repair_swaps
+
+    out = tmp_path / "corpus"
+    (out / "pk=3").mkdir(parents=True)
+    (out / "pk=3" / "part-0.parquet").write_bytes(b"x")
+    # half-swapped: live renamed away, staged rename never happened
+    os.rename(out / "pk=3", out / "pk=3__old")
+    _repair_swaps(str(out))
+    assert (out / "pk=3" / "part-0.parquet").exists()
+    assert not (out / "pk=3__old").exists()
+    # stale backup WITH a live dir is dropped, live wins
+    (out / "pk=5").mkdir()
+    (out / "pk=5__old").mkdir()
+    _repair_swaps(str(out))
+    assert (out / "pk=5").exists() and not (out / "pk=5__old").exists()
