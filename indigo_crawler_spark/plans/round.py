@@ -178,7 +178,17 @@ class CrawlState:
         return self._filter_cap
 
     def frontier(self, r: int) -> DataFrame:
-        return self.io.read(f"frontier/round={r}", schemas.FRONTIER)
+        """Frontier ENTERING round r: the pinned ``frontier/round=r`` file
+        plus any mid-crawl injected seeds queued for this round
+        (operators/inject.py). The side table keeps the pinned file —
+        whose digest round r-1's manifest carries — immutable; round r's
+        frontier-advance folds surviving injected rows into
+        ``frontier/round=r+1``, so later rounds never re-read it."""
+        base = self.io.read(f"frontier/round={r}", schemas.FRONTIER)
+        inj = f"injected/round={r}"
+        if self.io.exists(inj):
+            base = base.unionByName(self.io.read(inj, schemas.FRONTIER))
+        return base
 
     def fetchable_store(self, pks: list) -> DataFrame:
         """(canon_url, html) fetchable at the given pk buckets: the bootstrap

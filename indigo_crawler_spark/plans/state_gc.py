@@ -22,8 +22,9 @@ U = the newest COMPLETE ``seen_compact`` snapshot with upto ≤ L:
   incomplete snapshot dirs at or below L are kill leftovers that
   ``_compact_uptos`` already ignores and no resume will ever rebuild
   (rebuilds happen only while re-running the killed round itself).
-* ``host_budgets/round=L+1`` / ``heavy_hosts_frontier/round=L+1`` — the
-  feedback dimensions entering round L+1; earlier versions are consumed.
+* ``host_budgets/round=L+1`` / ``heavy_hosts_frontier/round=L+1`` /
+  ``injected/round=L+1`` — the feedback dimensions and any mid-crawl
+  injected seeds entering round L+1; earlier versions are consumed.
 * everything unversioned (bootstrap statics, ``retired``, manifests) and
   everything AT OR ABOVE the anchor's horizon (a partially-written round
   L+1 is resume's job to overwrite, not GC's to delete).
@@ -47,7 +48,13 @@ import os
 from indigo_crawler_spark.plans.round import CrawlState, last_complete_round
 
 # families whose children are f"{key}=" versioned dirs; outputs listed apart
-_STATE_FAMILIES = ("seen", "frontier", "seen_bloom", "heavy_hosts_frontier")
+_STATE_FAMILIES = (
+    "seen",
+    "frontier",
+    "seen_bloom",
+    "heavy_hosts_frontier",
+    "injected",
+)
 _OUTPUT_FAMILIES = ("fetch_batches", "fetched_text", "round_metrics")
 
 
@@ -104,7 +111,9 @@ def gc_plan(
     for v in versions.get("seen_bloom", ()):
         if v < lc:
             drop.append(f"seen_bloom/round={v}")
-    for fam in ("heavy_hosts_frontier", "host_budgets"):
+    # injected/round=v (operators/inject.py) is consumed when round v
+    # commits — same lifecycle as the feedback dims entering a round
+    for fam in ("heavy_hosts_frontier", "host_budgets", "injected"):
         for v in versions.get(fam, ()):
             if v <= lc:
                 drop.append(f"{fam}/round={v}")

@@ -86,6 +86,11 @@ def main(argv: list[str] | None = None) -> int:
         "--retire", help="parquet/text-free path: newline file of urls to retire "
         "before running (re-crawlable on rediscovery)",
     )
+    ap.add_argument(
+        "--add-seeds",
+        help="newline file of urls to inject into the NEXT round's frontier "
+        "before running (depth-0 seeds; junk/seen/pending urls skipped)",
+    )
     ap.add_argument("--no-counters", action="store_true")
     args = ap.parse_args(argv)
     if args.rounds is None and not (
@@ -211,6 +216,14 @@ def main(argv: list[str] | None = None) -> int:
             urls = [(ln.strip(),) for ln in f if ln.strip()]
         n = retire_urls(state, spark.createDataFrame(urls, "url string"))
         print(f"retired {n} urls (re-crawlable on rediscovery)")
+
+    if args.add_seeds:
+        from indigo_crawler_spark.operators.inject import inject_seeds
+
+        with open(args.add_seeds) as f:
+            urls = [(ln.strip(),) for ln in f if ln.strip()]
+        n = inject_seeds(state, spark.createDataFrame(urls, "url string"))
+        print(f"injected {n} seeds into the next round's frontier")
 
     manifests = run_rounds(
         spark,

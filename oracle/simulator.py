@@ -98,6 +98,7 @@ class OracleCrawl:
                 discovered_round=0,
             )
         self.seen: dict[str, int] = {}  # canon_url -> first_round
+        self.rounds_run = 0  # next round index — inject() stamps it
 
     # ------------------------------------------------------------------
     def add_pages(self, pages) -> None:
@@ -124,6 +125,36 @@ class OracleCrawl:
             if c is not None and c in self.seen:
                 del self.seen[c]
                 n += 1
+        return n
+
+    # ------------------------------------------------------------------
+    def inject(self, urls, seed_rank: int = 0) -> int:
+        """Mirror of operators/inject.py: queue urls as depth-0 seeds for
+        the next round. Junk drops at canonicalization, duplicates keep the
+        min seed_rank, already-seen and already-pending urls are skipped
+        (existing rows win); priority uses the bootstrap-frozen host_count
+        (unknown host -> 0)."""
+        best: dict[str, int] = {}
+        for u in urls:
+            c = canonicalize_url(u)
+            if c is None:
+                continue
+            if c not in best or seed_rank < best[c]:
+                best[c] = seed_rank
+        n = 0
+        for c, rank in sorted(best.items()):
+            if c in self.seen or c in self.frontier:
+                continue
+            h = _host_of(c)
+            self.frontier[c] = FrontierRow(
+                canon_url=c,
+                host=h,
+                depth=0,
+                seed_rank=rank,
+                priority=priority_score(0, rank, self.host_count.get(h, 0)),
+                discovered_round=self.rounds_run,
+            )
+            n += 1
         return n
 
     # ------------------------------------------------------------------
@@ -261,6 +292,7 @@ class OracleCrawl:
             counters["links_new"] += 1
 
         res.counters = counters
+        self.rounds_run = max(self.rounds_run, r + 1)
         return res
 
     def run(self, n_rounds: int) -> list[RoundResult]:

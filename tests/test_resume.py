@@ -232,3 +232,38 @@ def test_corrupt_write_refuses_commit(spark, tmp_path):
     with pytest.raises(RuntimeError, match="write cross-check failed"):
         run_rounds(spark, st, 1)
     assert st.io.read_manifest("round_00000") is None  # nothing committed
+
+
+def test_kill_after_inject_resume_bit_exact(spark, tmp_path):
+    """Injected seeds survive a mid-round kill: round R's replay re-reads
+    the same committed ``injected/round=R`` side table, so resume is
+    bit-equal to the uninterrupted injected run (and the pinned frontier
+    file the anchor verify digests was never mutated)."""
+    from indigo_crawler_spark.operators.inject import inject_seeds
+
+    extra = [
+        ("https://mid-crawl-seed.example.org/a",),
+        ("https://mid-crawl-seed.example.org/b",),
+    ]
+
+    # uninterrupted reference: 2 rounds, inject, third round
+    a = _bootstrap(spark, str(tmp_path / "a"))
+    run_rounds(spark, a, 2)
+    n_a = inject_seeds(a, spark.createDataFrame(extra, "url string"))
+    assert n_a == len(extra)
+    run_rounds(spark, a, N)
+    ref = _snapshot(a, N)
+
+    # interrupted: same injection, then a simulated kill mid-round-2
+    b = _bootstrap(spark, str(tmp_path / "b"))
+    run_rounds(spark, b, 2)
+    assert inject_seeds(b, spark.createDataFrame(extra, "url string")) == n_a
+    partial = b.io.path("fetch_batches/round=2")
+    os.makedirs(partial, exist_ok=True)
+    b.io.read("fetch_batches/round=1", schemas.FETCH_BATCHES).limit(2).write.mode(
+        "overwrite"
+    ).parquet(partial)
+
+    manifests = run_rounds(spark, b, N)
+    assert [m["round"] for m in manifests] == [2]
+    assert _snapshot(b, N) == ref
