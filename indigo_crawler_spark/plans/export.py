@@ -182,15 +182,44 @@ def _latest_per_url(df: DataFrame) -> DataFrame:
     )
 
 
+def _annotate(df: DataFrame) -> DataFrame:
+    """Training-pipeline annotation columns — pure deterministic functions
+    of ``text`` built from the proven text-analysis exprs (each backed by a
+    SQL-checked driver query on the documents table), so annotating AFTER
+    the incremental merge reproduces exactly what a full export computes:
+    ``text_sha`` (exact-dedup / provenance key), token + quality signals,
+    stopword-overlap language id. All codegen'd column expressions — the
+    text column crosses nothing; no Python in the plan."""
+    from indigo_crawler_spark.functions.text_analysis import (
+        langid_expr,
+        quality_exprs,
+    )
+
+    q = quality_exprs(F.col("text"))
+    return (
+        df.withColumn("text_sha", F.sha2(F.col("text"), 256))
+        .withColumn("n_chars", q["n_chars"])
+        .withColumn("n_words", q["n_words"])
+        .withColumn("punct_ratio", q["punct_ratio"])
+        .withColumn("langid", langid_expr(F.col("text")))
+    )
+
+
 def export_corpus(
-    state: CrawlState, out_path: str, through_round: int | None = None
+    state: CrawlState,
+    out_path: str,
+    through_round: int | None = None,
+    annotate: bool = False,
 ) -> dict:
     """Write/extend the latest-text-per-url corpus for committed rounds
     0..*through_round* (default: the resume anchor) at *out_path* as parquet
     partitioned by pk. Full export when *out_path* has no export manifest;
     incremental (only post-``through_round`` rounds folded, only affected pk
-    buckets rewritten) when it does. Returns ``{"rows", "rounds", "out_path",
-    "mode", "pks_rewritten"}``."""
+    buckets rewritten) when it does. ``annotate=True`` adds the
+    training-pipeline columns (text_sha, token/quality signals, langid);
+    the choice is recorded in the export manifest and cannot be flipped on
+    an existing corpus (the untouched buckets would have the wrong schema).
+    Returns ``{"rows", "rounds", "out_path", "mode", "pks_rewritten"}``."""
     anchor = last_complete_round(state)
     if anchor is None:
         raise RuntimeError("no committed rounds — nothing to export")
@@ -205,12 +234,24 @@ def export_corpus(
 
     prev = _read_export_manifest(out_path)
     if prev is None:
-        return _export_full(state, out_path, last, num_buckets)
+        return _export_full(state, out_path, last, num_buckets, annotate)
+    if "deduped_from" in prev:
+        raise RuntimeError(
+            f"{out_path} holds a DEDUPED derived product (from "
+            f"{prev['deduped_from']}) — it cannot be extended as a corpus; "
+            "re-run dedup_corpus after extending the source export"
+        )
     if int(prev["num_buckets"]) != num_buckets:
         raise RuntimeError(
             f"existing export at {out_path} used num_buckets="
             f"{prev['num_buckets']}, this crawl uses {num_buckets} — "
             "bucketing cannot be mixed within one corpus table"
+        )
+    if bool(prev.get("annotated", False)) != annotate:
+        raise RuntimeError(
+            f"existing export at {out_path} was written with annotated="
+            f"{bool(prev.get('annotated', False))}; an incremental extend "
+            "cannot change the corpus schema — re-export from scratch"
         )
     prev_through = int(prev["through_round"])
     if last < prev_through:
@@ -227,16 +268,23 @@ def export_corpus(
             "pks_rewritten": 0,
         }
     return _export_incremental(
-        state, out_path, prev, prev_through + 1, last, num_buckets
+        state, out_path, prev, prev_through + 1, last, num_buckets, annotate
     )
 
 
 def _export_full(
-    state: CrawlState, out_path: str, last: int, num_buckets: int
+    state: CrawlState,
+    out_path: str,
+    last: int,
+    num_buckets: int,
+    annotate: bool = False,
 ) -> dict:
     delta, rounds = _delta_union(state, 0, last, num_buckets)
     obs = Observation()
-    corpus = _latest_per_url(delta).observe(obs, F.count(F.lit(1)).alias("rows"))
+    corpus = _latest_per_url(delta)
+    if annotate:
+        corpus = _annotate(corpus)
+    corpus = corpus.observe(obs, F.count(F.lit(1)).alias("rows"))
     # layout shuffle: cluster rows by their output partition so each pk dir
     # gets ONE file instead of one per upstream shuffle partition (at
     # production shuffle widths that difference is partitions × buckets
@@ -257,6 +305,7 @@ def _export_full(
             "num_buckets": num_buckets,
             "rows": rows,
             "rows_by_pk": rows_by_pk,
+            "annotated": annotate,
         },
     )
     return {
@@ -275,6 +324,7 @@ def _export_incremental(
     first: int,
     last: int,
     num_buckets: int,
+    annotate: bool = False,
 ) -> dict:
     spark = state.io.spark
     _repair_swaps(out_path)
@@ -295,6 +345,9 @@ def _export_incremental(
                 if os.path.isdir(_pk_dir(out_path, pk))
             ]
             if existing:
+                # explicit base schema: parquet projection prunes any
+                # annotation columns the previous export carried — they are
+                # pure functions of text, recomputed below post-merge
                 prev_rows = (
                     spark.read.option("basePath", out_path)
                     .schema(CORPUS_SCHEMA)
@@ -303,6 +356,8 @@ def _export_incremental(
                 merged = _latest_per_url(prev_rows.unionByName(delta))
             else:
                 merged = _latest_per_url(delta)
+            if annotate:
+                merged = _annotate(merged)
             stage = out_path.rstrip("/") + "__stage"
             shutil.rmtree(stage, ignore_errors=True)
             merged.repartition(F.col("pk")).write.mode("overwrite").partitionBy(
@@ -337,6 +392,7 @@ def _export_incremental(
             "num_buckets": num_buckets,
             "rows": rows,
             "rows_by_pk": rows_by_pk,
+            "annotated": annotate,
         },
     )
     return {
@@ -346,3 +402,57 @@ def _export_incremental(
         "mode": "incremental",
         "pks_rewritten": len(affected),
     }
+
+
+def dedup_corpus(spark, corpus_path: str, out_path: str) -> dict:
+    """Exact-dedup derived product: ONE row per distinct text from an
+    exported corpus — the operators/text_dedup.py exact-hash shape applied
+    to the crawl's own data product. Keep-rule: the lexicographically
+    smallest canon_url among the rows sharing a ``text_sha`` (deterministic,
+    order-independent). One partial+final hash agg on the 32-byte sha key +
+    one layout repartition; at 100 TB the shuffle moves (sha, packed row)
+    once — no window, no collect. Recomputed in full per invocation: global
+    dedup is a cross-bucket decision, so an incremental variant would need
+    a sha→canonical sidecar (Iceberg MERGE territory) — the honest cost
+    here is one agg over the corpus.
+
+    Reads any corpus (annotated or not — ``text_sha`` is recomputed when
+    absent); writes parquet partitioned by pk plus a manifest with the row
+    counts. Returns ``{"rows_in", "rows_out", "out_path"}``."""
+    src = _read_export_manifest(corpus_path)
+    if src is None:
+        raise RuntimeError(f"no export manifest at {corpus_path} — export first")
+    df = spark.read.option("basePath", corpus_path).parquet(
+        *[
+            _pk_dir(corpus_path, pk)
+            for pk in range(int(src["num_buckets"]))
+            if os.path.isdir(_pk_dir(corpus_path, pk))
+        ]
+    )
+    if "text_sha" not in df.columns:
+        df = df.withColumn("text_sha", F.sha2(F.col("text"), 256))
+    others = [c for c in df.columns if c != "text_sha"]
+    obs_in, obs_out = Observation(), Observation()
+    deduped = (
+        df.observe(obs_in, F.count(F.lit(1)).alias("rows"))
+        .select("text_sha", F.struct(*others).alias("_row"))
+        .groupBy("text_sha")
+        .agg(F.min_by("_row", F.col("_row.canon_url")).alias("_row"))
+        .select("text_sha", *[f"_row.{c}" for c in others])
+        .observe(obs_out, F.count(F.lit(1)).alias("rows"))
+    )
+    deduped.repartition(F.col("pk")).write.mode("overwrite").partitionBy(
+        "pk"
+    ).parquet(out_path)
+    rows_in, rows_out = int(obs_in.get["rows"]), int(obs_out.get["rows"])
+    _write_export_manifest(
+        out_path,
+        {
+            "through_round": int(src["through_round"]),
+            "num_buckets": int(src["num_buckets"]),
+            "rows": rows_out,
+            "deduped_from": corpus_path,
+            "rows_in": rows_in,
+        },
+    )
+    return {"rows_in": rows_in, "rows_out": rows_out, "out_path": out_path}

@@ -59,6 +59,17 @@ def main(argv: list[str] | None = None) -> int:
         "committed rounds)",
     )
     ap.add_argument(
+        "--export-annotate", action="store_true",
+        help="with --export: add training-pipeline columns (text_sha, "
+        "token/quality signals, langid) to the corpus — recorded in the "
+        "export manifest, cannot be flipped on an existing corpus",
+    )
+    ap.add_argument(
+        "--export-dedup",
+        help="with --export: ALSO write an exact-deduped derived product "
+        "(one row per distinct text, keeper = min canon_url) at this path",
+    )
+    ap.add_argument(
         "--gc-every", type=int, default=0,
         help="reclaim superseded state after every Nth committed round "
         "(0=off) — keeps a months-long crawl's storage tracking the live "
@@ -160,7 +171,12 @@ def main(argv: list[str] | None = None) -> int:
     if args.export:
         from indigo_crawler_spark.plans.export import export_corpus
 
-        report = export_corpus(state, args.export, through_round=args.export_through)
+        report = export_corpus(
+            state,
+            args.export,
+            through_round=args.export_through,
+            annotate=args.export_annotate,
+        )
         folded = (
             f"rounds {report['rounds'][0]}-{report['rounds'][-1]} folded"
             if report["rounds"]
@@ -170,6 +186,14 @@ def main(argv: list[str] | None = None) -> int:
             f"export[{report['mode']}]: {report['rows']} urls ({folded}, "
             f"{report['pks_rewritten']} buckets rewritten) -> {report['out_path']}"
         )
+        if args.export_dedup:
+            from indigo_crawler_spark.plans.export import dedup_corpus
+
+            d = dedup_corpus(spark, args.export, args.export_dedup)
+            print(
+                f"dedup: {d['rows_out']} distinct texts from {d['rows_in']} "
+                f"urls -> {d['out_path']}"
+            )
         return 0
 
     if state.io.read_manifest("bootstrap") is None:

@@ -189,3 +189,123 @@ def test_export_repair_half_swap(spark, tmp_path):
     (out / "pk=5__old").mkdir()
     _repair_swaps(str(out))
     assert (out / "pk=5").exists() and not (out / "pk=5__old").exists()
+
+
+def test_export_annotated_and_dedup(spark, tmp_path):
+    """E43: annotation columns are exact per-row functions of text (sha
+    vs hashlib, word count vs Python split), an annotated incremental
+    extend equals a fresh annotated full export, the annotated/plain
+    choice cannot be flipped on an existing corpus, and the deduped
+    derived product keeps exactly one row (min canon_url) per distinct
+    text."""
+    import hashlib
+
+    from indigo_crawler_spark.plans.export import dedup_corpus
+
+    cfg = CrawlConfig(round_limit=50, num_buckets=16, bloom_bucket_capacity=64)
+    fb = fixture_bundle(**TINY)
+    state = CrawlState(io=TableIO(spark, str(tmp_path / "crawl")), cfg=cfg)
+    bootstrap(
+        spark,
+        pages_df(spark, fb["pages"]),
+        seeds_df(spark, fb["seeds"]),
+        robots_df(spark, fb["robots"]),
+        budgets_df(spark, fb["host_budgets"]),
+        state,
+    )
+    run_rounds(spark, state, N_BEFORE)
+    inc = str(tmp_path / "corpus_annot")
+    r0 = export_corpus(state, inc, annotate=True)
+    assert r0["mode"] == "full"
+
+    rows = spark.read.parquet(inc).collect()
+    assert len(rows) == r0["rows"] > 0
+    for row in rows:
+        assert row["text_sha"] == hashlib.sha256(
+            row["text"].encode("utf-8")
+        ).hexdigest()
+        assert row["n_words"] == (len(row["text"].split()) if row["text"].strip() else 0)
+        assert row["n_chars"] == len(row["text"])
+        assert row["langid"] in {"de", "en", "es", "fr", "und"}
+
+    # plain extend of an annotated corpus (and vice versa) refused loudly
+    with pytest.raises(RuntimeError, match="annotated"):
+        export_corpus(state, inc, annotate=False)
+
+    run_rounds(spark, state, N_BEFORE + 2)
+    r1 = export_corpus(state, inc, annotate=True)
+    assert r1["mode"] == "incremental"
+    full = str(tmp_path / "corpus_full")
+    r2 = export_corpus(state, full, annotate=True)
+
+    def snap(path):
+        return {
+            row["canon_url"]: tuple(
+                row[c]
+                for c in (
+                    "fetch_round", "text", "pk",
+                    "text_sha", "n_chars", "n_words", "punct_ratio", "langid",
+                )
+            )
+            for row in spark.read.parquet(path).collect()
+        }
+
+    assert snap(inc) == snap(full)
+
+    # dedup derived product: one row per distinct text, keeper = min url
+    dd = str(tmp_path / "corpus_dedup")
+    rep = dedup_corpus(spark, inc, dd)
+    got = spark.read.parquet(dd).collect()
+    by_sha: dict[str, str] = {}
+    want_keeper: dict[str, str] = {}
+    for row in spark.read.parquet(inc).collect():
+        k = row["text_sha"]
+        if k not in want_keeper or row["canon_url"] < want_keeper[k]:
+            want_keeper[k] = row["canon_url"]
+    for row in got:
+        by_sha[row["text_sha"]] = row["canon_url"]
+    assert rep["rows_out"] == len(want_keeper) == len(got)
+    assert rep["rows_in"] == r1["rows"]
+    assert by_sha == want_keeper
+
+    # a dedup dir is a derived product, not an extendable corpus
+    with pytest.raises(RuntimeError, match="DEDUPED"):
+        export_corpus(state, dd)
+
+
+def test_dedup_collapses_duplicates(spark, tmp_path):
+    """A corpus with actual duplicate texts collapses: min-url keeper per
+    sha, spanning pk buckets (the cross-bucket decision the incremental
+    export honestly refuses to make)."""
+    from indigo_crawler_spark.plans.export import (
+        _write_export_manifest,
+        dedup_corpus,
+    )
+
+    rows = [
+        ("https://a.example.org/1", "a.example.org", 0, "same text", 3),
+        ("https://b.example.org/2", "b.example.org", 1, "same text", 7),
+        ("https://c.example.org/3", "c.example.org", 0, "same text", 11),
+        ("https://d.example.org/4", "d.example.org", 2, "other", 3),
+        ("https://e.example.org/5", "e.example.org", 0, "other", 7),
+    ]
+    src = str(tmp_path / "corpus")
+    df = spark.createDataFrame(
+        rows, "canon_url string, host string, fetch_round int, text string, pk int"
+    )
+    df.repartition("pk").write.partitionBy("pk").parquet(src)
+    _write_export_manifest(
+        src, {"through_round": 1, "num_buckets": 16, "rows": len(rows)}
+    )
+
+    out = str(tmp_path / "dedup")
+    rep = dedup_corpus(spark, src, out)
+    assert (rep["rows_in"], rep["rows_out"]) == (5, 2)
+    got = {
+        row["text"]: row["canon_url"]
+        for row in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        "same text": "https://a.example.org/1",
+        "other": "https://d.example.org/4",
+    }
