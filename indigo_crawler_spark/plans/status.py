@@ -67,6 +67,13 @@ def crawl_status(state: CrawlState) -> dict:
     out["frontier_pending"] = frontier_pending
     out["last_round_counters"] = last_counters
 
+    # mid-crawl injections queued for the next round (operators/inject.py)
+    # — same zero-Spark footer walk as the commit cross-check
+    nxt = (anchor + 1) if anchor is not None else 0
+    injected = io.file_row_count(f"injected/round={nxt}")
+    if injected is not None:
+        out["injected_pending"] = injected
+
     if io.fmt == "parquet" and os.path.isdir(io.root):
         by_family: dict[str, int] = {}
         for entry in sorted(os.listdir(io.root)):

@@ -180,6 +180,11 @@ def test_gc_reclaims_consumed_injection(crawl):
     oc.retire([url])
     assert inject_seeds(state, urls_df) == oc.inject([url]) == 1
 
+    # the zero-Spark status tool surfaces the queued injection
+    from indigo_crawler_spark.plans.status import crawl_status
+
+    assert crawl_status(state)["injected_pending"] == 1
+
     report = gc_state(state)
     consumed = [t for t in report["reclaimed"] if t.startswith("injected/")]
     assert consumed, "consumed injected side tables must be reclaimed"

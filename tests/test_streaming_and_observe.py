@@ -232,7 +232,10 @@ def test_streaming_skin_advances_rounds(spark, tmp_path):
     )
     q = stream_rounds(stream, state, str(tmp_path / "ckpt"))
     try:
-        deadline = time.time() + 60
+        # generous deadline: two full scheduler rounds through foreachBatch
+        # take ~30 s alone on an idle local[4], and CI runs this file
+        # alongside other Spark JVMs — a 60 s bound flaked under load
+        deadline = time.time() + 300
         while time.time() < deadline and (last_complete_round(state) or -1) < 1:
             time.sleep(1)
     finally:
