@@ -30,6 +30,10 @@ Env knobs:
                        filter_kind=cuckoo + periodic retire batches
   BENCH_SF1_PAGES      (default 2000000; 0 skips) larger-corpus crawl block
                        showing phase scaling with corpus size (10x the default)
+  BENCH_EXPORT_PAGES   (default 30000; 0 skips) corpus-export block: full
+                       annotated export vs incremental extend vs noop vs dedup
+  BENCH_EXPORT_ROUNDS  (default 3) rounds before the full export (+2 more
+                       before the incremental extend)
 
 Scaling-efficiency evidence (north rule: N vs 4N executors ≥0.8):
 ``python tools/bench_scaling.py`` runs this same crawl at local[1] and
@@ -346,6 +350,70 @@ def bench_long_horizon(
         shutil.rmtree(root, ignore_errors=True)
 
 
+def bench_export(spark: SparkSession, cpus: int) -> dict:
+    """Corpus-export cost shape (E39/E41/E43): a full annotated export of a
+    grown crawl, then TWO more rounds and an incremental extend — the
+    number that matters is the incremental wall staying proportional to the
+    delta (rounds folded), not the corpus, plus the noop detection being
+    free and the exact-dedup derived product costing one agg. Env knobs:
+    BENCH_EXPORT_PAGES (default 30000; 0 skips), BENCH_EXPORT_ROUNDS
+    (default 3 before the full export, +2 before the incremental)."""
+    from indigo_crawler_spark.config import CrawlConfig
+    from indigo_crawler_spark.plans.export import dedup_corpus, export_corpus
+    from indigo_crawler_spark.plans.round import CrawlState, bootstrap, run_round
+    from indigo_crawler_spark.sources import synthetic
+    from indigo_crawler_spark.sources.table_io import TableIO
+
+    n_rows = int(os.environ.get("BENCH_EXPORT_PAGES", "30000"))
+    if not n_rows:
+        return {}
+    n_before = int(os.environ.get("BENCH_EXPORT_ROUNDS", "3"))
+    n_hosts, n_seeds = max(n_rows // 20, 100), max(n_rows // 50, 100)
+    cfg = CrawlConfig(round_limit=2000, num_buckets=32)
+    root = tempfile.mkdtemp(prefix="indigo_export_", dir=scratch_dir())
+    out = os.path.join(root, "corpus")
+    dd = os.path.join(root, "corpus_dedup")
+    state = CrawlState(io=TableIO(spark, root + "/crawl"), cfg=cfg)
+    try:
+        pages = synthetic.pages_df(spark, n_rows, n_hosts, parallelism=cpus * 2)
+        seeds = synthetic.seeds_df(spark, n_rows, n_hosts, n_seeds)
+        bootstrap(
+            spark, pages, seeds, synthetic.robots_df(spark, n_hosts),
+            synthetic.budgets_df(spark, n_hosts), state, with_counters=False,
+        )
+        for r in range(n_before):
+            run_round(spark, state, r, with_counters=False)
+        t0 = time.time()
+        full = export_corpus(state, out, annotate=True)
+        t_full = round(time.time() - t0, 3)
+        for r in range(n_before, n_before + 2):
+            run_round(spark, state, r, with_counters=False)
+        t0 = time.time()
+        inc = export_corpus(state, out, annotate=True)
+        t_inc = round(time.time() - t0, 3)
+        t0 = time.time()
+        export_corpus(state, out, annotate=True)  # noop
+        t_noop = round(time.time() - t0, 3)
+        t0 = time.time()
+        d = dedup_corpus(spark, out, dd)
+        t_dedup = round(time.time() - t0, 3)
+        return {
+            "corpus_rows": n_rows,
+            "full_sec": t_full,
+            "full_urls": full["rows"],
+            "incremental_sec": t_inc,
+            "incremental_urls": inc["rows"],
+            "incremental_rounds_folded": len(inc["rounds"]),
+            "pks_rewritten": inc["pks_rewritten"],
+            "num_buckets": cfg.num_buckets,
+            "noop_sec": t_noop,
+            "dedup_sec": t_dedup,
+            "dedup_rows_out": d["rows_out"],
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def bench_queries(spark: SparkSession, sf_dir: str, reps: int = 3) -> dict:
     """Median of *reps* timed runs per operator analog — a single sample on
     this ±2x-noise VM cannot distinguish a regression from jitter (VERDICT
@@ -406,6 +474,7 @@ def main() -> None:
         and int(os.environ.get("BENCH_LH_ROUNDS", "24"))
         else {}
     )
+    export = bench_export(spark, cpus)
     sf1_pages = int(os.environ.get("BENCH_SF1_PAGES", "2000000"))
     sf1 = {}
     if sf1_pages:
@@ -436,6 +505,7 @@ def main() -> None:
                 "corpus_rows": crawl["corpus_rows"],
                 "long_horizon": long_horizon,
                 "long_horizon_cuckoo": lh_cuckoo,
+                "export": export,
                 "sf1": sf1,
                 "cpus": cpus,
             }
