@@ -162,12 +162,57 @@ def _crawl_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _crawl_inject_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-1 schedule after a MID-CRAWL SEED INJECTION (E42): run round 0,
+    inject documents 20..25 as raw urls between rounds (already-seen and
+    already-pending ones are skipped — the SQL mirror reproduces both
+    skips), then run round 1. Injected urls carry seed semantics
+    (depth 0, seed_rank 0) so their priority outranks discovered links."""
+    import tempfile
+
+    from indigo_crawler_spark.config import CrawlConfig
+    from indigo_crawler_spark.operators.inject import inject_seeds
+    from indigo_crawler_spark.plans import schemas
+    from indigo_crawler_spark.plans.round import CrawlState, bootstrap, run_rounds
+    from indigo_crawler_spark.sources.table_io import TableIO
+
+    pages, seeds = _pages_from_documents(spark, sf_dir)
+    cfg = CrawlConfig(round_limit=200, num_buckets=16)
+    state = CrawlState(
+        io=TableIO(spark, tempfile.mkdtemp(prefix="indigo_entry_")), cfg=cfg
+    )
+    robots = spark.createDataFrame([], schemas.ROBOTS)
+    budgets = spark.createDataFrame([], schemas.HOST_BUDGETS)
+    bootstrap(spark, pages, seeds, robots, budgets, state)
+    run_rounds(spark, state, 1, with_counters=False)
+    inj = (
+        _docs(spark, sf_dir)
+        .where((F.col("doc_id") >= 20) & (F.col("doc_id") < 26))
+        .select(
+            F.concat(
+                F.lit("https://"),
+                F.col("source"),
+                F.lit(".example.com/d/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url")
+        )
+    )
+    inject_seeds(state, inj)
+    run_rounds(spark, state, 2, with_counters=False)
+    return state.io.read("fetch_batches/round=1", schemas.FETCH_BATCHES).select(
+        "canon_url",
+        F.col("batch_id").cast("long").alias("batch_id"),
+        F.col("global_rank").cast("long").alias("global_rank"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
     # ---- flagship crawl (EP1) ----
     q["crawl_round0_schedule"] = _crawl_round0_schedule
     q["crawl_two_rounds"] = _crawl_two_rounds
+    q["crawl_inject_round"] = _crawl_inject_round
 
     # ---- S1/P1/P2/P3 scan + filters ----
     q["scan_prune"] = lambda s, d: _t(s, d, "documents").select("doc_id", "lang")
@@ -696,6 +741,83 @@ SELECT 1 AS round, canon_url,
 FROM emitted1
 """
 
+# Round 1 after a mid-crawl injection of documents 20..25 as depth-0 seeds
+# (E42): the two-round closed-form graph, plus the injected set minus the
+# engine's two skip rules — already seen (= emitted0, all seeds emit) and
+# already pending (= the discovered-children frontier). Injected priority
+# uses seed_rank 0 (1/(1+0) twice), discovered links use null-seed depth-1.
+_CRAWL_INJECT_SQL = """
+WITH n AS (SELECT count(*) AS n FROM documents),
+hc AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
+seeds AS (SELECT doc_id, source FROM documents WHERE doc_id < 10),
+scored0 AS (
+  SELECT s.doc_id,
+         'https://' || s.source || '.example.com/d/' || s.doc_id AS canon_url,
+         s.source || '.example.com' AS host,
+         (1.0/(1.0 + 0) + 1.0/(1.0 + s.doc_id)) + 1.0/CAST(length(bin(1 + hc.c)) AS DOUBLE) AS pr
+  FROM seeds s JOIN hc ON hc.source = s.source
+),
+ranked0 AS (
+  SELECT *, row_number() OVER (PARTITION BY host ORDER BY pr DESC, canon_url ASC) AS rk
+  FROM scored0
+),
+kept0 AS (SELECT * FROM ranked0 WHERE rk <= 8),
+seq0 AS (
+  SELECT doc_id, canon_url,
+         row_number() OVER (ORDER BY pr DESC, canon_url ASC) AS g
+  FROM kept0
+),
+emitted0 AS (SELECT * FROM seq0 WHERE g <= 200),
+child_cids AS (
+  SELECT DISTINCT (e.doc_id * 31 + 17 * j.j) % (SELECT n FROM n) AS cid
+  FROM emitted0 e, (SELECT unnest([0, 1, 2]) AS j) j
+),
+children AS (
+  SELECT 'https://' || d.source || '.example.com/d/' || c.cid AS canon_url,
+         d.source || '.example.com' AS host,
+         d.source AS src
+  FROM child_cids c JOIN documents d ON d.doc_id = c.cid
+),
+fresh AS (
+  SELECT ch.* FROM children ch
+  WHERE ch.canon_url NOT IN (SELECT canon_url FROM emitted0)
+    AND ch.canon_url NOT IN (SELECT 'https://' || source || '.example.com/d/' || doc_id FROM seeds)
+),
+inj AS (
+  SELECT 'https://' || d.source || '.example.com/d/' || d.doc_id AS canon_url,
+         d.source || '.example.com' AS host,
+         d.source AS src
+  FROM documents d WHERE d.doc_id >= 20 AND d.doc_id < 26
+),
+inj_fresh AS (
+  SELECT i.* FROM inj i
+  WHERE i.canon_url NOT IN (SELECT canon_url FROM emitted0)
+    AND i.canon_url NOT IN (SELECT canon_url FROM fresh)
+),
+cand1 AS (
+  SELECT f.canon_url, f.host,
+         (1.0/(1.0 + 1) + 0.0) + 1.0/CAST(length(bin(1 + hc.c)) AS DOUBLE) AS pr
+  FROM fresh f JOIN hc ON hc.source = f.src
+  UNION ALL
+  SELECT i.canon_url, i.host,
+         (1.0/(1.0 + 0) + 1.0/(1.0 + 0)) + 1.0/CAST(length(bin(1 + hc.c)) AS DOUBLE) AS pr
+  FROM inj_fresh i JOIN hc ON hc.source = i.src
+),
+ranked1 AS (
+  SELECT *, row_number() OVER (PARTITION BY host ORDER BY pr DESC, canon_url ASC) AS rk
+  FROM cand1
+),
+kept1 AS (SELECT * FROM ranked1 WHERE rk <= 8),
+seq1 AS (
+  SELECT canon_url, row_number() OVER (ORDER BY pr DESC, canon_url ASC) AS g
+  FROM kept1
+),
+emitted1 AS (SELECT * FROM seq1 WHERE g <= 200)
+SELECT canon_url,
+       CAST((g - 1) // 100 AS BIGINT) AS batch_id, CAST(g AS BIGINT) AS global_rank
+FROM emitted1
+"""
+
 _CRAWL_ROUND0_SQL = """
 WITH hc AS (
   SELECT source, count(*) AS c FROM documents GROUP BY source
@@ -781,6 +903,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "crawl_round0_schedule": _CRAWL_ROUND0_SQL,
         "crawl_two_rounds": _CRAWL_TWO_ROUNDS_SQL,
+        "crawl_inject_round": _CRAWL_INJECT_SQL,
         "scan_prune": "SELECT doc_id, lang FROM documents",
         "filter_events": "SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'",
         "null_guard": "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 400000",
