@@ -13,6 +13,7 @@ and GC reclaims the side table once its round commits.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from fixtures.gen import TINY, fixture_bundle
 from indigo_crawler_spark.config import CrawlConfig
@@ -194,3 +195,38 @@ def test_gc_reclaims_consumed_injection(crawl):
         state.io.exists(f"injected/round={r}")
         for r in range(N_TOTAL, N_TOTAL + 3)
     ), "the pending injection must be protected"
+
+
+def test_inject_per_url_ranks(crawl):
+    """An input carrying its own seed_rank column keeps the MIN rank per
+    duplicated url, and the queued frontier rows price it into the seed
+    priority formula."""
+    from indigo_crawler_spark.functions.scoring import priority_expr
+
+    state, _, _, _, _ = crawl
+    spark = state.io.spark
+    rows = [
+        ("https://ranked-host.example.org/a", 5),
+        ("https://ranked-host.example.org/a", 2),  # dup keeps rank 2
+        ("https://ranked-host.example.org/b", 9),
+    ]
+    n = inject_seeds(
+        state, spark.createDataFrame(rows, "url string, seed_rank int")
+    )
+    assert n == 2
+    from indigo_crawler_spark.plans.round import last_complete_round
+
+    nxt = last_complete_round(state) + 1
+    got = {
+        r["canon_url"]: (r["seed_rank"], r["depth"], r["priority"])
+        for r in state.io.read(f"injected/round={nxt}", schemas.FRONTIER)
+        .where(F.col("host") == "ranked-host.example.org")
+        .collect()
+    }
+    # unknown host -> host_count 0 -> bit_length(1) = 1
+    from indigo_crawler_spark.kernels.priority import priority_score
+
+    assert got == {
+        "https://ranked-host.example.org/a": (2, 0, priority_score(0, 2, 0)),
+        "https://ranked-host.example.org/b": (9, 0, priority_score(0, 9, 0)),
+    }
