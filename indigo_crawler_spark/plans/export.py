@@ -422,13 +422,16 @@ def dedup_corpus(spark, corpus_path: str, out_path: str) -> dict:
     src = _read_export_manifest(corpus_path)
     if src is None:
         raise RuntimeError(f"no export manifest at {corpus_path} — export first")
-    df = spark.read.option("basePath", corpus_path).parquet(
-        *[
-            _pk_dir(corpus_path, pk)
-            for pk in range(int(src["num_buckets"]))
-            if os.path.isdir(_pk_dir(corpus_path, pk))
-        ]
-    )
+    dirs = [
+        _pk_dir(corpus_path, pk)
+        for pk in range(int(src["num_buckets"]))
+        if os.path.isdir(_pk_dir(corpus_path, pk))
+    ]
+    if not dirs:
+        raise RuntimeError(
+            f"corpus at {corpus_path} has no pk buckets — nothing to dedup"
+        )
+    df = spark.read.option("basePath", corpus_path).parquet(*dirs)
     if "text_sha" not in df.columns:
         df = df.withColumn("text_sha", F.sha2(F.col("text"), 256))
     others = [c for c in df.columns if c != "text_sha"]
