@@ -666,6 +666,85 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["media_bytes"] = _media_bytes
     q["extract_fields"] = _extract_fields
 
+    # ---- trap-URL gate (SEMANTICS.md §Traps; functions/traps.py) ----
+    def _trap_flags(s, d):
+        """The REAL trap_expr over urls synthesized from documents: a
+        repeated-segment run (doc_id%6+1 copies of s{doc_id%3}) plus one
+        distinct tail segment — depth, repeat and length limits each fire
+        on part of the corpus; DuckDB re-parses the url with the same
+        regex/split/count pipeline."""
+        from indigo_crawler_spark.config import CrawlConfig
+        from indigo_crawler_spark.functions.traps import (
+            max_repeat_expr,
+            segments_expr,
+            trap_expr,
+        )
+
+        cfg = CrawlConfig(trap_max_depth=4, trap_max_repeat=2, trap_max_url_len=48)
+        docs = _t(s, d, "documents")
+        path = F.concat(
+            F.expr("repeat(concat('s', cast(doc_id % 3 as string), '/'), cast(doc_id % 6 + 1 as int))"),
+            F.lit("t"),
+            (F.col("doc_id") % 11).cast("string"),
+        )
+        url = F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/"), path
+        )
+        segs = segments_expr(F.col("url"))
+        return docs.select("doc_id", url.alias("url")).select(
+            "doc_id",
+            "url",
+            F.size(segs).cast("long").alias("depth"),
+            max_repeat_expr(segs).cast("long").alias("max_rep"),
+            trap_expr(F.col("url"), cfg).alias("is_trap"),
+        )
+
+    # ---- registered-domain shared budget (operators/politeness.py) ----
+    def _domain_topk(s, d):
+        """The REAL two-phase salted domain_topk over hosts synthesized from
+        orders (7 registered domains × many subdomains); DuckDB mirrors it
+        with a plain window over the last-two-label domain — identical rows
+        because the salted phase is output-transparent."""
+        from indigo_crawler_spark.operators.politeness import domain_topk
+
+        o = _t(s, d, "orders")
+        host = F.concat(
+            F.lit("sub"), (F.col("o_orderkey") % 50).cast("string"),
+            F.lit(".dom"), (F.col("o_custkey") % 7).cast("string"),
+            F.lit(".org"),
+        )
+        df = o.select(
+            host.alias("host"),
+            F.col("o_totalprice").alias("priority"),
+            F.concat(
+                F.lit("https://"), host, F.lit("/o/"),
+                F.col("o_orderkey").cast("string"),
+            ).alias("canon_url"),
+        )
+        return domain_topk(df, 5, num_salts=4).select(
+            "canon_url", "host", "priority"
+        )
+
+    # ---- connected components (operators/components.py) ----
+    def _connected_components(s, d):
+        """The REAL iterative min-label propagation over a deterministic
+        order–part bipartite slice of lineitem; DuckDB computes the same
+        labels via a recursive-CTE transitive closure + min(reachable)."""
+        from indigo_crawler_spark.operators.components import (
+            connected_components,
+        )
+
+        li = _t(s, d, "lineitem").where(F.col("l_orderkey") % 97 == 0)
+        edges = li.select(
+            F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("a"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("b"),
+        )
+        return connected_components(edges, "a", "b")
+
+    q["trap_flags"] = _trap_flags
+    q["domain_topk"] = _domain_topk
+    q["connected_components"] = _connected_components
+
     # ---- rows-only (no ANSI-SQL equivalent; exactness proven in pytest) ----
     q["xxhash64_hosts"] = lambda s, d: _t(s, d, "documents").select(
         "doc_id", F.xxhash64("source").alias("host_hash")
@@ -895,6 +974,77 @@ WHERE i.inter / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) >= {threshold}
 """
 
 
+_TRAP_FLAGS_SQL = r"""
+WITH urls AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/' ||
+         repeat('s' || CAST(doc_id % 3 AS VARCHAR) || '/', CAST(doc_id % 6 + 1 AS INT)) ||
+         't' || CAST(doc_id % 11 AS VARCHAR) AS url
+  FROM documents
+),
+segs AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           string_split(
+             regexp_replace(regexp_replace(url, '^[a-z]+://[^/]*', ''), '\?.*', ''),
+             '/'),
+           s -> s <> '')) AS seg
+  FROM urls
+),
+counts AS (SELECT doc_id, seg, count(*) AS c FROM segs GROUP BY 1, 2),
+stats AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS depth, CAST(max(c) AS BIGINT) AS max_rep
+  FROM counts GROUP BY 1
+)
+SELECT u.doc_id, u.url,
+       COALESCE(s.depth, 0) AS depth,
+       COALESCE(s.max_rep, 0) AS max_rep,
+       (COALESCE(s.depth, 0) > 4 OR COALESCE(s.max_rep, 0) > 2
+        OR length(u.url) > 48) AS is_trap
+FROM urls u LEFT JOIN stats s USING (doc_id)
+"""
+
+_DOMAIN_TOPK_SQL = """
+WITH u AS (
+  SELECT 'sub' || CAST(o_orderkey % 50 AS VARCHAR) || '.dom'
+         || CAST(o_custkey % 7 AS VARCHAR) || '.org' AS host,
+         o_totalprice AS priority,
+         'https://sub' || CAST(o_orderkey % 50 AS VARCHAR) || '.dom'
+         || CAST(o_custkey % 7 AS VARCHAR) || '.org/o/'
+         || CAST(o_orderkey AS VARCHAR) AS canon_url
+  FROM orders
+),
+d AS (
+  SELECT *, CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+                 ELSE array_to_string(list_slice(string_split(host, '.'),
+                        len(string_split(host, '.')) - 1,
+                        len(string_split(host, '.'))), '.') END AS domain
+  FROM u
+)
+SELECT canon_url, host, priority FROM (
+  SELECT canon_url, host, priority,
+         row_number() OVER (PARTITION BY domain
+                            ORDER BY priority DESC, canon_url ASC) AS rk
+  FROM d
+) t WHERE rk <= 5
+"""
+
+_CONNECTED_COMPONENTS_SQL = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT 'o' || CAST(l_orderkey AS VARCHAR) AS a,
+                  'p' || CAST(l_partkey AS VARCHAR) AS b
+  FROM lineitem WHERE l_orderkey % 97 = 0
+),
+sym AS (SELECT a AS src, b AS dst FROM e UNION SELECT b, a FROM e),
+reach(node, r) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT s.src, t.r FROM sym s JOIN reach t ON t.node = s.dst
+)
+SELECT node, min(r) AS component FROM reach GROUP BY node
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from indigo_crawler_spark.functions.text_analysis import langid_oracle_sql
     from indigo_crawler_spark.operators.similarity import int_lsh_near_pairs_oracle_sql
@@ -904,6 +1054,9 @@ def oracle_sql() -> dict[str, str]:
         "crawl_round0_schedule": _CRAWL_ROUND0_SQL,
         "crawl_two_rounds": _CRAWL_TWO_ROUNDS_SQL,
         "crawl_inject_round": _CRAWL_INJECT_SQL,
+        "trap_flags": _TRAP_FLAGS_SQL,
+        "domain_topk": _DOMAIN_TOPK_SQL,
+        "connected_components": _CONNECTED_COMPONENTS_SQL,
         "scan_prune": "SELECT doc_id, lang FROM documents",
         "filter_events": "SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'",
         "null_guard": "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 400000",

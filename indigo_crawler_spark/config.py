@@ -45,6 +45,24 @@ class CrawlConfig:
     # its host off until round R + 1 + backoff_rounds (exclusive bound).
     ban_every: int = 0
     backoff_rounds: int = 2
+    # trap-URL gate (SEMANTICS.md §Traps; kernels/traps.py is normative).
+    # 0 disables each check; structural limits on path depth, single-segment
+    # repetition, and URL length keep calendar/session-id/self-loop URL
+    # families out of the frontier.
+    trap_max_depth: int = 0
+    trap_max_repeat: int = 0
+    trap_max_url_len: int = 0
+    # robots Crawl-delay honor (SEMANTICS.md §Politeness): when > 0, a host
+    # whose robots.txt declares a crawl-delay for our agent gets its per-round
+    # budget capped at max(1, floor(round_seconds / delay)) — the batch
+    # analogue of sleeping `delay` between fetches within a round of
+    # `round_seconds` wall. 0 ignores crawl-delay (default).
+    round_seconds: int = 0
+    # registered-domain shared budget (SEMANTICS.md §Politeness): when > 0,
+    # after per-host top-B, at most this many URLs per registered domain
+    # (last two host labels) survive to the global cap — defeats subdomain
+    # farms that multiply the per-host budget. 0 disables (default).
+    domain_budget: int = 0
 
     # capacity is excluded from config_hash: it is pinned PER CRAWL by the
     # bootstrap manifest (bootstrap records the override or the A3-derived
@@ -57,22 +75,45 @@ class CrawlConfig:
     # num_buckets changes committed pk values.
     _HASH_EXCLUDED = ("bloom_bucket_capacity",)
 
-    def config_hash(self) -> str:
+    # extension fields (added after crawls existed): they enter the hash
+    # ONLY when set away from their default. A default-valued extension is
+    # semantically absent — older state dirs (whose manifests hashed a
+    # dataclass without the field) keep resuming; flipping any extension ON
+    # changes results, so it changes the hash, so resume refuses — exactly
+    # the contract every other semantic knob has.
+    _HASH_EXTENSION_DEFAULTS = {
+        "trap_max_depth": 0,
+        "trap_max_repeat": 0,
+        "trap_max_url_len": 0,
+        "round_seconds": 0,
+        "domain_budget": 0,
+    }
+
+    def _hash_dict(self) -> dict:
         d = {
             k: v for k, v in asdict(self).items() if k not in self._HASH_EXCLUDED
         }
+        for k, default in self._HASH_EXTENSION_DEFAULTS.items():
+            if d.get(k) == default:
+                del d[k]
+        return d
+
+    def config_hash(self) -> str:
         return hashlib.sha256(
-            json.dumps(d, sort_keys=True).encode()
+            json.dumps(self._hash_dict(), sort_keys=True).encode()
         ).hexdigest()[:16]
 
     def config_hash_legacy(self, bloom_bucket_capacity: int | None) -> str:
-        """Pre-exclusion hash scheme (full asdict, capacity included).
-        Manifests committed before capacity left the hash carry this form;
-        resume accepts it — recomputed with the capacity the crawl's
-        bootstrap manifest pinned, since that is the value the legacy config
-        necessarily held — so the exclusion change itself can never trigger
-        the refusal it was meant to avoid."""
-        d = {**asdict(self), "bloom_bucket_capacity": bloom_bucket_capacity}
+        """Pre-exclusion hash scheme (pre-extension asdict, capacity
+        included). Manifests committed before capacity left the hash carry
+        this form; resume accepts it — recomputed with the capacity the
+        crawl's bootstrap manifest pinned, since that is the value the
+        legacy config necessarily held — so the exclusion change itself can
+        never trigger the refusal it was meant to avoid. Extension fields
+        follow the same rule as in the live hash (absent at default): a
+        legacy dir necessarily predates them, and a NON-default extension
+        must never hash-match a legacy manifest."""
+        d = {**self._hash_dict(), "bloom_bucket_capacity": bloom_bucket_capacity}
         return hashlib.sha256(
             json.dumps(d, sort_keys=True).encode()
         ).hexdigest()[:16]

@@ -1,0 +1,73 @@
+"""Trap-URL gate as pure column expressions — mirror of kernels/traps.py.
+
+Stays entirely JVM-side (split / filter / transform / array_max — no Python
+worker round-trip), so at 10^10 frontier rows the gate costs one codegen'd
+projection, not an Arrow transfer of every URL. The segment-repeat check is
+O(k²) in the segment count k, but k is bounded by ``trap_max_depth`` plus a
+handful in practice — constant per row.
+
+Identity with the kernel is asserted by tests/test_traps.py over a URL
+battery that covers every regex edge (query cut, empty path, repeated
+segments, unicode length).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from indigo_crawler_spark.config import CrawlConfig
+
+# same regexes as kernels/traps.py — Java and Python regex semantics agree
+# on these patterns (anchored authority strip; first '?' cuts the query
+# because the match consumes to end-of-string)
+_AUTHORITY_RE = "^[a-z]+://[^/]*"
+_QUERY_RE = r"\?.*"
+
+
+def path_expr(canon_url: Column) -> Column:
+    """Path component of a canonical URL (query stripped)."""
+    return F.regexp_replace(
+        F.regexp_replace(canon_url, _AUTHORITY_RE, ""), _QUERY_RE, ""
+    )
+
+
+def segments_expr(canon_url: Column) -> Column:
+    """array<string> of non-empty path segments."""
+    return F.filter(F.split(path_expr(canon_url), "/"), lambda s: s != F.lit(""))
+
+
+def max_repeat_expr(segs: Column) -> Column:
+    """Occurrence count of the most-repeated segment (0 for empty array)."""
+    return F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(segs),
+                lambda s: F.size(F.filter(segs, lambda x: x == s)),
+            )
+        ),
+        F.lit(0),
+    )
+
+
+def trap_expr(canon_url: Column, cfg: CrawlConfig) -> Column:
+    """Boolean: does *canon_url* trip any enabled limit (kernel semantics)?
+
+    With all limits at their 0 default this folds to ``lit(False)`` — the
+    gate costs nothing unless configured.
+    """
+    checks: list[Column] = []
+    if cfg.trap_max_url_len:
+        checks.append(F.length(canon_url) > cfg.trap_max_url_len)
+    if cfg.trap_max_depth or cfg.trap_max_repeat:
+        segs = segments_expr(canon_url)
+        if cfg.trap_max_depth:
+            checks.append(F.size(segs) > cfg.trap_max_depth)
+        if cfg.trap_max_repeat:
+            checks.append(max_repeat_expr(segs) > cfg.trap_max_repeat)
+    if not checks:
+        return F.lit(False)
+    out = checks[0]
+    for c in checks[1:]:
+        out = out | c
+    return out

@@ -14,10 +14,10 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import functions as F
-from pyspark.sql.types import BooleanType, StringType
+from pyspark.sql.types import BooleanType, DoubleType, StringType
 
 from indigo_crawler_spark.kernels.canonicalize import canonicalize_url
-from indigo_crawler_spark.kernels.robots import robots_allowed
+from indigo_crawler_spark.kernels.robots import crawl_delay, robots_allowed
 
 
 @F.pandas_udf(StringType())
@@ -40,6 +40,23 @@ def make_robots_allowed_udf(user_agent: str):
         return pd.Series(out, dtype="boolean")
 
     return _robots_allowed
+
+
+def make_crawl_delay_udf(user_agent: str):
+    """pandas_udf: robots_txt → Crawl-delay seconds for *user_agent* (null =
+    none declared). Rides the same per-(host, robots_txt) parser cache as
+    the allow gate, so evaluating it on the already-joined gate frame adds
+    no parses — only a second Arrow column."""
+
+    @F.pandas_udf(DoubleType())
+    def _crawl_delay(robots_txt: pd.Series) -> pd.Series:
+        out = [
+            crawl_delay(t if isinstance(t, str) else None, user_agent)
+            for t in robots_txt
+        ]
+        return pd.Series(out, dtype="float64")
+
+    return _crawl_delay
 
 
 # default-agent instance kept for callers outside a CrawlConfig context

@@ -3,8 +3,9 @@
 The reference validated free proxies before use; the batch analogue is the
 per-(host, fetcher) admission gate: robots.txt + politeness budget
 (BASELINE.json:6). Hosts without a robots row are allowed. Parsers are cached
-per (host, robots_txt) within a process — both the oracle loop and each
-Arrow-batch worker benefit.
+per robots_txt within a process — both the oracle loop and each
+Arrow-batch worker benefit, and the allow gate and crawl-delay kernels share
+parses.
 """
 
 from __future__ import annotations
@@ -13,11 +14,13 @@ from urllib.robotparser import RobotFileParser
 
 USER_AGENT = "indigo-spark"
 
-_cache: dict[tuple[str, str], RobotFileParser] = {}
+_cache: dict[str, RobotFileParser] = {}
 
 
 def _parser(host: str, robots_txt: str) -> RobotFileParser:
-    key = (host, robots_txt)
+    # keyed by text alone: parsing depends only on the text, and a text-only
+    # key lets the crawl-delay kernel share parses with the allow gate
+    key = robots_txt
     rp = _cache.get(key)
     if rp is None:
         rp = RobotFileParser()
@@ -45,3 +48,23 @@ def _parser_url_ok(url: str, robots_txt: str, user_agent: str) -> bool:
 
     host = urlsplit(url).netloc
     return _parser(host, robots_txt).can_fetch(user_agent, url)
+
+
+def crawl_delay(robots_txt: str | None, user_agent: str = USER_AGENT) -> float | None:
+    """Crawl-delay (seconds) robots.txt declares for *user_agent*, else None.
+
+    SEMANTICS.md §Politeness: with ``cfg.round_seconds`` > 0 the engine caps
+    a host's per-round budget at max(1, floor(round_seconds / delay)) — the
+    batch analogue of sleeping `delay` between sequential fetches. stdlib
+    robotparser semantics (agent group match incl. ``*`` fallback);
+    unparseable values → None (no cap), same shrug as robots_allowed.
+    """
+    if robots_txt is None:
+        return None
+    try:
+        # parser cache is keyed (host, text); delay depends on text only —
+        # reuse the cache with a sentinel host
+        d = _parser("", robots_txt).crawl_delay(user_agent)
+        return float(d) if d is not None else None
+    except Exception:
+        return None

@@ -1,0 +1,80 @@
+"""Crawler-trap detection kernel — SEMANTICS.md §Traps.
+
+Web-scale crawls die in URL *traps*: calendar pages, session-id echoes and
+self-referential path loops mint unbounded URL families under one host, and
+a frontier that admits them spends its politeness budget on garbage forever.
+The classic defenses are structural and need no fetch: bound the path depth,
+bound how often one path segment may repeat, bound the URL length.
+
+This kernel is the normative definition shared by the oracle simulator and
+the Spark column-expression mirror (functions/traps.py); a pytest asserts
+the two agree on a URL battery. All three limits are OFF (0) by default —
+the gate is a semantic knob, so enabling any limit enters config_hash
+(config.py extension-field scheme).
+
+Path parsing is deliberately regex-simple and identical on both sides:
+strip ``scheme://authority`` (first match only), then cut at the first
+``?``. Canonical URLs (kernels/canonicalize.py) always carry a scheme and
+a non-empty path, so this is total on engine inputs.
+"""
+
+from __future__ import annotations
+
+import re
+
+_AUTHORITY = re.compile(r"^[a-z]+://[^/]*")
+
+
+def url_path(canon_url: str) -> str:
+    """Path component of a canonical URL (query stripped, no decoding)."""
+    p = _AUTHORITY.sub("", canon_url, count=1)
+    q = p.find("?")
+    return p if q < 0 else p[:q]
+
+
+def path_segments(canon_url: str) -> list[str]:
+    """Non-empty ``/``-separated path segments."""
+    return [s for s in url_path(canon_url).split("/") if s]
+
+
+def max_segment_repeat(canon_url: str) -> int:
+    """Occurrence count of the most-repeated path segment (0 for no path)."""
+    segs = path_segments(canon_url)
+    if not segs:
+        return 0
+    counts: dict[str, int] = {}
+    for s in segs:
+        counts[s] = counts.get(s, 0) + 1
+    return max(counts.values())
+
+
+def is_trap_url(
+    canon_url: str,
+    max_depth: int = 0,
+    max_repeat: int = 0,
+    max_url_len: int = 0,
+) -> bool:
+    """True iff *canon_url* trips any ENABLED structural trap limit.
+
+    - ``max_depth`` > 0: more than that many path segments ⇒ trap
+      (calendar/deep-mirror families).
+    - ``max_repeat`` > 0: any single segment occurring more than that many
+      times ⇒ trap (self-referential ``/a/a/a/...`` loops).
+    - ``max_url_len`` > 0: URL longer than that many characters ⇒ trap
+      (session-id / parameter-echo blowups).
+
+    A limit of 0 disables that check; all-zero means never a trap.
+    """
+    if max_url_len and len(canon_url) > max_url_len:
+        return True
+    if max_depth or max_repeat:
+        segs = path_segments(canon_url)
+        if max_depth and len(segs) > max_depth:
+            return True
+        if max_repeat and segs:
+            counts: dict[str, int] = {}
+            for s in segs:
+                counts[s] = counts.get(s, 0) + 1
+                if counts[s] > max_repeat:
+                    return True
+    return False

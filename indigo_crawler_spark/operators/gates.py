@@ -12,7 +12,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from indigo_crawler_spark.config import CrawlConfig
-from indigo_crawler_spark.functions.udfs import make_robots_allowed_udf
+from indigo_crawler_spark.functions.traps import trap_expr
+from indigo_crawler_spark.functions.udfs import (
+    make_crawl_delay_udf,
+    make_robots_allowed_udf,
+)
 
 
 def gate_frontier(
@@ -31,7 +35,15 @@ def gate_frontier(
     a second time inside the frontier-advance job). Here the UDF runs exactly
     once per row per round; allowed/denied/eligible are cheap filters on the
     cached result.
+
+    Extension gates (all default-off; SEMANTICS.md §Traps / §Politeness):
+    ``_trap`` flags structurally trappy URLs (pure codegen exprs — folds to
+    ``lit(False)`` when disabled); with ``cfg.round_seconds`` > 0 the budget
+    column is additionally capped by the host's robots crawl-delay
+    (max(1, floor(round_seconds / delay))) — evaluated inside the SAME
+    joined pass so robots_txt still crosses into Python once per row.
     """
+    honor_delay = cfg.robots_enabled and cfg.round_seconds > 0
     if cfg.robots_enabled:
         df = frontier.join(
             # robots is per-host (frontier-scale, not dimension-scale): a
@@ -45,11 +57,17 @@ def gate_frontier(
             make_robots_allowed_udf(cfg.user_agent)(
                 F.col("canon_url"), F.col("robots_txt")
             ),
-        ).drop("robots_txt")
+        )
+        if honor_delay:
+            df = df.withColumn(
+                "_delay", make_crawl_delay_udf(cfg.user_agent)(F.col("robots_txt"))
+            )
+        df = df.drop("robots_txt")
     else:
         df = frontier.withColumn("_allowed", F.lit(True))
+    df = df.withColumn("_trap", trap_expr(F.col("canon_url"), cfg))
     b = F.broadcast(budgets.select("host", "budget", "backoff_until_round"))
-    return (
+    out = (
         df.join(b, on="host", how="left")
         .withColumn("budget", F.coalesce(F.col("budget"), F.lit(cfg.default_budget)))
         .withColumn(
@@ -58,6 +76,22 @@ def gate_frontier(
         )
         .drop("backoff_until_round")
     )
+    if honor_delay:
+        # delay ≤ 0 or absent ⇒ no cap; else budget = min(budget,
+        # max(1, floor(round_seconds / delay))) — float division + floor,
+        # same IEEE arithmetic as the oracle's kernel call
+        cap = F.greatest(
+            F.lit(1),
+            F.floor(F.lit(float(cfg.round_seconds)) / F.col("_delay")).cast("int"),
+        )
+        out = out.withColumn(
+            "budget",
+            F.when(
+                F.col("_delay").isNotNull() & (F.col("_delay") > 0),
+                F.least(F.col("budget"), cap),
+            ).otherwise(F.col("budget")),
+        ).drop("_delay")
+    return out
 
 
 def split_robots(candidates: DataFrame, robots: DataFrame, cfg: CrawlConfig) -> tuple[DataFrame, DataFrame]:

@@ -28,6 +28,50 @@ def politeness_topk(df: DataFrame, budget_col: str = "budget") -> DataFrame:
     )
 
 
+def registered_domain_expr(host):
+    """Registered domain ≈ last two '.'-labels of *host* (hosts with ≤2
+    labels are their own domain). A public-suffix list would be more exact
+    for ccTLDs (``*.co.uk``); the heuristic is documented in SEMANTICS.md
+    §Politeness and mirrored verbatim by the oracle — ports, if present in
+    the netloc, ride the last label on both sides identically."""
+    parts = F.split(host, "[.]")
+    return F.when(F.size(parts) <= 2, host).otherwise(
+        F.concat_ws(".", F.slice(parts, -2, 2))
+    )
+
+
+def domain_topk(df: DataFrame, domain_budget: int, num_salts: int) -> DataFrame:
+    """Registered-domain shared cap AFTER per-host top-B (SEMANTICS.md
+    §Politeness): ≤``domain_budget`` rows per registered domain survive,
+    ranked (priority DESC, canon_url ASC).
+
+    Always two-phase salted: a subdomain farm can put millions of hosts —
+    each already host-capped at B — under ONE domain, and unlike the host
+    window there is no cheap per-round heavy-domain dimension to consult, so
+    phase 1 thins within (domain, salt) unconditionally. Superset property
+    (operators/skew.py): a row's in-salt rank ≤ its true in-domain rank, so
+    the true top-D all survive phase 1 and phase 2 ranks them exactly.
+    ``rank_in_host`` (already assigned) passes through untouched — emitted
+    rows keep their HOST rank; the domain cap only selects rows.
+    """
+    order = (F.desc("priority"), F.asc("canon_url"))
+    salted = df.withColumn(
+        "_domain", registered_domain_expr(F.col("host"))
+    ).withColumn("_salt", F.pmod(F.xxhash64("canon_url"), F.lit(num_salts)))
+    w1 = Window.partitionBy("_domain", "_salt").orderBy(*order)
+    thinned = (
+        salted.withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= domain_budget)
+        .drop("_salt", "_r1")
+    )
+    w2 = Window.partitionBy("_domain").orderBy(*order)
+    return (
+        thinned.withColumn("_r2", F.row_number().over(w2))
+        .where(F.col("_r2") <= domain_budget)
+        .drop("_domain", "_r2")
+    )
+
+
 def global_rank(
     df: DataFrame, order_cols: list, gather_col: str | None = None
 ) -> tuple[DataFrame, int, list, DataFrame]:

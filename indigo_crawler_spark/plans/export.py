@@ -404,7 +404,13 @@ def _export_incremental(
     }
 
 
-def dedup_corpus(spark, corpus_path: str, out_path: str) -> dict:
+def dedup_corpus(
+    spark,
+    corpus_path: str,
+    out_path: str,
+    near_threshold: float | None = None,
+    shingle_n: int = 3,
+) -> dict:
     """Exact-dedup derived product: ONE row per distinct text from an
     exported corpus — the operators/text_dedup.py exact-hash shape applied
     to the crawl's own data product. Keep-rule: the lexicographically
@@ -416,9 +422,19 @@ def dedup_corpus(spark, corpus_path: str, out_path: str) -> dict:
     a sha→canonical sidecar (Iceberg MERGE territory) — the honest cost
     here is one agg over the corpus.
 
+    With *near_threshold* set, a NEAR-dup pass follows the exact one:
+    MinHash→LSH→exact-Jaccard pairs (operators/text_dedup.py — no false
+    positives) over the exact-deduped rows, connected components over the
+    pair graph (operators/components.py — A~B~C collapses to ONE keeper
+    even when A≁C directly), keeper = the component's minimum canon_url.
+    Scale: pairs move ids only; the component propagation is O(dup-cluster
+    diameter) joins; the final filter is one left join against the
+    (tiny relative to corpus) labeled-node set.
+
     Reads any corpus (annotated or not — ``text_sha`` is recomputed when
     absent); writes parquet partitioned by pk plus a manifest with the row
-    counts. Returns ``{"rows_in", "rows_out", "out_path"}``."""
+    counts. Returns ``{"rows_in", "rows_out", "out_path"}`` (+
+    ``near_dropped`` in near mode)."""
     src = _read_export_manifest(corpus_path)
     if src is None:
         raise RuntimeError(f"no export manifest at {corpus_path} — export first")
@@ -442,20 +458,47 @@ def dedup_corpus(spark, corpus_path: str, out_path: str) -> dict:
         .groupBy("text_sha")
         .agg(F.min_by("_row", F.col("_row.canon_url")).alias("_row"))
         .select("text_sha", *[f"_row.{c}" for c in others])
-        .observe(obs_out, F.count(F.lit(1)).alias("rows"))
     )
-    deduped.repartition(F.col("pk")).write.mode("overwrite").partitionBy(
+    near_exact = None
+    if near_threshold is not None:
+        from indigo_crawler_spark.operators.components import connected_components
+        from indigo_crawler_spark.operators.text_dedup import minhash_dedup_pairs
+
+        # exact-deduped rows feed BOTH the pair mining and the final filter
+        deduped = deduped.cache()
+        pairs = minhash_dedup_pairs(
+            deduped.select(F.col("canon_url").alias("doc_id"), "text"),
+            threshold=near_threshold,
+            n=shingle_n,
+        )
+        labels = connected_components(pairs, "a", "b")
+        near_exact = int(deduped.count())
+        result = (
+            deduped.join(labels, deduped["canon_url"] == labels["node"], "left")
+            .where(
+                F.col("component").isNull()
+                | (F.col("component") == F.col("canon_url"))
+            )
+            .drop("node", "component")
+        )
+    else:
+        result = deduped
+    result = result.observe(obs_out, F.count(F.lit(1)).alias("rows"))
+    result.repartition(F.col("pk")).write.mode("overwrite").partitionBy(
         "pk"
     ).parquet(out_path)
     rows_in, rows_out = int(obs_in.get["rows"]), int(obs_out.get["rows"])
-    _write_export_manifest(
-        out_path,
-        {
-            "through_round": int(src["through_round"]),
-            "num_buckets": int(src["num_buckets"]),
-            "rows": rows_out,
-            "deduped_from": corpus_path,
-            "rows_in": rows_in,
-        },
-    )
-    return {"rows_in": rows_in, "rows_out": rows_out, "out_path": out_path}
+    payload = {
+        "through_round": int(src["through_round"]),
+        "num_buckets": int(src["num_buckets"]),
+        "rows": rows_out,
+        "deduped_from": corpus_path,
+        "rows_in": rows_in,
+    }
+    out = {"rows_in": rows_in, "rows_out": rows_out, "out_path": out_path}
+    if near_threshold is not None:
+        payload["near_threshold"] = near_threshold
+        payload["near_dropped"] = near_exact - rows_out
+        out["near_dropped"] = near_exact - rows_out
+    _write_export_manifest(out_path, payload)
+    return out

@@ -546,6 +546,9 @@ def run_round(
     # 1-2. gates — one cached pass; counters observed, not re-counted
     from indigo_crawler_spark.operators.skew import politeness_topk_skew_aware
 
+    # gate precedence (SEMANTICS.md): robots → trap → backoff. Trap rows
+    # leave the frontier permanently (like denied); _trap folds to
+    # lit(False) with the default-off limits, keeping the plan unchanged.
     gate_obs = Observation()
     gated = (
         gate_frontier(frontier, robots, budgets, cfg, round_no)
@@ -553,12 +556,19 @@ def run_round(
             gate_obs,
             F.count(F.lit(1)).alias("candidates"),
             _sum0(~F.col("_allowed")).alias("robots_denied"),
-            _sum0(F.col("_allowed") & F.col("_backoff")).alias("backoff_skipped"),
-            _sum0(F.col("_allowed") & ~F.col("_backoff")).alias("eligible"),
+            _sum0(F.col("_allowed") & F.col("_trap")).alias("trap_dropped"),
+            _sum0(
+                F.col("_allowed") & ~F.col("_trap") & F.col("_backoff")
+            ).alias("backoff_skipped"),
+            _sum0(
+                F.col("_allowed") & ~F.col("_trap") & ~F.col("_backoff")
+            ).alias("eligible"),
         )
         .cache()
     )
-    eligible = gated.where(F.col("_allowed") & ~F.col("_backoff"))
+    eligible = gated.where(
+        F.col("_allowed") & ~F.col("_trap") & ~F.col("_backoff")
+    )
 
     # frontier-skew fold: per-host candidate counts over THIS round's gate
     # frame become round R+1's salted-host dimension (link-farm hosts heavy
@@ -596,7 +606,22 @@ def run_round(
     with _no_aqe(spark):
         kept = politeness_topk_skew_aware(
             eligible, cfg, state.heavy_hosts(round_no)
-        ).cache()
+        )
+        # optional registered-domain shared cap (SEMANTICS.md §Politeness):
+        # rides between the host cap and the global cap; host_kept is
+        # observed on the intermediate frame so budget_deferred /
+        # domain_deferred split without an extra count job
+        host_obs = None
+        if cfg.domain_budget:
+            from indigo_crawler_spark.operators.politeness import domain_topk
+
+            host_obs = Observation()
+            kept = domain_topk(
+                kept.observe(host_obs, F.count(F.lit(1)).alias("host_kept")),
+                cfg.domain_budget,
+                cfg.num_salts,
+            )
+        kept = kept.cache()
         with _timed(tm, "gates_rank_collect"):
             emitted, n_kept, kept_pks, rank_cache = sequence_batches(
                 kept, round_no, cfg.round_limit, cfg.batch_size, gather_col="pk"
@@ -776,6 +801,12 @@ def run_round(
             F.explode("links").alias("canon_url"),
             (F.col("depth") + 1).cast("int").alias("depth"),
         )
+        # trap children never enter the frontier (SEMANTICS.md §Traps) —
+        # dropping an unbounded URL family at discovery beats re-gating it
+        # every round; trap_expr folds to lit(False) when the gate is off
+        from indigo_crawler_spark.functions.traps import trap_expr
+
+        children = children.where(~trap_expr(F.col("canon_url"), cfg))
         children = dedup_min_by(children, "canon_url", ["depth"]).withColumn(
             "host", host_expr("canon_url")
         )
@@ -823,7 +854,7 @@ def run_round(
         # rows by one bounded-side join. Join strategy (10^10 scale): emitted
         # is bounded by K → broadcast; frontier/seen/host_counts are
         # frontier-scale → SHUFFLE_HASH (broadcast builds would serialize).
-        allowed_rows = gated.where(F.col("_allowed"))
+        allowed_rows = gated.where(F.col("_allowed") & ~F.col("_trap"))
         emitted_urls = emitted.select("canon_url")
         if not small_round:
             emitted_urls = emitted_urls.hint("SHUFFLE_HASH")
@@ -906,13 +937,16 @@ def run_round(
     finally:
         pool.shutdown(wait=True)
 
+    host_kept = _obs_int(host_obs, "host_kept") if host_obs is not None else n_kept
     counters = {
         "candidates": _obs_int(gate_obs, "candidates"),
         "max_host_candidates": max_host_cand,
         "frontier_heavy_hosts_next": n_heavy_next,
         "robots_denied": _obs_int(gate_obs, "robots_denied"),
+        "trap_dropped": _obs_int(gate_obs, "trap_dropped"),
         "backoff_skipped": _obs_int(gate_obs, "backoff_skipped"),
-        "budget_deferred": _obs_int(gate_obs, "eligible") - n_kept,
+        "budget_deferred": _obs_int(gate_obs, "eligible") - host_kept,
+        "domain_deferred": host_kept - n_kept,
         "cap_deferred": n_kept - n_emitted,
         "emitted": n_emitted,
         "banned": _obs_int(fb_obs, "banned"),

@@ -70,6 +70,13 @@ def main(argv: list[str] | None = None) -> int:
         "(one row per distinct text, keeper = min canon_url) at this path",
     )
     ap.add_argument(
+        "--dedup-near", type=float, default=None, metavar="JACCARD",
+        help="with --export-dedup: follow the exact pass with MinHash+LSH "
+        "near-dup removal at this exact-verified Jaccard threshold; "
+        "connected components pick one keeper (min canon_url) per dup "
+        "cluster",
+    )
+    ap.add_argument(
         "--gc-every", type=int, default=0,
         help="reclaim superseded state after every Nth committed round "
         "(0=off) — keeps a months-long crawl's storage tracking the live "
@@ -189,10 +196,18 @@ def main(argv: list[str] | None = None) -> int:
         if args.export_dedup:
             from indigo_crawler_spark.plans.export import dedup_corpus
 
-            d = dedup_corpus(spark, args.export, args.export_dedup)
+            d = dedup_corpus(
+                spark, args.export, args.export_dedup,
+                near_threshold=args.dedup_near,
+            )
+            near = (
+                f", {d['near_dropped']} near-dups dropped"
+                if "near_dropped" in d
+                else ""
+            )
             print(
                 f"dedup: {d['rows_out']} distinct texts from {d['rows_in']} "
-                f"urls -> {d['out_path']}"
+                f"urls{near} -> {d['out_path']}"
             )
         return 0
 

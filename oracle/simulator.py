@@ -19,13 +19,21 @@ from urllib.parse import urlsplit
 from indigo_crawler_spark.config import CrawlConfig
 from indigo_crawler_spark.kernels.canonicalize import canonicalize_url
 from indigo_crawler_spark.kernels.priority import priority_score
-from indigo_crawler_spark.kernels.robots import robots_allowed
+from indigo_crawler_spark.kernels.robots import crawl_delay, robots_allowed
 from indigo_crawler_spark.kernels.textextract import extract_text_and_links
+from indigo_crawler_spark.kernels.traps import is_trap_url
 from indigo_crawler_spark.kernels.xxh64 import xxhash64
 
 
 def _host_of(canon_url: str) -> str:
     return urlsplit(canon_url).netloc
+
+
+def _domain_of(host: str) -> str:
+    """Registered domain = last two '.'-labels (SEMANTICS.md §Politeness;
+    mirror of operators/politeness.py registered_domain_expr)."""
+    labels = host.split(".")
+    return host if len(labels) <= 2 else ".".join(labels[-2:])
 
 
 @dataclass
@@ -158,6 +166,21 @@ class OracleCrawl:
         return n
 
     # ------------------------------------------------------------------
+    def _effective_budget(self, host: str) -> int:
+        """Per-host budget, capped by robots Crawl-delay when
+        cfg.round_seconds > 0 (mirror of gate_frontier's cap: float
+        division + floor, floor 1)."""
+        import math
+
+        cfg = self.cfg
+        b = self.budget.get(host, cfg.default_budget)
+        if cfg.round_seconds and cfg.robots_enabled:
+            d = crawl_delay(self.robots.get(host), cfg.user_agent)
+            if d is not None and d > 0:
+                b = min(b, max(1, int(math.floor(float(cfg.round_seconds) / d))))
+        return b
+
+    # ------------------------------------------------------------------
     def step(self, r: int) -> RoundResult:
         cfg = self.cfg
         res = RoundResult(round=r)
@@ -174,8 +197,10 @@ class OracleCrawl:
                 1 for v in host_cands.values() if v > cfg.salt_threshold
             ),
             "robots_denied": 0,
+            "trap_dropped": 0,
             "backoff_skipped": 0,
             "budget_deferred": 0,
+            "domain_deferred": 0,
             "cap_deferred": 0,
             "emitted": 0,
             "banned": 0,
@@ -187,6 +212,8 @@ class OracleCrawl:
         # 1-2. gates
         eligible: list[FrontierRow] = []
         denied: set[str] = set()
+        # gate precedence (mirror of plans/round.py): robots → trap → backoff;
+        # trap rows leave the frontier permanently like denied ones
         for row in self.frontier.values():
             if cfg.robots_enabled:
                 rtxt = self.robots.get(row.host)
@@ -194,6 +221,15 @@ class OracleCrawl:
                     denied.add(row.canon_url)
                     counters["robots_denied"] += 1
                     continue
+            if is_trap_url(
+                row.canon_url,
+                cfg.trap_max_depth,
+                cfg.trap_max_repeat,
+                cfg.trap_max_url_len,
+            ):
+                denied.add(row.canon_url)
+                counters["trap_dropped"] += 1
+                continue
             if self.backoff.get(row.host, 0) > r:
                 counters["backoff_skipped"] += 1
                 continue
@@ -207,11 +243,31 @@ class OracleCrawl:
             if row.host != cur_host:
                 cur_host, rank = row.host, 0
             rank += 1
-            b = self.budget.get(row.host, cfg.default_budget)
+            b = self._effective_budget(row.host)
             if rank <= b:
                 kept.append((row, rank))
             else:
                 counters["budget_deferred"] += 1
+
+        # 3b. registered-domain shared cap (mirror of domain_topk): ≤D rows
+        # per last-two-label domain, ranked (priority DESC, canon_url ASC);
+        # rank_in_host values pass through unchanged
+        if cfg.domain_budget:
+            kept.sort(
+                key=lambda t: (_domain_of(t[0].host), -t[0].priority, t[0].canon_url)
+            )
+            capped: list[tuple[FrontierRow, int]] = []
+            cur_dom, drank = None, 0
+            for row, rank_in_host in kept:
+                dom = _domain_of(row.host)
+                if dom != cur_dom:
+                    cur_dom, drank = dom, 0
+                drank += 1
+                if drank <= cfg.domain_budget:
+                    capped.append((row, rank_in_host))
+                else:
+                    counters["domain_deferred"] += 1
+            kept = capped
 
         # 4. global cap K
         kept.sort(key=lambda t: (-t[0].priority, t[0].canon_url))
@@ -263,6 +319,15 @@ class OracleCrawl:
             if d > cfg.max_depth:
                 continue
             for child in links:
+                # trap children never enter the frontier (SEMANTICS.md
+                # §Traps; mirror of the engine's discovery-side filter)
+                if is_trap_url(
+                    child,
+                    cfg.trap_max_depth,
+                    cfg.trap_max_repeat,
+                    cfg.trap_max_url_len,
+                ):
+                    continue
                 prev = children.get(child)
                 if prev is None or d < prev.depth:
                     h = _host_of(child)
