@@ -741,9 +741,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return connected_components(edges, "a", "b")
 
+    # ---- sitemap <loc> extraction (SEMANTICS.md §Sitemaps) ----
+    def _sitemap_locs(s, d):
+        """The REAL sitemap-aware fetch extraction (operators/extract.py →
+        kernels/sitemap.py) over urlset documents synthesized from
+        documents: two <loc> entries per doc — one bare, one whitespace-
+        padded with an entity-escaped query. DuckDB re-parses the same XML
+        with the same <loc> regex and unescape."""
+        from indigo_crawler_spark.operators.extract import extract_pages
+
+        docs = _t(s, d, "documents")
+        u1 = F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/d/"),
+            F.col("doc_id").cast("string"),
+        )
+        u2 = F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/q/"),
+            F.col("doc_id").cast("string"), F.lit("?a=1&amp;b="),
+            (F.col("doc_id") % 7).cast("string"),
+        )
+        xml = F.concat(
+            F.lit('<?xml version="1.0"?>\n<urlset>\n<url><loc>'),
+            u1,
+            F.lit("</loc></url>\n<url><loc>  "),
+            u2,
+            F.lit("  </loc></url>\n</urlset>\n"),
+        )
+        pages = docs.select(
+            F.col("doc_id").cast("string").alias("canon_url"),
+            F.lit(0).alias("depth"),
+            F.encode(xml, "UTF-8").alias("html"),
+        )
+        out = extract_pages(pages, sitemap_aware=True)
+        return out.select(
+            F.col("canon_url").cast("bigint").alias("doc_id"),
+            F.posexplode("links").alias("pos", "loc"),
+        ).select("doc_id", (F.col("pos") + 1).cast("long").alias("pos"), "loc")
+
     q["trap_flags"] = _trap_flags
     q["domain_topk"] = _domain_topk
     q["connected_components"] = _connected_components
+    q["sitemap_locs"] = _sitemap_locs
 
     # ---- rows-only (no ANSI-SQL equivalent; exactness proven in pytest) ----
     q["xxhash64_hosts"] = lambda s, d: _t(s, d, "documents").select(
@@ -1029,6 +1067,28 @@ SELECT canon_url, host, priority FROM (
 ) t WHERE rk <= 5
 """
 
+_SITEMAP_LOCS_SQL = r"""
+WITH x AS (
+  SELECT doc_id,
+         '<?xml version="1.0"?>' || chr(10) || '<urlset>' || chr(10) ||
+         '<url><loc>https://' || source || '.example.com/d/'
+         || CAST(doc_id AS VARCHAR) || '</loc></url>' || chr(10) ||
+         '<url><loc>  https://' || source || '.example.com/q/'
+         || CAST(doc_id AS VARCHAR) || '?a=1&amp;b='
+         || CAST(doc_id % 7 AS VARCHAR) || '  </loc></url>' || chr(10) ||
+         '</urlset>' || chr(10) AS xml
+  FROM documents
+),
+l AS (
+  SELECT doc_id,
+         regexp_extract_all(xml, '<loc>\s*([^<]*?)\s*</loc>', 1) AS locs
+  FROM x
+)
+SELECT doc_id, CAST(1 AS BIGINT) AS pos, replace(locs[1], '&amp;', '&') AS loc FROM l
+UNION ALL
+SELECT doc_id, CAST(2 AS BIGINT) AS pos, replace(locs[2], '&amp;', '&') AS loc FROM l
+"""
+
 _CONNECTED_COMPONENTS_SQL = """
 WITH RECURSIVE e AS (
   SELECT DISTINCT 'o' || CAST(l_orderkey AS VARCHAR) AS a,
@@ -1057,6 +1117,7 @@ def oracle_sql() -> dict[str, str]:
         "trap_flags": _TRAP_FLAGS_SQL,
         "domain_topk": _DOMAIN_TOPK_SQL,
         "connected_components": _CONNECTED_COMPONENTS_SQL,
+        "sitemap_locs": _SITEMAP_LOCS_SQL,
         "scan_prune": "SELECT doc_id, lang FROM documents",
         "filter_events": "SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'",
         "null_guard": "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 400000",

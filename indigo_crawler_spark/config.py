@@ -63,6 +63,12 @@ class CrawlConfig:
     # (last two host labels) survive to the global cap — defeats subdomain
     # farms that multiply the per-host budget. 0 disables (default).
     domain_budget: int = 0
+    # sitemap discovery (SEMANTICS.md §Sitemaps): robots.txt ``Sitemap:``
+    # URLs join the round-0 frontier (seed-style rows, seed_rank NULL,
+    # seeds win ties), and fetched sitemap/sitemap-index documents yield
+    # their <loc> URLs as out-links instead of HTML text. Changes results
+    # ⇒ extension field in config_hash. False disables (default).
+    sitemaps_enabled: bool = False
 
     # capacity is excluded from config_hash: it is pinned PER CRAWL by the
     # bootstrap manifest (bootstrap records the override or the A3-derived
@@ -87,6 +93,7 @@ class CrawlConfig:
         "trap_max_url_len": 0,
         "round_seconds": 0,
         "domain_budget": 0,
+        "sitemaps_enabled": False,
     }
 
     def _hash_dict(self) -> dict:

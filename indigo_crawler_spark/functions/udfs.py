@@ -14,10 +14,14 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import functions as F
-from pyspark.sql.types import BooleanType, DoubleType, StringType
+from pyspark.sql.types import ArrayType, BooleanType, DoubleType, StringType
 
 from indigo_crawler_spark.kernels.canonicalize import canonicalize_url
-from indigo_crawler_spark.kernels.robots import crawl_delay, robots_allowed
+from indigo_crawler_spark.kernels.robots import (
+    crawl_delay,
+    robots_allowed,
+    robots_sitemaps,
+)
 
 
 @F.pandas_udf(StringType())
@@ -57,6 +61,16 @@ def make_crawl_delay_udf(user_agent: str):
         return pd.Series(out, dtype="float64")
 
     return _crawl_delay
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def robots_sitemaps_udf(robots_txt: pd.Series) -> pd.Series:
+    """pandas_udf: robots_txt → its ``Sitemap:`` directive URLs in file
+    order (raw; bootstrap canonicalizes them like seeds). Agent-independent,
+    so no factory; shares the allow gate's parser cache."""
+    return pd.Series(
+        [robots_sitemaps(t if isinstance(t, str) else None) for t in robots_txt]
+    )
 
 
 # default-agent instance kept for callers outside a CrawlConfig context

@@ -50,6 +50,22 @@ def _parser_url_ok(url: str, robots_txt: str, user_agent: str) -> bool:
     return _parser(host, robots_txt).can_fetch(user_agent, url)
 
 
+def robots_sitemaps(robots_txt: str | None) -> list[str]:
+    """``Sitemap:`` directive URLs of *robots_txt* in file order (raw — NOT
+    canonicalized), [] when none. SEMANTICS.md §Sitemaps: with
+    ``cfg.sitemaps_enabled`` these are injected into the round-0 frontier
+    alongside the seed list. stdlib ``robotparser.site_maps()`` semantics
+    (directive is agent-independent); same parser cache as the allow gate,
+    so bootstrap adds no parses beyond the gate's."""
+    if robots_txt is None:
+        return []
+    try:
+        maps = _parser("", robots_txt).site_maps()
+        return list(maps) if maps else []
+    except Exception:
+        return []
+
+
 def crawl_delay(robots_txt: str | None, user_agent: str = USER_AGENT) -> float | None:
     """Crawl-delay (seconds) robots.txt declares for *user_agent*, else None.
 

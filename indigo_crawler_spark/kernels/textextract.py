@@ -146,14 +146,19 @@ class _Extractor(HTMLParser):
         return " ".join("".join(self._title_chunks).split())
 
 
+def _decode(html: bytes | str | None) -> str:
+    if html is None:
+        return ""
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        return bytes(html).decode("utf-8", errors="replace")
+    return html
+
+
 def _parse(html: bytes | str | None) -> _Extractor:
     p = _Extractor()
-    if html is None:
+    doc = _decode(html)
+    if not doc:
         return p
-    if isinstance(html, (bytes, bytearray, memoryview)):
-        doc = bytes(html).decode("utf-8", errors="replace")
-    else:
-        doc = html
     try:
         p.feed(doc)
         p.close()
@@ -180,24 +185,51 @@ def _canon_links(hrefs: list[str], base_url: str | None) -> list[str]:
 
 
 def extract_text_and_links(
-    html: bytes | str | None, base_url: str | None
+    html: bytes | str | None, base_url: str | None, sitemap_aware: bool = False
 ) -> tuple[str, list[str]]:
     """Parse *html* once; return (visible_text, canonical out-links in order).
 
     *html* is the binary column decoded UTF-8 ``errors='replace'``. Links are
     ``urljoin(base_url, href)`` → ``canonicalize_url``; rejects are dropped;
     duplicates are preserved (in-round dedup happens downstream, A2).
+
+    With *sitemap_aware* (cfg.sitemaps_enabled — a semantic knob, so it
+    enters config_hash): a sitemap/sitemap-index document
+    (kernels/sitemap.py is normative) yields text = "" and links = its
+    ``<loc>`` URLs canonicalized like any href — ``<sitemapindex>`` children
+    are further sitemaps, fetched as ordinary frontier rows. HTML pages
+    never match the detector, so their text/link byte streams are unchanged
+    under the flag.
     """
+    if sitemap_aware:
+        from indigo_crawler_spark.kernels.sitemap import (
+            looks_like_sitemap,
+            sitemap_locs,
+        )
+
+        doc = _decode(html)
+        if looks_like_sitemap(doc):
+            return "", _canon_links(sitemap_locs(doc), base_url)
     p = _parse(html)
     return p.text(), _canon_links(p.hrefs, base_url)
 
 
 def extract_all(
-    html: bytes | str | None, base_url: str | None
+    html: bytes | str | None, base_url: str | None, sitemap_aware: bool = False
 ) -> tuple[str, list[str], str, list[str], dict[str, str]]:
     """Parse *html* once; return (text, links, title, headings, meta) — the
     structured-record extraction surface. text/links are byte-identical to
-    ``extract_text_and_links`` (same parse, additive fields)."""
+    ``extract_text_and_links`` (same parse, additive fields; sitemap
+    documents under *sitemap_aware* have no title/headings/meta)."""
+    if sitemap_aware:
+        from indigo_crawler_spark.kernels.sitemap import (
+            looks_like_sitemap,
+            sitemap_locs,
+        )
+
+        doc = _decode(html)
+        if looks_like_sitemap(doc):
+            return "", _canon_links(sitemap_locs(doc), base_url), "", [], {}
     p = _parse(html)
     return p.text(), _canon_links(p.hrefs, base_url), p.title(), p.headings, p.meta
 

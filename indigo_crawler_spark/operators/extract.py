@@ -43,18 +43,20 @@ _FIELDS_SCHEMA = StructType(
 )
 
 
-def extract_pages(df: DataFrame) -> DataFrame:
+def extract_pages(df: DataFrame, sitemap_aware: bool = False) -> DataFrame:
     """(canon_url, depth, html) → (canon_url, depth, text, links).
 
     Input may carry extra columns; only the three named ones are read —
     select them *before* calling so Parquet scans prune everything else.
+    *sitemap_aware* (cfg.sitemaps_enabled) routes sitemap documents through
+    the <loc> branch of the shared kernel — same single Arrow crossing.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             texts, links = [], []
             for html, base in zip(pdf["html"], pdf["canon_url"]):
-                t, ls = extract_text_and_links(html, base)
+                t, ls = extract_text_and_links(html, base, sitemap_aware)
                 texts.append(t)
                 links.append(ls)
             yield pd.DataFrame(
@@ -69,7 +71,7 @@ def extract_pages(df: DataFrame) -> DataFrame:
     return df.select("canon_url", "depth", "html").mapInPandas(run, _OUT_SCHEMA)
 
 
-def extract_pages_with_fields(df: DataFrame) -> DataFrame:
+def extract_pages_with_fields(df: DataFrame, sitemap_aware: bool = False) -> DataFrame:
     """(canon_url, depth, html) → (…, text, links, title, headings, meta) —
     the structured-record extraction the reference's listing-page parser
     produced ([P], SURVEY.md §1.1): title, h1-h3 headings in document order,
@@ -81,7 +83,7 @@ def extract_pages_with_fields(df: DataFrame) -> DataFrame:
         for pdf in batches:
             texts, links, titles, heads, metas = [], [], [], [], []
             for html, base in zip(pdf["html"], pdf["canon_url"]):
-                t, ls, ti, hs, me = extract_all(html, base)
+                t, ls, ti, hs, me = extract_all(html, base, sitemap_aware)
                 texts.append(t)
                 links.append(ls)
                 titles.append(ti)

@@ -451,10 +451,41 @@ def bootstrap(
         sc = _canonicalized(seeds).observe(
             seeds_obs, _sum0(F.col("canon_url").isNull()).alias("quarantined")
         )
-        sc = sc.where(F.col("canon_url").isNotNull())
-        sc = dedup_min_by(
-            sc.select("canon_url", "seed_rank"), "canon_url", ["seed_rank"]
-        ).withColumn("host", host_expr("canon_url"))
+        sc = sc.where(F.col("canon_url").isNotNull()).select(
+            "canon_url", "seed_rank"
+        )
+        sitemap_obs = None
+        if cfg.sitemaps_enabled and cfg.robots_enabled:
+            # SEMANTICS.md §Sitemaps: robots Sitemap: URLs join the seed
+            # list as seed_rank-NULL rows; the dedup below keys on
+            # coalesce(seed_rank, INT_MAX) so a URL that is both seed and
+            # sitemap keeps its seed row. robots is per-host — one explode,
+            # folded into the frontier union, no extra action (the count
+            # rides the frontier write via observe).
+            from indigo_crawler_spark.functions.udfs import robots_sitemaps_udf
+
+            sitemap_obs = Observation()
+            sm = (
+                robots.select(
+                    F.explode(robots_sitemaps_udf(F.col("robots_txt"))).alias("url")
+                )
+                .select(canonicalize_udf(F.col("url")).alias("canon_url"))
+                .where(F.col("canon_url").isNotNull())
+                .observe(sitemap_obs, F.count(F.lit(1)).alias("sitemap_seed_urls"))
+                .select("canon_url", F.lit(None).cast("int").alias("seed_rank"))
+            )
+            sc = sc.unionByName(sm)
+        sc = (
+            dedup_min_by(
+                sc.withColumn(
+                    "_sr", F.coalesce(F.col("seed_rank"), F.lit(2**31 - 1))
+                ),
+                "canon_url",
+                ["_sr"],
+            )
+            .drop("_sr")
+            .withColumn("host", host_expr("canon_url"))
+        )
         # hc is per-host (frontier-scale) — shuffle join, never broadcast
         frontier0 = (
             sc.join(hc.hint("SHUFFLE_HASH"), on="host", how="left")
@@ -493,6 +524,11 @@ def bootstrap(
     payload = {
         "quarantined_pages": _obs_int(pages_obs, "quarantined"),
         "quarantined_seeds": _obs_int(seeds_obs, "quarantined"),
+        "sitemap_seed_urls": (
+            _obs_int(sitemap_obs, "sitemap_seed_urls")
+            if sitemap_obs is not None
+            else 0
+        ),
         "n_heavy_hosts": n_heavy,
         "distinct_urls_est": est,
         # the bucketing every committed table is laid out with — offline
@@ -715,7 +751,7 @@ def run_round(
             )
         ext_obs = Observation()
         extracted = (
-            extract_pages(fetched)
+            extract_pages(fetched, sitemap_aware=cfg.sitemaps_enabled)
             .observe(
                 ext_obs,
                 F.count(F.lit(1)).alias("fetched_pages"),

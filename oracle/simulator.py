@@ -19,7 +19,11 @@ from urllib.parse import urlsplit
 from indigo_crawler_spark.config import CrawlConfig
 from indigo_crawler_spark.kernels.canonicalize import canonicalize_url
 from indigo_crawler_spark.kernels.priority import priority_score
-from indigo_crawler_spark.kernels.robots import crawl_delay, robots_allowed
+from indigo_crawler_spark.kernels.robots import (
+    crawl_delay,
+    robots_allowed,
+    robots_sitemaps,
+)
 from indigo_crawler_spark.kernels.textextract import extract_text_and_links
 from indigo_crawler_spark.kernels.traps import is_trap_url
 from indigo_crawler_spark.kernels.xxh64 import xxhash64
@@ -85,15 +89,28 @@ class OracleCrawl:
             b["host"]: b["backoff_until_round"] for b in host_budgets
         }
         # --- round-0 frontier from seeds (dedup per canon_url keep min seed_rank)
-        best: dict[str, int] = {}
+        best: dict[str, int | None] = {}
         self.quarantined_seeds = 0
         for s in seeds:
             c = canonicalize_url(s["url"])
             if c is None:
                 self.quarantined_seeds += 1
                 continue
-            if c not in best or s["seed_rank"] < best[c]:
+            if c not in best or (best[c] is None or s["seed_rank"] < best[c]):
                 best[c] = s["seed_rank"]
+        # --- robots Sitemap: URLs join as seed_rank-None rows; seeds win
+        # ties (mirror of bootstrap's coalesce(seed_rank, INT_MAX) dedup —
+        # SEMANTICS.md §Sitemaps)
+        self.sitemap_seed_urls = 0
+        if self.cfg.sitemaps_enabled and self.cfg.robots_enabled:
+            for txt in self.robots.values():
+                for u in robots_sitemaps(txt):
+                    c = canonicalize_url(u)
+                    if c is None:
+                        continue
+                    self.sitemap_seed_urls += 1
+                    if c not in best:
+                        best[c] = None
         self.frontier: dict[str, FrontierRow] = {}
         for c, rank in best.items():
             h = _host_of(c)
@@ -312,7 +329,9 @@ class OracleCrawl:
             if page is None:
                 continue
             counters["fetched_pages"] += 1
-            text, links = extract_text_and_links(page["html"], row.canon_url)
+            text, links = extract_text_and_links(
+                page["html"], row.canon_url, cfg.sitemaps_enabled
+            )
             res.texts[row.canon_url] = text
             counters["links_extracted"] += len(links)
             d = row.depth + 1
