@@ -241,6 +241,12 @@ def export_corpus(
             f"{prev['deduped_from']}) — it cannot be extended as a corpus; "
             "re-run dedup_corpus after extending the source export"
         )
+    if "filtered_from" in prev:
+        raise RuntimeError(
+            f"{out_path} holds a quality-FILTERED derived product (from "
+            f"{prev['filtered_from']}) — it cannot be extended as a corpus; "
+            "re-run filter_corpus after extending the source export"
+        )
     if int(prev["num_buckets"]) != num_buckets:
         raise RuntimeError(
             f"existing export at {out_path} used num_buckets="
@@ -502,3 +508,93 @@ def dedup_corpus(
         out["near_dropped"] = near_exact - rows_out
     _write_export_manifest(out_path, payload)
     return out
+
+
+def filter_corpus(
+    spark,
+    corpus_path: str,
+    out_path: str,
+    min_words: int = 0,
+    max_punct_ratio: float | None = None,
+    langs: list[str] | None = None,
+) -> dict:
+    """Quality-filter derived product: rows of an exported corpus passing
+    every enabled threshold — the training pipeline's "score it, gate it"
+    step applied to the crawl's own data product, downstream of export and
+    upstream of dedup.
+
+    Predicates (each disabled at its default) over the E43 annotation
+    columns — ``n_words >= min_words``, ``punct_ratio <= max_punct_ratio``
+    (NULL punct_ratio = empty text fails when enabled), ``langid ∈ langs``.
+    Signals are recomputed via ``_annotate`` when the source corpus is
+    unannotated, so the gate is identical either way (the exprs are pure
+    functions of ``text``, each backed by a SQL-checked driver query).
+
+    Scale shape: one pruned read → codegen'd filter → one pk-layout write;
+    no shuffle beyond the layout repartition, no Python in the plan. The
+    per-reason drop counts ride ONE observe on the read (conditional sums,
+    non-exclusive), not extra count jobs.
+    """
+    src = _read_export_manifest(corpus_path)
+    if src is None:
+        raise RuntimeError(f"no export manifest at {corpus_path} — export first")
+    dirs = [
+        _pk_dir(corpus_path, pk)
+        for pk in range(int(src["num_buckets"]))
+        if os.path.isdir(_pk_dir(corpus_path, pk))
+    ]
+    if not dirs:
+        raise RuntimeError(
+            f"corpus at {corpus_path} has no pk buckets — nothing to filter"
+        )
+    df = spark.read.option("basePath", corpus_path).parquet(*dirs)
+    if "n_words" not in df.columns:
+        df = _annotate(df)
+
+    checks: list[tuple[str, object]] = []
+    if min_words:
+        checks.append(("min_words", F.col("n_words") >= min_words))
+    if max_punct_ratio is not None:
+        # empty text has NULL punct_ratio (0/0): fails the enabled gate
+        checks.append(
+            ("max_punct_ratio",
+             F.coalesce(F.col("punct_ratio") <= max_punct_ratio, F.lit(False))),
+        )
+    if langs:
+        checks.append(("langs", F.col("langid").isin(list(langs))))
+    keep = F.lit(True)
+    for _, pred in checks:
+        keep = keep & pred
+
+    obs = Observation()
+    stats = [F.count(F.lit(1)).alias("rows_in"),
+             F.sum(keep.cast("long")).alias("rows_out")]
+    for name, pred in checks:
+        stats.append(F.sum((~pred).cast("long")).alias(f"dropped_{name}"))
+    result = df.observe(obs, *stats).where(keep)
+    result.repartition(F.col("pk")).write.mode("overwrite").partitionBy(
+        "pk"
+    ).parquet(out_path)
+    got = obs.get
+    rows_in, rows_out = int(got["rows_in"]), int(got["rows_out"] or 0)
+    dropped = {name: int(got[f"dropped_{name}"] or 0) for name, _ in checks}
+    payload = {
+        "through_round": int(src["through_round"]),
+        "num_buckets": int(src["num_buckets"]),
+        "rows": rows_out,
+        "filtered_from": corpus_path,
+        "rows_in": rows_in,
+        "filters": {
+            "min_words": min_words,
+            "max_punct_ratio": max_punct_ratio,
+            "langs": sorted(langs) if langs else None,
+        },
+        "dropped_by_reason": dropped,
+    }
+    _write_export_manifest(out_path, payload)
+    return {
+        "rows_in": rows_in,
+        "rows_out": rows_out,
+        "dropped_by_reason": dropped,
+        "out_path": out_path,
+    }

@@ -77,6 +77,25 @@ def main(argv: list[str] | None = None) -> int:
         "cluster",
     )
     ap.add_argument(
+        "--export-filter",
+        help="with --export: ALSO write a quality-filtered derived product "
+        "at this path (rows passing every enabled --filter-* threshold; "
+        "signals recomputed when the corpus is unannotated)",
+    )
+    ap.add_argument(
+        "--filter-min-words", type=int, default=0,
+        help="with --export-filter: keep rows with n_words >= N (0=off)",
+    )
+    ap.add_argument(
+        "--filter-max-punct", type=float, default=None, metavar="RATIO",
+        help="with --export-filter: keep rows with punct_ratio <= RATIO",
+    )
+    ap.add_argument(
+        "--filter-langs", default=None, metavar="CSV",
+        help="with --export-filter: keep rows whose langid is in this "
+        "comma-separated set (e.g. en,de)",
+    )
+    ap.add_argument(
         "--gc-every", type=int, default=0,
         help="reclaim superseded state after every Nth committed round "
         "(0=off) — keeps a months-long crawl's storage tracking the live "
@@ -208,6 +227,22 @@ def main(argv: list[str] | None = None) -> int:
             print(
                 f"dedup: {d['rows_out']} distinct texts from {d['rows_in']} "
                 f"urls{near} -> {d['out_path']}"
+            )
+        if args.export_filter:
+            from indigo_crawler_spark.plans.export import filter_corpus
+
+            fr = filter_corpus(
+                spark, args.export, args.export_filter,
+                min_words=args.filter_min_words,
+                max_punct_ratio=args.filter_max_punct,
+                langs=args.filter_langs.split(",") if args.filter_langs else None,
+            )
+            reasons = ", ".join(
+                f"{k}={v}" for k, v in fr["dropped_by_reason"].items()
+            ) or "no gates enabled"
+            print(
+                f"filter: {fr['rows_out']} of {fr['rows_in']} urls kept "
+                f"({reasons}) -> {fr['out_path']}"
             )
         return 0
 

@@ -309,3 +309,103 @@ def test_dedup_collapses_duplicates(spark, tmp_path):
         "same text": "https://a.example.org/1",
         "other": "https://d.example.org/4",
     }
+
+
+def test_export_quality_filter(spark, tmp_path):
+    """E44: quality-filter derived product — gate semantics recomputed in
+    Python over the annotated columns (each already SQL-checked via the
+    quality_stats/langid_counts driver queries); annotated and unannotated
+    sources filter identically; per-reason drop counts; extension refusal;
+    filter → dedup chaining."""
+    from indigo_crawler_spark.plans.export import dedup_corpus, filter_corpus
+
+    cfg = CrawlConfig(round_limit=50, num_buckets=16, bloom_bucket_capacity=64)
+    fb = fixture_bundle(**TINY)
+    # the TINY corpus is quality-uniform (n_words≈19, punct≈0, langid und);
+    # seed three distinctive pages so every gate drops something real
+    from datetime import datetime, timezone
+
+    def page(url, body):
+        return {
+            "url": url,
+            "warc_ts": datetime(2023, 12, 31, tzinfo=timezone.utc),
+            "html": b"<html><body><p>" + body + b"</p></body></html>",
+            "text": None,
+            "lang": "en",
+        }
+
+    # quiet allow-all hosts (h7/h19/h20 use robots template 0) so all three
+    # land in an early fetch batch
+    extra = [
+        page(
+            "https://h7.example.org/english",
+            b"the cat and the dog is in the house that it was for with not",
+        ),
+        page("https://h19.example.org/punchy", b"!!! ??? *** !!! w"),
+        page("https://h20.example.org/tiny", b"um"),
+    ]
+    fb = {
+        **fb,
+        "pages": fb["pages"] + extra,
+        "seeds": fb["seeds"]
+        + [{"url": p["url"], "seed_rank": 100 + i} for i, p in enumerate(extra)],
+    }
+    state = CrawlState(io=TableIO(spark, str(tmp_path / "crawl")), cfg=cfg)
+    bootstrap(
+        spark,
+        pages_df(spark, fb["pages"]),
+        seeds_df(spark, fb["seeds"]),
+        robots_df(spark, fb["robots"]),
+        budgets_df(spark, fb["host_budgets"]),
+        state,
+    )
+    run_rounds(spark, state, 2)
+    ann = str(tmp_path / "corpus_ann")
+    plain = str(tmp_path / "corpus_plain")
+    export_corpus(state, ann, annotate=True)
+    export_corpus(state, plain, annotate=False)
+
+    rows = spark.read.parquet(ann).collect()
+    min_words, max_punct, langs = 3, 0.5, ["und"]
+    want_keep = {
+        r["canon_url"]
+        for r in rows
+        if r["n_words"] >= min_words
+        and (r["punct_ratio"] is not None and r["punct_ratio"] <= max_punct)
+        and r["langid"] in langs
+    }
+    assert 0 < len(want_keep) < len(rows), "thresholds must split the corpus"
+
+    out = str(tmp_path / "filtered")
+    rep = filter_corpus(
+        spark, ann, out, min_words=min_words, max_punct_ratio=max_punct,
+        langs=langs,
+    )
+    got_keep = {r["canon_url"] for r in spark.read.parquet(out).collect()}
+    assert got_keep == want_keep
+    assert rep["rows_in"] == len(rows) and rep["rows_out"] == len(want_keep)
+    # per-reason counts (non-exclusive) recomputed in Python
+    assert rep["dropped_by_reason"]["min_words"] == sum(
+        1 for r in rows if not r["n_words"] >= min_words
+    )
+    assert rep["dropped_by_reason"]["langs"] == sum(
+        1 for r in rows if r["langid"] not in langs
+    )
+
+    # unannotated source: signals recomputed on the fly, identical gate
+    out2 = str(tmp_path / "filtered_plain")
+    rep2 = filter_corpus(
+        spark, plain, out2, min_words=min_words, max_punct_ratio=max_punct,
+        langs=langs,
+    )
+    assert {
+        r["canon_url"] for r in spark.read.parquet(out2).collect()
+    } == want_keep
+    assert rep2["dropped_by_reason"] == rep["dropped_by_reason"]
+
+    # a filtered dir refuses corpus extension
+    with pytest.raises(RuntimeError, match="FILTERED"):
+        export_corpus(state, out)
+    # filter → dedup chains (the full training-pipeline shape)
+    dd = dedup_corpus(spark, out, str(tmp_path / "filtered_dedup"))
+    assert 0 < dd["rows_out"] <= rep["rows_out"]
