@@ -63,6 +63,11 @@ class CrawlConfig:
     # (last two host labels) survive to the global cap — defeats subdomain
     # farms that multiply the per-host budget. 0 disables (default).
     domain_budget: int = 0
+    # age-based refresh (SEMANTICS.md §Recrawl): when > 0, the urls emitted
+    # at round R - recrawl_after are retired from the seen set and injected
+    # back into round R's frontier (seed_rank = RECRAWL_SEED_RANK, so a
+    # refresh never outranks a real seed). 0 disables (default).
+    recrawl_after: int = 0
     # sitemap discovery (SEMANTICS.md §Sitemaps): robots.txt ``Sitemap:``
     # URLs join the round-0 frontier (seed-style rows, seed_rank NULL,
     # seeds win ties), and fetched sitemap/sitemap-index documents yield
@@ -94,6 +99,7 @@ class CrawlConfig:
         "round_seconds": 0,
         "domain_budget": 0,
         "sitemaps_enabled": False,
+        "recrawl_after": 0,
     }
 
     def _hash_dict(self) -> dict:

@@ -1155,6 +1155,15 @@ def run_rounds(
             )
     out = []
     for r in range(start, n_rounds):
+        # age-based refresh (SEMANTICS.md §Recrawl): re-open round r-A's
+        # emitted urls before round r runs. Committed rounds never reach
+        # here (start skips them), so a resumed crawl re-ticks only the
+        # uncommitted round — idempotently (retire no-ops on unseen urls,
+        # inject skips pending rows).
+        if state.cfg.recrawl_after:
+            from indigo_crawler_spark.operators.recrawl import recrawl_tick
+
+            recrawl_tick(state, r)
         out.append(run_round(spark, state, r, with_counters=with_counters))
         if gc_every and (r + 1) % gc_every == 0 and r + 1 < n_rounds:
             from indigo_crawler_spark.plans.state_gc import gc_state

@@ -96,6 +96,12 @@ def main(argv: list[str] | None = None) -> int:
         "comma-separated set (e.g. en,de)",
     )
     ap.add_argument(
+        "--recrawl-after", type=int, default=0,
+        help="age-based refresh: re-open round R-N's fetched urls before "
+        "round R (retire + low-priority re-inject; 0=off). Semantic knob — "
+        "enters config_hash",
+    )
+    ap.add_argument(
         "--gc-every", type=int, default=0,
         help="reclaim superseded state after every Nth committed round "
         "(0=off) — keeps a months-long crawl's storage tracking the live "
@@ -164,6 +170,7 @@ def main(argv: list[str] | None = None) -> int:
         filter_kind=args.filter_kind,
         ban_every=args.ban_every,
         backoff_rounds=args.backoff_rounds,
+        recrawl_after=args.recrawl_after,
     )
     state = CrawlState(io=TableIO(spark, args.state_dir), cfg=cfg)
 

@@ -380,7 +380,23 @@ class OracleCrawl:
         return res
 
     def run(self, n_rounds: int) -> list[RoundResult]:
-        return [self.step(r) for r in range(n_rounds)]
+        out: list[RoundResult] = []
+        for r in range(n_rounds):
+            # age-based refresh (SEMANTICS.md §Recrawl; mirror of
+            # run_rounds → operators/recrawl.recrawl_tick): re-open round
+            # r-A's emitted urls as refresh seeds before round r runs
+            if self.cfg.recrawl_after:
+                src = r - self.cfg.recrawl_after
+                if 0 <= src < len(out):
+                    from indigo_crawler_spark.operators.recrawl import (
+                        RECRAWL_SEED_RANK,
+                    )
+
+                    urls = [e["canon_url"] for e in out[src].emitted]
+                    self.retire(urls)
+                    self.inject(urls, seed_rank=RECRAWL_SEED_RANK)
+            out.append(self.step(r))
+        return out
 
     # --- comparison views -------------------------------------------------
     def ordering(self, results: list[RoundResult]) -> list[str]:
