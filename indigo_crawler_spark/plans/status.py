@@ -19,8 +19,8 @@ from indigo_crawler_spark.plans.state_gc import _dir_bytes
 # manifest's counters block is still visible via the last-round echo
 _TOTALED = (
     "candidates", "emitted", "fetched_pages", "links_extracted", "links_new",
-    "robots_denied", "budget_deferred", "cap_deferred", "banned",
-    "backoff_skipped",
+    "robots_denied", "trap_dropped", "budget_deferred", "domain_deferred",
+    "cap_deferred", "banned", "backoff_skipped",
 )
 
 

@@ -125,6 +125,36 @@ def main(argv: list[str] | None = None) -> int:
         help="EP3 feedback: synthetic ban outcome every Nth url hash (0=off)",
     )
     ap.add_argument("--backoff-rounds", type=int, default=2)
+    # round-5 semantic knobs (each default-off; all enter config_hash only
+    # at non-default values — config.py extension-field scheme)
+    ap.add_argument(
+        "--sitemaps", action="store_true",
+        help="honor robots.txt Sitemap: directives (round-0 frontier seeds) "
+        "and extract <loc> links from fetched sitemap documents",
+    )
+    ap.add_argument(
+        "--trap-max-depth", type=int, default=0,
+        help="trap gate: drop urls with more than N path segments (0=off)",
+    )
+    ap.add_argument(
+        "--trap-max-repeat", type=int, default=0,
+        help="trap gate: drop urls where one path segment repeats > N times "
+        "(0=off)",
+    )
+    ap.add_argument(
+        "--trap-max-url-len", type=int, default=0,
+        help="trap gate: drop urls longer than N characters (0=off)",
+    )
+    ap.add_argument(
+        "--round-seconds", type=int, default=0,
+        help="honor robots Crawl-delay: cap a host's per-round budget at "
+        "max(1, floor(round_seconds/delay)) (0=ignore crawl-delay)",
+    )
+    ap.add_argument(
+        "--domain-budget", type=int, default=0,
+        help="registered-domain shared budget: after per-host top-B, keep "
+        "at most N urls per last-two-label domain per round (0=off)",
+    )
     ap.add_argument(
         "--retire", help="parquet/text-free path: newline file of urls to retire "
         "before running (re-crawlable on rediscovery)",
@@ -171,6 +201,12 @@ def main(argv: list[str] | None = None) -> int:
         ban_every=args.ban_every,
         backoff_rounds=args.backoff_rounds,
         recrawl_after=args.recrawl_after,
+        sitemaps_enabled=args.sitemaps,
+        trap_max_depth=args.trap_max_depth,
+        trap_max_repeat=args.trap_max_repeat,
+        trap_max_url_len=args.trap_max_url_len,
+        round_seconds=args.round_seconds,
+        domain_budget=args.domain_budget,
     )
     state = CrawlState(io=TableIO(spark, args.state_dir), cfg=cfg)
 
