@@ -146,6 +146,10 @@ def main() -> None:
     ap.add_argument("--levels", default="1,4;2,8")
     ap.add_argument("--reps", type=int, default=2, help="take min wall per level")
     ap.add_argument("--keep-corpus", action="store_true", help="reuse/keep the corpus dir")
+    ap.add_argument("--no-md", action="store_true",
+                    help="print results only; don't overwrite BENCH/BASELINE.md "
+                         "(the curated file carries adjudication context a raw "
+                         "regeneration would erase)")
     args = ap.parse_args()
 
     if not args.keep_corpus:
@@ -226,6 +230,10 @@ def main() -> None:
     for lo_c, hi_c in pairs:
         samples = pair_samples[(lo_c, hi_c)]
         effs.append((lo_c, hi_c, hi_c / lo_c, statistics.median(samples), samples))
+    if args.no_md:
+        for lo_c, hi_c, factor, med, samples in effs:
+            print(f"\nefficiency {lo_c}→{hi_c} = {med:.3f}  (samples: {samples})")
+        return
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(md, "w") as f:
