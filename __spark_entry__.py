@@ -469,9 +469,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", regex_token_count("text").cast("long").alias("n_tokens")
         )
 
+    def _repetition_stats(s, d):
+        # Gopher-style repetition signals: top-word count + duplicated
+        # word/bigram occurrences, exact integers (zero shuffles — per-row
+        # array folds)
+        from indigo_crawler_spark.functions.text_analysis import repetition_exprs
+
+        exprs = repetition_exprs("text")
+        return (
+            _t(s, d, "documents")
+            .where(F.length(F.trim("text")) > 0)
+            .select("doc_id", *[v.alias(k) for k, v in exprs.items()])
+        )
+
+    def _hash_split(s, d):
+        # deterministic content-addressed train/valid/test assignment
+        from indigo_crawler_spark.functions.text_analysis import hash_split_expr
+
+        bucket, split = hash_split_expr("doc_id")
+        return _t(s, d, "documents").select(
+            "doc_id", bucket.alias("bucket"), split.alias("split")
+        )
+
+    def _boilerplate_shingles(s, d):
+        # cross-document boilerplate detection: word 5-grams in >= 3 docs
+        from indigo_crawler_spark.operators.boilerplate import boilerplate_ngrams
+
+        return boilerplate_ngrams(_t(s, d, "documents"), n=5, min_docs=3)
+
     q["token_counts"] = _token_counts
     q["regex_token_counts"] = _regex_token_counts
     q["quality_stats"] = _quality_stats
+    q["repetition_stats"] = _repetition_stats
+    q["hash_split"] = _hash_split
+    q["boilerplate_shingles"] = _boilerplate_shingles
 
     # ---- training-data pipeline: dedup ----
     def _exact_dedup(s, d):
@@ -1105,6 +1136,24 @@ SELECT node, min(r) AS component FROM reach GROUP BY node
 """
 
 
+def _repetition_oracle() -> str:
+    from indigo_crawler_spark.functions.text_analysis import repetition_oracle_sql
+
+    return repetition_oracle_sql("documents")
+
+
+def _hash_split_oracle() -> str:
+    from indigo_crawler_spark.functions.text_analysis import hash_split_oracle_sql
+
+    return hash_split_oracle_sql("documents", "doc_id")
+
+
+def _boilerplate_oracle() -> str:
+    from indigo_crawler_spark.operators.boilerplate import boilerplate_oracle_sql
+
+    return boilerplate_oracle_sql(n=5, min_docs=3, table="documents")
+
+
 def oracle_sql() -> dict[str, str]:
     from indigo_crawler_spark.functions.text_analysis import langid_oracle_sql
     from indigo_crawler_spark.operators.similarity import int_lsh_near_pairs_oracle_sql
@@ -1235,6 +1284,9 @@ def oracle_sql() -> dict[str, str]:
             " AS mean_word_len "
             "FROM documents"
         ),
+        "repetition_stats": _repetition_oracle(),
+        "hash_split": _hash_split_oracle(),
+        "boilerplate_shingles": _boilerplate_oracle(),
         "exact_dedup_docs": (
             "SELECT min(doc_id) AS keep_id, count(*) AS n_copies "
             "FROM documents GROUP BY text"
