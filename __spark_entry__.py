@@ -1275,12 +1275,12 @@ def oracle_sql() -> dict[str, str]:
             "(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
             " len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT AS n_words, "
             "ROUND((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))"
-            " / CAST(length(text) AS DOUBLE), 6) AS punct_ratio, "
+            " / CAST(NULLIF(length(text), 0) AS DOUBLE), 6) AS punct_ratio, "
             "ROUND((length(text) - length(regexp_replace(text, '\\s', '', 'g')))"
-            " / CAST(length(text) AS DOUBLE), 6) AS space_ratio, "
+            " / CAST(NULLIF(length(text), 0) AS DOUBLE), 6) AS space_ratio, "
             "ROUND(length(regexp_replace(text, '\\s', '', 'g'))"
-            " / CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
-            " len(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE), 6)"
+            " / CAST(NULLIF(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
+            " len(regexp_split_to_array(trim(text), '\\s+')) END, 0) AS DOUBLE), 6)"
             " AS mean_word_len "
             "FROM documents"
         ),

@@ -41,13 +41,24 @@ def quality_exprs(text: Column | str) -> dict[str, Column]:
     n_punct = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
     n_space = n_chars - F.length(F.regexp_replace(c, r"\s", ""))
     n_words = whitespace_token_count(c)
+    # try_divide, not `/`: under Spark 4's default ANSI mode a plain divide
+    # THROWS on a zero denominator (empty text ⇒ n_chars = 0, and Catalyst
+    # constant-folds the throw into plan time when text is a literal — e.g.
+    # the all-boilerplate '' branch of remove_boilerplate_lines). NULL ratio
+    # for empty text is the documented semantics; the DuckDB oracle mirrors
+    # it with a NULLIF divisor.
     return {
         "n_chars": n_chars.cast("long"),
         "n_words": n_words.cast("long"),
-        "punct_ratio": F.round(n_punct.cast("double") / n_chars.cast("double"), 6),
-        "space_ratio": F.round(n_space.cast("double") / n_chars.cast("double"), 6),
+        "punct_ratio": F.round(
+            F.try_divide(n_punct.cast("double"), n_chars.cast("double")), 6
+        ),
+        "space_ratio": F.round(
+            F.try_divide(n_space.cast("double"), n_chars.cast("double")), 6
+        ),
         "mean_word_len": F.round(
-            (n_chars - n_space).cast("double") / n_words.cast("double"), 6
+            F.try_divide((n_chars - n_space).cast("double"), n_words.cast("double")),
+            6,
         ),
     }
 

@@ -205,11 +205,24 @@ def _annotate(df: DataFrame) -> DataFrame:
     )
 
 
+def _split_cols(df: DataFrame) -> DataFrame:
+    """Deterministic train/valid/test assignment keyed on canon_url
+    (functions/text_analysis.hash_split_expr — SQL-checked driver query
+    `hash_split`). Content-addressed, so a url's split never changes when
+    the corpus is extended incrementally or re-exported — computing it
+    post-merge is therefore exactly equal to a full export's columns."""
+    from indigo_crawler_spark.functions.text_analysis import hash_split_expr
+
+    bucket, split = hash_split_expr(F.col("canon_url"))
+    return df.withColumn("split_bucket", bucket).withColumn("split", split)
+
+
 def export_corpus(
     state: CrawlState,
     out_path: str,
     through_round: int | None = None,
     annotate: bool = False,
+    split: bool = False,
 ) -> dict:
     """Write/extend the latest-text-per-url corpus for committed rounds
     0..*through_round* (default: the resume anchor) at *out_path* as parquet
@@ -217,8 +230,10 @@ def export_corpus(
     incremental (only post-``through_round`` rounds folded, only affected pk
     buckets rewritten) when it does. ``annotate=True`` adds the
     training-pipeline columns (text_sha, token/quality signals, langid);
-    the choice is recorded in the export manifest and cannot be flipped on
-    an existing corpus (the untouched buckets would have the wrong schema).
+    ``split=True`` adds the content-addressed train/valid/test assignment
+    (split_bucket, split) keyed on canon_url. Both choices are recorded in
+    the export manifest and cannot be flipped on an existing corpus (the
+    untouched buckets would have the wrong schema).
     Returns ``{"rows", "rounds", "out_path", "mode", "pks_rewritten"}``."""
     anchor = last_complete_round(state)
     if anchor is None:
@@ -234,7 +249,7 @@ def export_corpus(
 
     prev = _read_export_manifest(out_path)
     if prev is None:
-        return _export_full(state, out_path, last, num_buckets, annotate)
+        return _export_full(state, out_path, last, num_buckets, annotate, split)
     if "deduped_from" in prev:
         raise RuntimeError(
             f"{out_path} holds a DEDUPED derived product (from "
@@ -247,6 +262,12 @@ def export_corpus(
             f"{prev['filtered_from']}) — it cannot be extended as a corpus; "
             "re-run filter_corpus after extending the source export"
         )
+    if "scrubbed_from" in prev:
+        raise RuntimeError(
+            f"{out_path} holds a boilerplate-SCRUBBED derived product (from "
+            f"{prev['scrubbed_from']}) — it cannot be extended as a corpus; "
+            "re-run scrub_corpus after extending the source export"
+        )
     if int(prev["num_buckets"]) != num_buckets:
         raise RuntimeError(
             f"existing export at {out_path} used num_buckets="
@@ -257,6 +278,12 @@ def export_corpus(
         raise RuntimeError(
             f"existing export at {out_path} was written with annotated="
             f"{bool(prev.get('annotated', False))}; an incremental extend "
+            "cannot change the corpus schema — re-export from scratch"
+        )
+    if bool(prev.get("split", False)) != split:
+        raise RuntimeError(
+            f"existing export at {out_path} was written with split="
+            f"{bool(prev.get('split', False))}; an incremental extend "
             "cannot change the corpus schema — re-export from scratch"
         )
     prev_through = int(prev["through_round"])
@@ -274,7 +301,8 @@ def export_corpus(
             "pks_rewritten": 0,
         }
     return _export_incremental(
-        state, out_path, prev, prev_through + 1, last, num_buckets, annotate
+        state, out_path, prev, prev_through + 1, last, num_buckets, annotate,
+        split,
     )
 
 
@@ -284,12 +312,15 @@ def _export_full(
     last: int,
     num_buckets: int,
     annotate: bool = False,
+    split: bool = False,
 ) -> dict:
     delta, rounds = _delta_union(state, 0, last, num_buckets)
     obs = Observation()
     corpus = _latest_per_url(delta)
     if annotate:
         corpus = _annotate(corpus)
+    if split:
+        corpus = _split_cols(corpus)
     corpus = corpus.observe(obs, F.count(F.lit(1)).alias("rows"))
     # layout shuffle: cluster rows by their output partition so each pk dir
     # gets ONE file instead of one per upstream shuffle partition (at
@@ -312,6 +343,7 @@ def _export_full(
             "rows": rows,
             "rows_by_pk": rows_by_pk,
             "annotated": annotate,
+            "split": split,
         },
     )
     return {
@@ -331,6 +363,7 @@ def _export_incremental(
     last: int,
     num_buckets: int,
     annotate: bool = False,
+    split: bool = False,
 ) -> dict:
     spark = state.io.spark
     _repair_swaps(out_path)
@@ -364,6 +397,8 @@ def _export_incremental(
                 merged = _latest_per_url(delta)
             if annotate:
                 merged = _annotate(merged)
+            if split:
+                merged = _split_cols(merged)
             stage = out_path.rstrip("/") + "__stage"
             shutil.rmtree(stage, ignore_errors=True)
             merged.repartition(F.col("pk")).write.mode("overwrite").partitionBy(
@@ -399,6 +434,7 @@ def _export_incremental(
             "rows": rows,
             "rows_by_pk": rows_by_pk,
             "annotated": annotate,
+            "split": split,
         },
     )
     return {
@@ -407,6 +443,100 @@ def _export_incremental(
         "out_path": out_path,
         "mode": "incremental",
         "pks_rewritten": len(affected),
+    }
+
+
+def scrub_corpus(
+    spark,
+    corpus_path: str,
+    out_path: str,
+    min_docs: int = 10,
+) -> dict:
+    """Boilerplate-scrub derived product: every corpus row with lines that
+    repeat across ≥ *min_docs* distinct documents removed
+    (operators/boilerplate.remove_boilerplate_lines — nav chrome, cookie
+    banners, footers), row count preserved, line order preserved. The
+    pipeline position is export → SCRUB → filter → dedup: scrubbing before
+    the quality gate keeps chrome from inflating n_words past the
+    min-words threshold, and before dedup keeps shared chrome from masking
+    real near-dup pairs (or manufacturing them).
+
+    Scale shape: one shuffle keyed by 8-byte line hash (partial+final agg
+    over (doc, hash) pairs), one broadcast anti join (the hot-line set is
+    tiny relative to the corpus), one shuffle back by document for
+    reassembly, one pk-layout write. Line TEXT is never a join key.
+
+    Scrubbing changes ``text``, so any annotation/split columns the source
+    carried are recomputed AFTER the scrub (they are pure functions of
+    text/canon_url — the SQL-checked exprs), never copied stale. The output
+    carries a ``scrubbed_from`` manifest and refuses corpus extension, same
+    contract as the filter/dedup products. Line counters ride the write's
+    action via Observation — zero extra count jobs.
+
+    Returns ``{"rows", "hot_lines", "lines_in", "lines_dropped",
+    "out_path"}``."""
+    from indigo_crawler_spark.operators.boilerplate import (
+        remove_boilerplate_lines,
+    )
+
+    src = _read_export_manifest(corpus_path)
+    if src is None:
+        raise RuntimeError(f"no export manifest at {corpus_path} — export first")
+    dirs = [
+        _pk_dir(corpus_path, pk)
+        for pk in range(int(src["num_buckets"]))
+        if os.path.isdir(_pk_dir(corpus_path, pk))
+    ]
+    if not dirs:
+        raise RuntimeError(
+            f"corpus at {corpus_path} has no pk buckets — nothing to scrub"
+        )
+    df = spark.read.option("basePath", corpus_path).parquet(*dirs)
+    annotated = "text_sha" in df.columns
+    has_split = "split" in df.columns
+    # project to the base corpus schema: keeps the reassembly groupBy key
+    # narrow (stale annotations would otherwise ride it) and prunes the
+    # parquet read to the columns the scrub actually needs
+    base = df.select(*[f.name for f in CORPUS_SCHEMA.fields])
+    counters = {"lines": Observation(), "kept": Observation(), "hot": Observation()}
+    scrubbed = remove_boilerplate_lines(
+        base, min_docs=min_docs, text_col="text", id_col="canon_url",
+        counters=counters,
+    )
+    if annotated:
+        scrubbed = _annotate(scrubbed)
+    if has_split:
+        scrubbed = _split_cols(scrubbed)
+    obs = Observation()
+    scrubbed = scrubbed.observe(obs, F.count(F.lit(1)).alias("rows"))
+    scrubbed.repartition(F.col("pk")).write.mode("overwrite").partitionBy(
+        "pk"
+    ).parquet(out_path)
+    rows = int(obs.get["rows"])
+    lines_in = int(counters["lines"].get["n"])
+    lines_kept = int(counters["kept"].get["n"] or 0)
+    hot_lines = int(counters["hot"].get["n"] or 0)
+    _write_export_manifest(
+        out_path,
+        {
+            "through_round": int(src["through_round"]),
+            "num_buckets": int(src["num_buckets"]),
+            "rows": rows,
+            "scrubbed_from": corpus_path,
+            "min_docs": min_docs,
+            "hot_lines": hot_lines,
+            "lines_in": lines_in,
+            "lines_dropped": lines_in - lines_kept,
+            "annotated": annotated,
+            "split": has_split,
+        },
+    )
+    return {
+        "rows": rows,
+        "hot_lines": hot_lines,
+        "lines_in": lines_in,
+        "lines_dropped": lines_in - lines_kept,
+        "out_path": out_path,
     }
 
 
@@ -517,6 +647,7 @@ def filter_corpus(
     min_words: int = 0,
     max_punct_ratio: float | None = None,
     langs: list[str] | None = None,
+    max_dup_word_ratio: float | None = None,
 ) -> dict:
     """Quality-filter derived product: rows of an exported corpus passing
     every enabled threshold — the training pipeline's "score it, gate it"
@@ -529,6 +660,16 @@ def filter_corpus(
     Signals are recomputed via ``_annotate`` when the source corpus is
     unannotated, so the gate is identical either way (the exprs are pure
     functions of ``text``, each backed by a SQL-checked driver query).
+
+    ``max_dup_word_ratio`` adds the Gopher-style repetition gate (F53):
+    keep rows with ``dup_word_occ / n_words <= R`` — machine-generated and
+    template spam whose tell is internal repetition, invisible to the
+    length/punct gates. The signal is computed in-flight from
+    ``repetition_exprs`` (per-row array folds, zero shuffles — never a
+    stored corpus column, since its O(distinct_words × words) per-row cost
+    is only worth paying when the gate is on); empty text (n_words of the
+    whitespace split on '' is 1 token of '', dup ratio 0) is left to the
+    min_words/punct gates, matching the driver query's empty-row exclusion.
 
     Scale shape: one pruned read → codegen'd filter → one pk-layout write;
     no shuffle beyond the layout repartition, no Python in the plan. The
@@ -562,6 +703,15 @@ def filter_corpus(
         )
     if langs:
         checks.append(("langs", F.col("langid").isin(list(langs))))
+    if max_dup_word_ratio is not None:
+        from indigo_crawler_spark.functions.text_analysis import repetition_exprs
+
+        rep = repetition_exprs(F.col("text"))
+        ratio = F.try_divide(rep["dup_word_occ"], rep["n_words"])
+        checks.append(
+            ("max_dup_word_ratio",
+             F.coalesce(ratio <= max_dup_word_ratio, F.lit(False))),
+        )
     keep = F.lit(True)
     for _, pred in checks:
         keep = keep & pred
@@ -588,6 +738,7 @@ def filter_corpus(
             "min_words": min_words,
             "max_punct_ratio": max_punct_ratio,
             "langs": sorted(langs) if langs else None,
+            "max_dup_word_ratio": max_dup_word_ratio,
         },
         "dropped_by_reason": dropped,
     }

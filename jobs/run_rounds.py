@@ -65,9 +65,32 @@ def main(argv: list[str] | None = None) -> int:
         "export manifest, cannot be flipped on an existing corpus",
     )
     ap.add_argument(
+        "--export-split", action="store_true",
+        help="with --export: add the content-addressed train/valid/test "
+        "assignment (split_bucket, split) keyed on canon_url — stable "
+        "across incremental extends; recorded in the export manifest, "
+        "cannot be flipped on an existing corpus",
+    )
+    ap.add_argument(
+        "--export-scrub",
+        help="with --export: ALSO write a boilerplate-scrubbed derived "
+        "product at this path (lines repeating across >= --scrub-min-docs "
+        "distinct documents removed, row count and line order preserved); "
+        "downstream --export-filter/--export-dedup read the scrubbed "
+        "corpus instead of the raw one",
+    )
+    ap.add_argument(
+        "--scrub-min-docs", type=int, default=10,
+        help="with --export-scrub: a line is boilerplate when it appears "
+        "in at least this many distinct documents (default 10)",
+    )
+    ap.add_argument(
         "--export-dedup",
         help="with --export: ALSO write an exact-deduped derived product "
-        "(one row per distinct text, keeper = min canon_url) at this path",
+        "(one row per distinct text, keeper = min canon_url) at this path; "
+        "reads the filtered corpus when --export-filter is given (else the "
+        "scrubbed one, else the raw export) — the pipeline chains "
+        "export -> scrub -> filter -> dedup",
     )
     ap.add_argument(
         "--dedup-near", type=float, default=None, metavar="JACCARD",
@@ -94,6 +117,12 @@ def main(argv: list[str] | None = None) -> int:
         "--filter-langs", default=None, metavar="CSV",
         help="with --export-filter: keep rows whose langid is in this "
         "comma-separated set (e.g. en,de)",
+    )
+    ap.add_argument(
+        "--filter-max-dup-ratio", type=float, default=None, metavar="RATIO",
+        help="with --export-filter: keep rows whose Gopher-style repeated-"
+        "word occurrence ratio (dup_word_occ / n_words) is <= RATIO — "
+        "gates machine-generated/template spam",
     )
     ap.add_argument(
         "--recrawl-after", type=int, default=0,
@@ -245,6 +274,7 @@ def main(argv: list[str] | None = None) -> int:
             args.export,
             through_round=args.export_through,
             annotate=args.export_annotate,
+            split=args.export_split,
         )
         folded = (
             f"rounds {report['rounds'][0]}-{report['rounds'][-1]} folded"
@@ -255,11 +285,44 @@ def main(argv: list[str] | None = None) -> int:
             f"export[{report['mode']}]: {report['rows']} urls ({folded}, "
             f"{report['pks_rewritten']} buckets rewritten) -> {report['out_path']}"
         )
+        # derived products chain: export -> scrub -> filter -> dedup, each
+        # stage reading the latest upstream product that was requested
+        source = args.export
+        if args.export_scrub:
+            from indigo_crawler_spark.plans.export import scrub_corpus
+
+            sc = scrub_corpus(
+                spark, source, args.export_scrub, min_docs=args.scrub_min_docs,
+            )
+            print(
+                f"scrub: {sc['hot_lines']} boilerplate lines, "
+                f"{sc['lines_dropped']} of {sc['lines_in']} line occurrences "
+                f"dropped across {sc['rows']} urls -> {sc['out_path']}"
+            )
+            source = args.export_scrub
+        if args.export_filter:
+            from indigo_crawler_spark.plans.export import filter_corpus
+
+            fr = filter_corpus(
+                spark, source, args.export_filter,
+                min_words=args.filter_min_words,
+                max_punct_ratio=args.filter_max_punct,
+                langs=args.filter_langs.split(",") if args.filter_langs else None,
+                max_dup_word_ratio=args.filter_max_dup_ratio,
+            )
+            reasons = ", ".join(
+                f"{k}={v}" for k, v in fr["dropped_by_reason"].items()
+            ) or "no gates enabled"
+            print(
+                f"filter: {fr['rows_out']} of {fr['rows_in']} urls kept "
+                f"({reasons}) -> {fr['out_path']}"
+            )
+            source = args.export_filter
         if args.export_dedup:
             from indigo_crawler_spark.plans.export import dedup_corpus
 
             d = dedup_corpus(
-                spark, args.export, args.export_dedup,
+                spark, source, args.export_dedup,
                 near_threshold=args.dedup_near,
             )
             near = (
@@ -270,22 +333,6 @@ def main(argv: list[str] | None = None) -> int:
             print(
                 f"dedup: {d['rows_out']} distinct texts from {d['rows_in']} "
                 f"urls{near} -> {d['out_path']}"
-            )
-        if args.export_filter:
-            from indigo_crawler_spark.plans.export import filter_corpus
-
-            fr = filter_corpus(
-                spark, args.export, args.export_filter,
-                min_words=args.filter_min_words,
-                max_punct_ratio=args.filter_max_punct,
-                langs=args.filter_langs.split(",") if args.filter_langs else None,
-            )
-            reasons = ", ".join(
-                f"{k}={v}" for k, v in fr["dropped_by_reason"].items()
-            ) or "no gates enabled"
-            print(
-                f"filter: {fr['rows_out']} of {fr['rows_in']} urls kept "
-                f"({reasons}) -> {fr['out_path']}"
             )
         return 0
 

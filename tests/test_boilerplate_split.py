@@ -170,3 +170,23 @@ class TestRemoveBoilerplate:
         assert set(out.columns) == {"canon_url", "depth", "text"}
         got = {r["canon_url"]: (r["depth"], r["text"]) for r in out.collect()}
         assert got == {"a": (1, "y"), "b": (2, "z"), "c": (3, "w")}
+
+
+class TestAnsiEmptyText:
+    def test_quality_exprs_null_ratios_on_empty(self, spark):
+        # Spark 4 defaults ANSI on: a plain divide would THROW on the 0-char
+        # denominator (and constant-fold the throw when text is lit("") — the
+        # all-boilerplate branch of remove_boilerplate_lines). try_divide
+        # pins the documented NULL-ratio semantics instead.
+        from pyspark.sql import functions as F
+
+        from indigo_crawler_spark.functions.text_analysis import quality_exprs
+
+        exprs = quality_exprs(F.lit(""))
+        r = spark.range(1).select(
+            *[v.alias(k) for k, v in exprs.items()]
+        ).collect()[0]
+        assert r["n_chars"] == 0 and r["n_words"] == 0
+        assert r["punct_ratio"] is None
+        assert r["space_ratio"] is None
+        assert r["mean_word_len"] is None

@@ -409,3 +409,177 @@ def test_export_quality_filter(spark, tmp_path):
     # filter → dedup chains (the full training-pipeline shape)
     dd = dedup_corpus(spark, out, str(tmp_path / "filtered_dedup"))
     assert 0 < dd["rows_out"] <= rep["rows_out"]
+
+
+def test_export_split_and_scrub(spark, tmp_path):
+    """Round-5 third wave: --export-split columns are exact md5 functions of
+    canon_url and survive an incremental extend bit-identically; the
+    boilerplate-scrub derived product removes exactly the cross-document
+    hot lines, preserves row count and line order, recomputes annotations
+    from the SCRUBBED text, and refuses corpus extension."""
+    import hashlib
+
+    from indigo_crawler_spark.functions.text_analysis import SPLIT_BOUNDS
+    from indigo_crawler_spark.plans.export import scrub_corpus
+
+    cfg = CrawlConfig(round_limit=50, num_buckets=16, bloom_bucket_capacity=64)
+    fb = fixture_bundle(**TINY)
+    from datetime import datetime, timezone
+
+    NAV, FOOT = b"home about contact", b"copyright example corp"
+
+    def page(url, body):
+        return {
+            "url": url,
+            "warc_ts": datetime(2023, 12, 31, tzinfo=timezone.utc),
+            "html": b"<html><body><p>" + NAV + b"</p><p>" + body
+            + b"</p><p>" + FOOT + b"</p></body></html>",
+            "text": None,
+            "lang": "en",
+        }
+
+    extra = [
+        page("https://h7.example.org/chrome-a", b"unique body alpha content"),
+        page("https://h19.example.org/chrome-b", b"unique body beta content"),
+        page("https://h20.example.org/chrome-c", b"unique body gamma content"),
+    ]
+    fb = {
+        **fb,
+        "pages": fb["pages"] + extra,
+        "seeds": fb["seeds"]
+        + [{"url": p["url"], "seed_rank": 100 + i} for i, p in enumerate(extra)],
+    }
+    state = CrawlState(io=TableIO(spark, str(tmp_path / "crawl")), cfg=cfg)
+    bootstrap(
+        spark,
+        pages_df(spark, fb["pages"]),
+        seeds_df(spark, fb["seeds"]),
+        robots_df(spark, fb["robots"]),
+        budgets_df(spark, fb["host_budgets"]),
+        state,
+    )
+    run_rounds(spark, state, N_BEFORE)
+
+    inc = str(tmp_path / "corpus_split")
+    r0 = export_corpus(state, inc, annotate=True, split=True)
+    assert r0["mode"] == "full"
+    rows = spark.read.parquet(inc).collect()
+    assert len(rows) == r0["rows"] > 0
+    lo, hi = SPLIT_BOUNDS
+    for row in rows:
+        b = int(hashlib.md5(row["canon_url"].encode()).hexdigest()[:4], 16) % 100
+        assert row["split_bucket"] == b
+        assert row["split"] == (
+            "train" if b < lo else ("valid" if b < hi else "test")
+        )
+
+    # flip refusal, both directions
+    with pytest.raises(RuntimeError, match="split"):
+        export_corpus(state, inc, annotate=True, split=False)
+
+    # incremental extend == fresh full, split columns included
+    run_rounds(spark, state, N_BEFORE + 2)
+    r1 = export_corpus(state, inc, annotate=True, split=True)
+    assert r1["mode"] == "incremental"
+    full = str(tmp_path / "corpus_split_full")
+    export_corpus(state, full, annotate=True, split=True)
+
+    def snap(path):
+        return {
+            row["canon_url"]: tuple(
+                row[c]
+                for c in ("fetch_round", "text", "pk", "text_sha",
+                          "split_bucket", "split")
+            )
+            for row in spark.read.parquet(path).collect()
+        }
+
+    assert snap(inc) == snap(full)
+
+    # ---- scrub: the three chrome pages share NAV and FOOT lines ----
+    nav, foot = NAV.decode(), FOOT.decode()
+    rows = spark.read.parquet(inc).collect()  # post-extend snapshot
+    pre = {r["canon_url"]: r["text"] for r in rows}
+    chrome_urls = [p["url"] for p in extra]
+    assert all(u in pre for u in chrome_urls), "chrome pages must be fetched"
+    for u in chrome_urls:
+        assert nav in pre[u] and foot in pre[u]
+
+    # Python oracle over corpus-wide line frequencies (the synthetic TINY
+    # texts repeat template lines across docs too, so the hot set is wider
+    # than just the injected chrome)
+    from collections import Counter
+
+    doc_freq = Counter()
+    for text in pre.values():
+        doc_freq.update(set(text.split("\n")))
+    hot = {ln for ln, n in doc_freq.items() if n >= 3}
+    assert {nav, foot} <= hot
+
+    out = str(tmp_path / "scrubbed")
+    rep = scrub_corpus(spark, inc, out, min_docs=3)
+    got = {r["canon_url"]: r for r in spark.read.parquet(out).collect()}
+    assert rep["rows"] == len(got) == len(pre)  # row count preserved
+    assert rep["hot_lines"] == len(hot)
+    assert rep["lines_dropped"] == sum(
+        1 for t in pre.values() for ln in t.split("\n") if ln in hot
+    )
+    for u, text in pre.items():
+        want_lines = [ln for ln in text.split("\n") if ln not in hot]
+        assert got[u]["text"] == "\n".join(want_lines), u
+        # annotations recomputed from the SCRUBBED text, split preserved
+        assert got[u]["text_sha"] == hashlib.sha256(
+            got[u]["text"].encode("utf-8")
+        ).hexdigest()
+        assert got[u]["split_bucket"] == {r["canon_url"]: r for r in rows}[u][
+            "split_bucket"
+        ]
+
+    # a scrubbed dir is a derived product, not an extendable corpus
+    with pytest.raises(RuntimeError, match="SCRUBBED"):
+        export_corpus(state, out)
+
+
+def test_filter_dup_word_ratio_gate(spark, tmp_path):
+    """F53 gate in filter_corpus: rows whose repeated-word occurrence ratio
+    exceeds the threshold are dropped; ratio recomputed in Python over the
+    same whitespace tokenization."""
+    from collections import Counter
+
+    from indigo_crawler_spark.plans.export import (
+        _write_export_manifest,
+        filter_corpus,
+    )
+
+    rows = [
+        ("https://a.example.org/1", "a.example.org", 0,
+         "buy now buy now buy now buy now", 3),
+        ("https://b.example.org/2", "b.example.org", 0,
+         "a perfectly ordinary sentence with distinct words", 7),
+        ("https://c.example.org/3", "c.example.org", 0,
+         "the cat sat on the mat near the door", 11),
+    ]
+    src = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        rows, "canon_url string, host string, fetch_round int, text string, pk int"
+    ).repartition("pk").write.partitionBy("pk").parquet(src)
+    _write_export_manifest(
+        src, {"through_round": 0, "num_buckets": 16, "rows": len(rows)}
+    )
+
+    def ratio(text):
+        toks = text.strip().split()
+        c = Counter(toks)
+        return sum(n for n in c.values() if n > 1) / len(toks)
+
+    thr = 0.5
+    want = {u for u, _, _, t, _ in rows if ratio(t) <= thr}
+    assert want == {
+        "https://b.example.org/2", "https://c.example.org/3"
+    }  # "buy now" spam at ratio 1.0 drops; "the" x3 = 3/9 passes
+
+    out = str(tmp_path / "filtered")
+    rep = filter_corpus(spark, src, out, max_dup_word_ratio=thr)
+    got = {r["canon_url"] for r in spark.read.parquet(out).collect()}
+    assert got == want
+    assert rep["dropped_by_reason"] == {"max_dup_word_ratio": 1}
