@@ -497,12 +497,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return boilerplate_ngrams(_t(s, d, "documents"), n=5, min_docs=3)
 
+    def _token_shards(s, d):
+        # token-budget shard packing: distributed exclusive prefix sum
+        # (range partition + O(partitions) offsets collect + one mapInPandas
+        # pass — never a single-partition window); shard = floor(excl/5000).
+        # The packing intermediate stays cached until the driver collects
+        # (contract of pack_shards); the session is per-run, so no leak.
+        from indigo_crawler_spark.functions.text_analysis import (
+            whitespace_token_count,
+        )
+        from indigo_crawler_spark.operators.sharding import pack_shards
+
+        docs = _t(s, d, "documents").select(
+            "doc_id", whitespace_token_count("text").cast("long").alias("n_tokens")
+        )
+        packed, _cached = pack_shards(
+            docs, shard_tokens=5000, weight_col="n_tokens", order_cols=["doc_id"]
+        )
+        return packed
+
     q["token_counts"] = _token_counts
     q["regex_token_counts"] = _regex_token_counts
     q["quality_stats"] = _quality_stats
     q["repetition_stats"] = _repetition_stats
     q["hash_split"] = _hash_split
     q["boilerplate_shingles"] = _boilerplate_shingles
+    q["token_shards"] = _token_shards
 
     # ---- training-data pipeline: dedup ----
     def _exact_dedup(s, d):
@@ -1287,6 +1307,18 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _repetition_oracle(),
         "hash_split": _hash_split_oracle(),
         "boilerplate_shingles": _boilerplate_oracle(),
+        "token_shards": (
+            # ANSI mirror of the two-phase distributed prefix sum: exclusive
+            # running sum over doc_id order, shard = floor(excl / 5000)
+            "WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0"
+            " ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens"
+            " FROM documents), "
+            "c AS (SELECT doc_id, n_tokens, COALESCE(SUM(n_tokens) OVER ("
+            "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+            "), 0) AS excl FROM t) "
+            "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,"
+            " CAST(floor(excl / 5000) AS BIGINT) AS shard_id FROM c"
+        ),
         "exact_dedup_docs": (
             "SELECT min(doc_id) AS keep_id, count(*) AS n_copies "
             "FROM documents GROUP BY text"

@@ -235,6 +235,34 @@ def export_corpus(
     the export manifest and cannot be flipped on an existing corpus (the
     untouched buckets would have the wrong schema).
     Returns ``{"rows", "rounds", "out_path", "mode", "pks_rewritten"}``."""
+    # refuse-before-compute: a target that already holds a DERIVED product
+    # is wrong regardless of this crawl's state
+    prev = _read_export_manifest(out_path)
+    if prev is not None and "deduped_from" in prev:
+        raise RuntimeError(
+            f"{out_path} holds a DEDUPED derived product (from "
+            f"{prev['deduped_from']}) — it cannot be extended as a corpus; "
+            "re-run dedup_corpus after extending the source export"
+        )
+    if prev is not None and "filtered_from" in prev:
+        raise RuntimeError(
+            f"{out_path} holds a quality-FILTERED derived product (from "
+            f"{prev['filtered_from']}) — it cannot be extended as a corpus; "
+            "re-run filter_corpus after extending the source export"
+        )
+    if prev is not None and "scrubbed_from" in prev:
+        raise RuntimeError(
+            f"{out_path} holds a boilerplate-SCRUBBED derived product (from "
+            f"{prev['scrubbed_from']}) — it cannot be extended as a corpus; "
+            "re-run scrub_corpus after extending the source export"
+        )
+    if prev is not None and "sharded_from" in prev:
+        raise RuntimeError(
+            f"{out_path} holds a SHARD-PACKED derived product (from "
+            f"{prev['sharded_from']}) — it cannot be extended as a corpus; "
+            "re-run shard_corpus after extending the source export"
+        )
+
     anchor = last_complete_round(state)
     if anchor is None:
         raise RuntimeError("no committed rounds — nothing to export")
@@ -247,27 +275,8 @@ def export_corpus(
     bm = state.io.read_manifest("bootstrap") or {}
     num_buckets = int(bm.get("num_buckets") or state.cfg.num_buckets)
 
-    prev = _read_export_manifest(out_path)
     if prev is None:
         return _export_full(state, out_path, last, num_buckets, annotate, split)
-    if "deduped_from" in prev:
-        raise RuntimeError(
-            f"{out_path} holds a DEDUPED derived product (from "
-            f"{prev['deduped_from']}) — it cannot be extended as a corpus; "
-            "re-run dedup_corpus after extending the source export"
-        )
-    if "filtered_from" in prev:
-        raise RuntimeError(
-            f"{out_path} holds a quality-FILTERED derived product (from "
-            f"{prev['filtered_from']}) — it cannot be extended as a corpus; "
-            "re-run filter_corpus after extending the source export"
-        )
-    if "scrubbed_from" in prev:
-        raise RuntimeError(
-            f"{out_path} holds a boilerplate-SCRUBBED derived product (from "
-            f"{prev['scrubbed_from']}) — it cannot be extended as a corpus; "
-            "re-run scrub_corpus after extending the source export"
-        )
     if int(prev["num_buckets"]) != num_buckets:
         raise RuntimeError(
             f"existing export at {out_path} used num_buckets="

@@ -119,6 +119,18 @@ def main(argv: list[str] | None = None) -> int:
         "comma-separated set (e.g. en,de)",
     )
     ap.add_argument(
+        "--export-shards",
+        help="with --export: ALSO write a shard-packed derived product at "
+        "this path (shard_id=N parquet dirs of ~--shard-tokens whitespace "
+        "tokens each, content-addressed order); reads the LAST product in "
+        "the export -> scrub -> filter -> dedup chain",
+    )
+    ap.add_argument(
+        "--shard-tokens", type=int, default=1_000_000,
+        help="with --export-shards: target token weight per shard "
+        "(default 1000000)",
+    )
+    ap.add_argument(
         "--filter-max-dup-ratio", type=float, default=None, metavar="RATIO",
         help="with --export-filter: keep rows whose Gopher-style repeated-"
         "word occurrence ratio (dup_word_occ / n_words) is <= RATIO — "
@@ -333,6 +345,19 @@ def main(argv: list[str] | None = None) -> int:
             print(
                 f"dedup: {d['rows_out']} distinct texts from {d['rows_in']} "
                 f"urls{near} -> {d['out_path']}"
+            )
+            source = args.export_dedup
+        if args.export_shards:
+            from indigo_crawler_spark.operators.sharding import shard_corpus
+
+            sh = shard_corpus(
+                spark, source, args.export_shards,
+                shard_tokens=args.shard_tokens,
+            )
+            print(
+                f"shards: {sh['rows']} urls / {sh['total_tokens']} tokens "
+                f"packed into {sh['n_shards']} shards of ~{args.shard_tokens} "
+                f"-> {sh['out_path']}"
             )
         return 0
 

@@ -24,10 +24,11 @@ BANNED = [
 # files allowed to call .collect()/.isEmpty() — each use is O(P) or O(1)
 # (similarity.py: the IVF index build collects ≤n_centroids vectors once;
 # export.py: the incremental export's affected-pk list is ≤num_buckets rows;
-# components.py: one single-row convergence count per propagation iteration)
+# components.py: one single-row convergence count per propagation iteration;
+# sharding.py: the prefix-sum offsets collect is one row per partition)
 COLLECT_ALLOWED = {
     "round.py", "lineage.py", "skew.py", "politeness.py", "skin.py",
-    "similarity.py", "export.py", "components.py",
+    "similarity.py", "export.py", "components.py", "sharding.py",
 }
 
 
