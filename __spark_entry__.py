@@ -516,6 +516,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return packed
 
+    def _pii_synth_text(s, d):
+        # the synthetic documents contain no PII, so the query plants a
+        # deterministic PII-bearing prefix (phone, SSN, per-doc email and
+        # IPv4) ahead of each text — both engines build the same string, so
+        # the patterns are exercised non-trivially and mirrored exactly
+        return _t(s, d, "documents").select(
+            "doc_id",
+            F.concat(
+                F.lit("call 555-123-4567 or 987-65-4321 email u"),
+                F.col("doc_id").cast("string"),
+                F.lit("@ex.com ip 10.0.0."),
+                (F.col("doc_id") % 250).cast("string"),
+                F.lit(" "),
+                F.col("text"),
+            ).alias("t"),
+        )
+
+    def _pii_counts(s, d):
+        from indigo_crawler_spark.functions.pii import pii_exprs
+
+        exprs = pii_exprs("t")
+        return _pii_synth_text(s, d).select(
+            "doc_id", *[v.alias(k) for k, v in exprs.items()]
+        )
+
+    def _pii_redact(s, d):
+        from indigo_crawler_spark.functions.pii import redact_pii
+
+        return _pii_synth_text(s, d).select(
+            "doc_id", redact_pii("t").alias("redacted")
+        )
+
     q["token_counts"] = _token_counts
     q["regex_token_counts"] = _regex_token_counts
     q["quality_stats"] = _quality_stats
@@ -523,6 +555,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["hash_split"] = _hash_split
     q["boilerplate_shingles"] = _boilerplate_shingles
     q["token_shards"] = _token_shards
+    q["pii_counts"] = _pii_counts
+    q["pii_redact"] = _pii_redact
 
     # ---- training-data pipeline: dedup ----
     def _exact_dedup(s, d):
@@ -1156,6 +1190,30 @@ SELECT node, min(r) AS component FROM reach GROUP BY node
 """
 
 
+_PII_SYNTH_SQL = (
+    "'call 555-123-4567 or 987-65-4321 email u' || CAST(doc_id AS VARCHAR)"
+    " || '@ex.com ip 10.0.0.' || CAST(doc_id % 250 AS VARCHAR) || ' ' || text"
+)
+
+
+def _pii_counts_oracle() -> str:
+    from indigo_crawler_spark.functions.pii import pii_counts_oracle_sql
+
+    return (
+        f"WITH t AS (SELECT doc_id, {_PII_SYNTH_SQL} AS t FROM documents) "
+        f"SELECT doc_id, {pii_counts_oracle_sql('t')} FROM t"
+    )
+
+
+def _pii_redact_oracle() -> str:
+    from indigo_crawler_spark.functions.pii import redact_oracle_sql
+
+    return (
+        f"WITH t AS (SELECT doc_id, {_PII_SYNTH_SQL} AS t FROM documents) "
+        f"SELECT doc_id, {redact_oracle_sql('t')} AS redacted FROM t"
+    )
+
+
 def _repetition_oracle() -> str:
     from indigo_crawler_spark.functions.text_analysis import repetition_oracle_sql
 
@@ -1305,6 +1363,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "repetition_stats": _repetition_oracle(),
+        "pii_counts": _pii_counts_oracle(),
+        "pii_redact": _pii_redact_oracle(),
         "hash_split": _hash_split_oracle(),
         "boilerplate_shingles": _boilerplate_oracle(),
         "token_shards": (

@@ -262,6 +262,12 @@ def export_corpus(
             f"{prev['sharded_from']}) — it cannot be extended as a corpus; "
             "re-run shard_corpus after extending the source export"
         )
+    if prev is not None and "redacted_from" in prev:
+        raise RuntimeError(
+            f"{out_path} holds a PII-REDACTED derived product (from "
+            f"{prev['redacted_from']}) — it cannot be extended as a corpus; "
+            "re-run redact_corpus after extending the source export"
+        )
 
     anchor = last_complete_round(state)
     if anchor is None:
@@ -647,6 +653,79 @@ def dedup_corpus(
         out["near_dropped"] = near_exact - rows_out
     _write_export_manifest(out_path, payload)
     return out
+
+
+def redact_corpus(
+    spark,
+    corpus_path: str,
+    out_path: str,
+) -> dict:
+    """PII-redaction derived product: every corpus row's text with emails,
+    SSNs, phone numbers and IPv4 addresses replaced by ``<KIND>`` tokens
+    (functions/pii.py — pure chained regexp_replace, dialect-pinned by the
+    SQL-checked ``pii_redact`` driver query). The compliance pass sits
+    between scrub and filter in the pipeline: redact before the quality
+    gate so token masses don't shift after thresholds were applied, and
+    before dedup so two pages differing only in (redacted) PII collapse.
+
+    One codegen'd projection — the text column crosses nothing; per-kind
+    match counts ride ONE observe on the read (summed pii_exprs — zero
+    extra jobs). Annotation/split columns are recomputed from the REDACTED
+    text (pure functions — same discipline as scrub); ``redacted_from``
+    manifest refuses corpus extension. Returns ``{"rows",
+    "matches_by_kind", "out_path"}``."""
+    from indigo_crawler_spark.functions.pii import PII_ORDER, pii_exprs, redact_pii
+
+    src = _read_export_manifest(corpus_path)
+    if src is None:
+        raise RuntimeError(f"no export manifest at {corpus_path} — export first")
+    dirs = [
+        _pk_dir(corpus_path, pk)
+        for pk in range(int(src["num_buckets"]))
+        if os.path.isdir(_pk_dir(corpus_path, pk))
+    ]
+    if not dirs:
+        raise RuntimeError(
+            f"corpus at {corpus_path} has no pk buckets — nothing to redact"
+        )
+    df = spark.read.option("basePath", corpus_path).parquet(*dirs)
+    annotated = "text_sha" in df.columns
+    has_split = "split" in df.columns
+    base = df.select(*[f.name for f in CORPUS_SCHEMA.fields])
+    obs = Observation()
+    counts = pii_exprs(F.col("text"))
+    base = base.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        *[
+            F.sum(F.coalesce(counts[f"n_{k}"], F.lit(0))).alias(k)
+            for k in PII_ORDER
+        ],
+    )
+    redacted = base.withColumn("text", redact_pii(F.col("text")))
+    if annotated:
+        redacted = _annotate(redacted)
+    if has_split:
+        redacted = _split_cols(redacted)
+    redacted.repartition(F.col("pk")).write.mode("overwrite").partitionBy(
+        "pk"
+    ).parquet(out_path)
+    got = obs.get
+    rows = int(got["rows"])
+    matches = {k: int(got[k] or 0) for k in PII_ORDER}
+    _write_export_manifest(
+        out_path,
+        {
+            "through_round": int(src["through_round"]),
+            "num_buckets": int(src["num_buckets"]),
+            "rows": rows,
+            "redacted_from": corpus_path,
+            "matches_by_kind": matches,
+            "annotated": annotated,
+            "split": has_split,
+        },
+    )
+    return {"rows": rows, "matches_by_kind": matches, "out_path": out_path}
 
 
 def filter_corpus(

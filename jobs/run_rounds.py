@@ -119,6 +119,12 @@ def main(argv: list[str] | None = None) -> int:
         "comma-separated set (e.g. en,de)",
     )
     ap.add_argument(
+        "--export-redact",
+        help="with --export: ALSO write a PII-redacted derived product at "
+        "this path (emails/SSNs/phones/IPv4 masked with <KIND> tokens); "
+        "chains after --export-scrub and before --export-filter",
+    )
+    ap.add_argument(
         "--export-shards",
         help="with --export: ALSO write a shard-packed derived product at "
         "this path (shard_id=N parquet dirs of ~--shard-tokens whitespace "
@@ -312,6 +318,18 @@ def main(argv: list[str] | None = None) -> int:
                 f"dropped across {sc['rows']} urls -> {sc['out_path']}"
             )
             source = args.export_scrub
+        if args.export_redact:
+            from indigo_crawler_spark.plans.export import redact_corpus
+
+            rd = redact_corpus(spark, source, args.export_redact)
+            kinds = ", ".join(
+                f"{k}={v}" for k, v in rd["matches_by_kind"].items() if v
+            ) or "none found"
+            print(
+                f"redact: {kinds} masked across {rd['rows']} urls "
+                f"-> {rd['out_path']}"
+            )
+            source = args.export_redact
         if args.export_filter:
             from indigo_crawler_spark.plans.export import filter_corpus
 
