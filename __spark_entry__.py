@@ -554,9 +554,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["repetition_stats"] = _repetition_stats
     q["hash_split"] = _hash_split
     q["boilerplate_shingles"] = _boilerplate_shingles
+    def _hash_sample(s, d):
+        # deterministic stratified sample: content-addressed 32-bit draw per
+        # doc_id, per-language rates over the lang column (mixture step) —
+        # integer threshold comparison, no RNG, no floats
+        from indigo_crawler_spark.operators.sampling import (
+            hash_uniform_expr,
+            keep_expr,
+        )
+
+        return (
+            _t(s, d, "documents")
+            .where(
+                keep_expr(
+                    "doc_id", 0.25, by="lang",
+                    rates={"en": 0.75, "de": 1.0}, salt="s1",
+                )
+            )
+            .select(
+                "doc_id", "lang",
+                hash_uniform_expr("doc_id", salt="s1").alias("draw"),
+            )
+        )
+
     q["token_shards"] = _token_shards
     q["pii_counts"] = _pii_counts
     q["pii_redact"] = _pii_redact
+    q["hash_sample"] = _hash_sample
 
     # ---- training-data pipeline: dedup ----
     def _exact_dedup(s, d):
@@ -1214,6 +1238,21 @@ def _pii_redact_oracle() -> str:
     )
 
 
+def _hash_sample_oracle() -> str:
+    from indigo_crawler_spark.operators.sampling import (
+        hash_uniform_oracle_sql,
+        threshold,
+    )
+
+    draw = hash_uniform_oracle_sql("doc_id", salt="s1")
+    t_def, t_en, t_de = threshold(0.25), threshold(0.75), threshold(1.0)
+    return (
+        f"WITH t AS (SELECT doc_id, lang, {draw} AS draw FROM documents) "
+        f"SELECT doc_id, lang, draw FROM t WHERE draw < CASE lang"
+        f" WHEN 'en' THEN {t_en} WHEN 'de' THEN {t_de} ELSE {t_def} END"
+    )
+
+
 def _repetition_oracle() -> str:
     from indigo_crawler_spark.functions.text_analysis import repetition_oracle_sql
 
@@ -1365,6 +1404,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _repetition_oracle(),
         "pii_counts": _pii_counts_oracle(),
         "pii_redact": _pii_redact_oracle(),
+        "hash_sample": _hash_sample_oracle(),
         "hash_split": _hash_split_oracle(),
         "boilerplate_shingles": _boilerplate_oracle(),
         "token_shards": (

@@ -268,6 +268,12 @@ def export_corpus(
             f"{prev['redacted_from']}) — it cannot be extended as a corpus; "
             "re-run redact_corpus after extending the source export"
         )
+    if prev is not None and "sampled_from" in prev:
+        raise RuntimeError(
+            f"{out_path} holds a SAMPLED derived product (from "
+            f"{prev['sampled_from']}) — it cannot be extended as a corpus; "
+            "re-run sample_corpus after extending the source export"
+        )
 
     anchor = last_complete_round(state)
     if anchor is None:

@@ -125,11 +125,38 @@ def main(argv: list[str] | None = None) -> int:
         "chains after --export-scrub and before --export-filter",
     )
     ap.add_argument(
+        "--export-sample",
+        help="with --export: ALSO write a deterministically sampled/mixed "
+        "derived product at this path (content-addressed keep decision per "
+        "canon_url — reproducible, no RNG); chains after dedup and before "
+        "shards",
+    )
+    ap.add_argument(
+        "--sample-rate", type=float, default=1.0,
+        help="with --export-sample: default keep probability (exact "
+        "integer-threshold draw; default 1.0)",
+    )
+    ap.add_argument(
+        "--sample-by", default=None, metavar="COL",
+        help="with --export-sample: stratum column for per-value rates "
+        "(e.g. langid, split)",
+    )
+    ap.add_argument(
+        "--sample-rates", default=None, metavar="CSV",
+        help="with --export-sample and --sample-by: per-stratum keep rates "
+        "as value=rate pairs (e.g. en=0.3,de=1.0); unmatched strata use "
+        "--sample-rate",
+    )
+    ap.add_argument(
+        "--sample-salt", default="", metavar="S",
+        help="with --export-sample: salt for an independent redraw",
+    )
+    ap.add_argument(
         "--export-shards",
         help="with --export: ALSO write a shard-packed derived product at "
         "this path (shard_id=N parquet dirs of ~--shard-tokens whitespace "
         "tokens each, content-addressed order); reads the LAST product in "
-        "the export -> scrub -> filter -> dedup chain",
+        "the export -> scrub -> redact -> filter -> dedup -> sample chain",
     )
     ap.add_argument(
         "--shard-tokens", type=int, default=1_000_000,
@@ -365,6 +392,27 @@ def main(argv: list[str] | None = None) -> int:
                 f"urls{near} -> {d['out_path']}"
             )
             source = args.export_dedup
+        if args.export_sample:
+            from indigo_crawler_spark.operators.sampling import sample_corpus
+
+            rates = (
+                {
+                    kv.split("=")[0]: float(kv.split("=")[1])
+                    for kv in args.sample_rates.split(",")
+                }
+                if args.sample_rates
+                else None
+            )
+            sp = sample_corpus(
+                spark, source, args.export_sample,
+                rate=args.sample_rate, by=args.sample_by, rates=rates,
+                salt=args.sample_salt,
+            )
+            print(
+                f"sample: {sp['rows_out']} of {sp['rows_in']} urls kept "
+                f"-> {sp['out_path']}"
+            )
+            source = args.export_sample
         if args.export_shards:
             from indigo_crawler_spark.operators.sharding import shard_corpus
 
