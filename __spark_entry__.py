@@ -577,10 +577,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def _decontaminate_flags(s, d):
+        # benchmark decontamination: corpus docs sharing a word 5-gram with
+        # the "eval suite" (every 37th doc) — exact string mode so DuckDB
+        # mirrors the gram join byte-for-byte; eval docs flag themselves,
+        # exact dups of eval docs get flagged too
+        from indigo_crawler_spark.operators.decontaminate import (
+            contamination_flags,
+        )
+
+        docs = _t(s, d, "documents")
+        ev = docs.where(F.col("doc_id") % 37 == 0)
+        return contamination_flags(
+            docs, ev, n=5, corpus_id="doc_id", exact=True
+        )
+
     q["token_shards"] = _token_shards
     q["pii_counts"] = _pii_counts
     q["pii_redact"] = _pii_redact
     q["hash_sample"] = _hash_sample
+    q["decontaminate_flags"] = _decontaminate_flags
 
     # ---- training-data pipeline: dedup ----
     def _exact_dedup(s, d):
@@ -1238,6 +1254,23 @@ def _pii_redact_oracle() -> str:
     )
 
 
+def _decontaminate_oracle() -> str:
+    # same gram fold as boilerplate_oracle_sql at n=5 (toks[i..i+4] joined
+    # with spaces); eval side = every 37th doc's distinct grams
+    n = 5
+    parts = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
+    return (
+        "WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+')"
+        " AS toks FROM documents), "
+        f"g AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(toks) >= {n} THEN"
+        f" list_transform(range(1, len(toks) - {n - 2}), i -> {parts})"
+        " ELSE [] END) AS gram FROM t), "
+        "e AS (SELECT DISTINCT gram FROM g WHERE doc_id % 37 = 0) "
+        "SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits FROM g"
+        " JOIN e USING (gram) GROUP BY g.doc_id"
+    )
+
+
 def _hash_sample_oracle() -> str:
     from indigo_crawler_spark.operators.sampling import (
         hash_uniform_oracle_sql,
@@ -1405,6 +1438,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_counts": _pii_counts_oracle(),
         "pii_redact": _pii_redact_oracle(),
         "hash_sample": _hash_sample_oracle(),
+        "decontaminate_flags": _decontaminate_oracle(),
         "hash_split": _hash_split_oracle(),
         "boilerplate_shingles": _boilerplate_oracle(),
         "token_shards": (
