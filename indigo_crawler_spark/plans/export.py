@@ -742,6 +742,7 @@ def filter_corpus(
     max_punct_ratio: float | None = None,
     langs: list[str] | None = None,
     max_dup_word_ratio: float | None = None,
+    max_pii: int | None = None,
 ) -> dict:
     """Quality-filter derived product: rows of an exported corpus passing
     every enabled threshold — the training pipeline's "score it, gate it"
@@ -806,6 +807,16 @@ def filter_corpus(
             ("max_dup_word_ratio",
              F.coalesce(ratio <= max_dup_word_ratio, F.lit(False))),
         )
+    if max_pii is not None:
+        # PII density gate (F60 exprs, computed in-flight like the
+        # repetition signal): pages dense with contact identifiers are
+        # directories/rosters — drop rather than redact. NULL text fails.
+        from indigo_crawler_spark.functions.pii import pii_exprs
+
+        n_pii = pii_exprs(F.col("text"))["n_pii"]
+        checks.append(
+            ("max_pii", F.coalesce(n_pii <= max_pii, F.lit(False)))
+        )
     keep = F.lit(True)
     for _, pred in checks:
         keep = keep & pred
@@ -833,6 +844,7 @@ def filter_corpus(
             "max_punct_ratio": max_punct_ratio,
             "langs": sorted(langs) if langs else None,
             "max_dup_word_ratio": max_dup_word_ratio,
+            "max_pii": max_pii,
         },
         "dropped_by_reason": dropped,
     }

@@ -170,6 +170,12 @@ def main(argv: list[str] | None = None) -> int:
         "gates machine-generated/template spam",
     )
     ap.add_argument(
+        "--filter-max-pii", type=int, default=None, metavar="N",
+        help="with --export-filter: keep rows with at most N PII matches "
+        "(emails/SSNs/phones/IPv4) — drops directory/roster pages outright "
+        "where redaction would leave token soup",
+    )
+    ap.add_argument(
         "--recrawl-after", type=int, default=0,
         help="age-based refresh: re-open round R-N's fetched urls before "
         "round R (retire + low-priority re-inject; 0=off). Semantic knob — "
@@ -366,6 +372,7 @@ def main(argv: list[str] | None = None) -> int:
                 max_punct_ratio=args.filter_max_punct,
                 langs=args.filter_langs.split(",") if args.filter_langs else None,
                 max_dup_word_ratio=args.filter_max_dup_ratio,
+                max_pii=args.filter_max_pii,
             )
             reasons = ", ".join(
                 f"{k}={v}" for k, v in fr["dropped_by_reason"].items()

@@ -152,3 +152,30 @@ def test_redact_corpus_recomputes_annotations(spark, tmp_path):
     assert r["text"] == "mail <EMAIL> thanks"
     assert r["text_sha"] == hashlib.sha256(r["text"].encode()).hexdigest()
     assert r["n_words"] == 3
+
+
+def test_filter_max_pii_gate(spark, tmp_path):
+    from indigo_crawler_spark.plans.export import (
+        _write_export_manifest,
+        filter_corpus,
+    )
+
+    rows = [
+        ("https://a.example.org/1", "a.example.org", 0,
+         "a directory page a@b.io c@d.io e@f.io 10.0.0.1", 3),
+        ("https://b.example.org/2", "b.example.org", 0,
+         "one contact x@y.zz in otherwise fine prose", 7),
+        ("https://c.example.org/3", "c.example.org", 0, "no pii at all", 11),
+    ]
+    src = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        rows, "canon_url string, host string, fetch_round int, text string, pk int"
+    ).repartition("pk").write.partitionBy("pk").parquet(src)
+    _write_export_manifest(
+        src, {"through_round": 0, "num_buckets": 16, "rows": len(rows)}
+    )
+    out = str(tmp_path / "filtered")
+    rep = filter_corpus(spark, src, out, max_pii=1)
+    got = {r["canon_url"] for r in spark.read.parquet(out).collect()}
+    assert got == {"https://b.example.org/2", "https://c.example.org/3"}
+    assert rep["dropped_by_reason"] == {"max_pii": 1}
