@@ -595,8 +595,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["token_shards"] = _token_shards
     q["pii_counts"] = _pii_counts
     q["pii_redact"] = _pii_redact
+    def _text_normalize(s, d):
+        # normalization chain over a deliberately messy prefix (combining
+        # acute, zero-width space, BEL control, CRLF/CR) prepended to each
+        # document — the kernel UDF vs DuckDB's declarative
+        # nfc_normalize + replace chain, byte-for-byte
+        from indigo_crawler_spark.functions.udfs import normalize_text_udf
+
+        messy = F.concat(
+            F.lit("e\u0301"), F.lit("\u200b"), F.lit("\x07"),
+            F.lit("A\r\nB\rC "), F.col("text"),
+        )
+        return _t(s, d, "documents").select(
+            "doc_id", normalize_text_udf(messy).alias("norm")
+        )
+
     q["hash_sample"] = _hash_sample
     q["decontaminate_flags"] = _decontaminate_flags
+    q["text_normalize"] = _text_normalize
 
     # ---- training-data pipeline: dedup ----
     def _exact_dedup(s, d):
@@ -1254,6 +1270,26 @@ def _pii_redact_oracle() -> str:
     )
 
 
+def _text_normalize_oracle() -> str:
+    # same messy prefix built from chr() codepoints; the chain order must
+    # match kernels/textnorm.py: CRLF->LF, CR->LF, strip C0/DEL, strip
+    # zero-width, NFC-compose
+    messy = (
+        "'e' || chr(769) || chr(8203) || chr(7) || 'A' || chr(13) ||"
+        " chr(10) || 'B' || chr(13) || 'C ' || text"
+    )
+    chain = (
+        "nfc_normalize(regexp_replace(regexp_replace("
+        "replace(replace(t, chr(13) || chr(10), chr(10)), chr(13), chr(10)),"
+        " '[\\x00-\\x08\\x0B-\\x1F\\x7F]', '', 'g'),"
+        " '[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]', '', 'g'))"
+    )
+    return (
+        f"WITH m AS (SELECT doc_id, {messy} AS t FROM documents) "
+        f"SELECT doc_id, {chain} AS norm FROM m"
+    )
+
+
 def _decontaminate_oracle() -> str:
     # same gram fold as boilerplate_oracle_sql at n=5 (toks[i..i+4] joined
     # with spaces); eval side = every 37th doc's distinct grams
@@ -1439,6 +1475,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": _pii_redact_oracle(),
         "hash_sample": _hash_sample_oracle(),
         "decontaminate_flags": _decontaminate_oracle(),
+        "text_normalize": _text_normalize_oracle(),
         "hash_split": _hash_split_oracle(),
         "boilerplate_shingles": _boilerplate_oracle(),
         "token_shards": (

@@ -1,8 +1,9 @@
 """Arrow-vectorized UDFs wrapping the shared pure-Python kernels.
 
-These are the ONLY two Python scalar functions in the engine (BASELINE.json:15
-bans per-row classic ``udf``; a lint test enforces that repo-wide). Both are
-``pandas_udf`` — Arrow batch transfer, one Python invocation per batch:
+Every Python scalar function in the engine lives here or in
+functions/text_analysis.py (BASELINE.json:15 bans per-row classic ``udf``;
+a lint test enforces that repo-wide). All are ``pandas_udf`` — Arrow batch
+transfer, one Python invocation per batch:
 
 - ``canonicalize_udf``: determinism beats built-in chains here; URL
   canonicalization must be byte-identical to the oracle (SURVEY.md F1).
@@ -75,3 +76,16 @@ def robots_sitemaps_udf(robots_txt: pd.Series) -> pd.Series:
 
 # default-agent instance kept for callers outside a CrawlConfig context
 robots_allowed_udf = make_robots_allowed_udf("indigo-spark")
+
+
+@F.pandas_udf(StringType())
+def normalize_text_udf(text: pd.Series) -> pd.Series:
+    """Full text-normalization chain (kernels/textnorm.py): CRLF fold,
+    control/zero-width strip, Unicode NFC. NFC has no Spark SQL builtin, so
+    the whole chain runs in ONE Arrow crossing over the shared kernel
+    rather than splitting the codegen-able steps from the NFC hop (same
+    column would cross either way); the DuckDB oracle runs it declaratively
+    (nfc_normalize + the same replaces) — driver query ``text_normalize``."""
+    from indigo_crawler_spark.kernels.textnorm import normalize_text
+
+    return text.map(lambda t: normalize_text(t) if isinstance(t, str) else None)

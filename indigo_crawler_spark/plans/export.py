@@ -274,6 +274,12 @@ def export_corpus(
             f"{prev['sampled_from']}) — it cannot be extended as a corpus; "
             "re-run sample_corpus after extending the source export"
         )
+    if prev is not None and "normalized_from" in prev:
+        raise RuntimeError(
+            f"{out_path} holds a NORMALIZED derived product (from "
+            f"{prev['normalized_from']}) — it cannot be extended as a corpus; "
+            "re-run normalize_corpus after extending the source export"
+        )
 
     anchor = last_complete_round(state)
     if anchor is None:
@@ -659,6 +665,77 @@ def dedup_corpus(
         out["near_dropped"] = near_exact - rows_out
     _write_export_manifest(out_path, payload)
     return out
+
+
+def normalize_corpus(
+    spark,
+    corpus_path: str,
+    out_path: str,
+) -> dict:
+    """Text-normalization derived product: every corpus row's text through
+    the kernels/textnorm.py chain (CRLF fold → control/zero-width strip →
+    Unicode NFC). The FIRST stage after export — canonically-equal byte
+    variants must collapse before anything hashes text (exact dedup,
+    shingles, content-addressed draws) and before line hashing in the
+    scrub.
+
+    One Arrow crossing of the text column (pandas_udf over the shared
+    kernel — NFC has no Spark SQL builtin; the driver query
+    ``text_normalize`` proves DuckDB's declarative chain matches
+    byte-for-byte). changed-row count rides ONE observe; annotations/split
+    recomputed from the normalized text; ``normalized_from`` manifest
+    refuses corpus extension. Returns ``{"rows", "rows_changed",
+    "out_path"}``."""
+    from indigo_crawler_spark.functions.udfs import normalize_text_udf
+
+    src = _read_export_manifest(corpus_path)
+    if src is None:
+        raise RuntimeError(f"no export manifest at {corpus_path} — export first")
+    dirs = [
+        _pk_dir(corpus_path, pk)
+        for pk in range(int(src["num_buckets"]))
+        if os.path.isdir(_pk_dir(corpus_path, pk))
+    ]
+    if not dirs:
+        raise RuntimeError(
+            f"corpus at {corpus_path} has no pk buckets — nothing to normalize"
+        )
+    df = spark.read.option("basePath", corpus_path).parquet(*dirs)
+    annotated = "text_sha" in df.columns
+    has_split = "split" in df.columns
+    base = df.select(*[f.name for f in CORPUS_SCHEMA.fields])
+    normalized = base.withColumn("_norm", normalize_text_udf(F.col("text")))
+    obs = Observation()
+    normalized = normalized.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(
+            (~F.col("_norm").eqNullSafe(F.col("text"))).cast("long")
+        ).alias("changed"),
+    )
+    normalized = normalized.withColumn("text", F.col("_norm")).drop("_norm")
+    if annotated:
+        normalized = _annotate(normalized)
+    if has_split:
+        normalized = _split_cols(normalized)
+    normalized.repartition(F.col("pk")).write.mode("overwrite").partitionBy(
+        "pk"
+    ).parquet(out_path)
+    got = obs.get
+    rows, changed = int(got["rows"]), int(got["changed"] or 0)
+    _write_export_manifest(
+        out_path,
+        {
+            "through_round": int(src["through_round"]),
+            "num_buckets": int(src["num_buckets"]),
+            "rows": rows,
+            "normalized_from": corpus_path,
+            "rows_changed": changed,
+            "annotated": annotated,
+            "split": has_split,
+        },
+    )
+    return {"rows": rows, "rows_changed": changed, "out_path": out_path}
 
 
 def redact_corpus(

@@ -119,6 +119,13 @@ def main(argv: list[str] | None = None) -> int:
         "comma-separated set (e.g. en,de)",
     )
     ap.add_argument(
+        "--export-normalize",
+        help="with --export: ALSO write a text-normalized derived product "
+        "at this path (CRLF fold, control/zero-width strip, Unicode NFC); "
+        "the FIRST stage of the chain — downstream scrub/redact/filter/"
+        "dedup/sample/shards read it",
+    )
+    ap.add_argument(
         "--export-redact",
         help="with --export: ALSO write a PII-redacted derived product at "
         "this path (emails/SSNs/phones/IPv4 masked with <KIND> tokens); "
@@ -336,9 +343,19 @@ def main(argv: list[str] | None = None) -> int:
             f"export[{report['mode']}]: {report['rows']} urls ({folded}, "
             f"{report['pks_rewritten']} buckets rewritten) -> {report['out_path']}"
         )
-        # derived products chain: export -> scrub -> filter -> dedup, each
-        # stage reading the latest upstream product that was requested
+        # derived products chain: export -> normalize -> scrub -> redact ->
+        # filter -> dedup -> sample -> shards, each stage reading the latest
+        # upstream product that was requested
         source = args.export
+        if args.export_normalize:
+            from indigo_crawler_spark.plans.export import normalize_corpus
+
+            nm = normalize_corpus(spark, source, args.export_normalize)
+            print(
+                f"normalize: {nm['rows_changed']} of {nm['rows']} urls "
+                f"changed -> {nm['out_path']}"
+            )
+            source = args.export_normalize
         if args.export_scrub:
             from indigo_crawler_spark.plans.export import scrub_corpus
 
