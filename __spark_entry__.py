@@ -610,9 +610,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", normalize_text_udf(messy).alias("norm")
         )
 
+    def _pagerank_scores(s, d):
+        # link-graph priority: PageRank over a deterministic 200-node graph
+        # derived from orders (src = custkey mod 200 -> dst = orderkey mod
+        # 200), 5 fixed iterations, uniform dangling redistribution —
+        # iterative join+agg per iteration, DuckDB mirrors via unrolled CTEs
+        from indigo_crawler_spark.operators.pagerank import pagerank
+
+        edges = _t(s, d, "orders").select(
+            (F.col("o_custkey") % 200).cast("long").alias("src"),
+            (F.col("o_orderkey") % 200).cast("long").alias("dst"),
+        )
+        pr = pagerank(edges, damping=0.85, iters=5)
+        return pr.select("node", F.round("rank", 9).alias("rank"))
+
     q["hash_sample"] = _hash_sample
     q["decontaminate_flags"] = _decontaminate_flags
     q["text_normalize"] = _text_normalize
+    q["pagerank_scores"] = _pagerank_scores
 
     # ---- training-data pipeline: dedup ----
     def _exact_dedup(s, d):
@@ -1270,6 +1285,18 @@ def _pii_redact_oracle() -> str:
     )
 
 
+def _pagerank_oracle() -> str:
+    from indigo_crawler_spark.operators.pagerank import pagerank_oracle_sql
+
+    inner = pagerank_oracle_sql(
+        "SELECT CAST(o_custkey % 200 AS BIGINT) AS src,"
+        " CAST(o_orderkey % 200 AS BIGINT) AS dst FROM orders",
+        damping=0.85,
+        iters=5,
+    )
+    return f"SELECT node, ROUND(rank, 9) AS rank FROM ({inner})"
+
+
 def _text_normalize_oracle() -> str:
     # same messy prefix built from chr() codepoints; the chain order must
     # match kernels/textnorm.py: CRLF->LF, CR->LF, strip C0/DEL, strip
@@ -1476,6 +1503,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": _hash_sample_oracle(),
         "decontaminate_flags": _decontaminate_oracle(),
         "text_normalize": _text_normalize_oracle(),
+        "pagerank_scores": _pagerank_oracle(),
         "hash_split": _hash_split_oracle(),
         "boilerplate_shingles": _boilerplate_oracle(),
         "token_shards": (

@@ -397,6 +397,32 @@ def bench_export(spark: SparkSession, cpus: int) -> dict:
         t0 = time.time()
         d = dedup_corpus(spark, out, dd)
         t_dedup = round(time.time() - t0, 3)
+        # the round-5 pipeline stages, timed in chain order over the same
+        # corpus (each reads its upstream product like the CLI chain does)
+        from indigo_crawler_spark.operators.sampling import sample_corpus
+        from indigo_crawler_spark.operators.sharding import shard_corpus
+        from indigo_crawler_spark.plans.export import (
+            filter_corpus,
+            normalize_corpus,
+            redact_corpus,
+            scrub_corpus,
+        )
+
+        stages = {}
+        src = out
+        for name, fn in (
+            ("normalize", lambda s, o: normalize_corpus(spark, s, o)),
+            ("scrub", lambda s, o: scrub_corpus(spark, s, o, min_docs=10)),
+            ("redact", lambda s, o: redact_corpus(spark, s, o)),
+            ("filter", lambda s, o: filter_corpus(spark, s, o, min_words=3)),
+            ("sample", lambda s, o: sample_corpus(spark, s, o, rate=0.9)),
+            ("shards", lambda s, o: shard_corpus(spark, s, o, shard_tokens=20000)),
+        ):
+            dst = os.path.join(root, f"stage_{name}")
+            t0 = time.time()
+            fn(src, dst)
+            stages[f"{name}_sec"] = round(time.time() - t0, 3)
+            src = dst
         return {
             "corpus_rows": n_rows,
             "full_sec": t_full,
@@ -409,6 +435,7 @@ def bench_export(spark: SparkSession, cpus: int) -> dict:
             "noop_sec": t_noop,
             "dedup_sec": t_dedup,
             "dedup_rows_out": d["rows_out"],
+            **stages,
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)

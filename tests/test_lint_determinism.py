@@ -25,10 +25,12 @@ BANNED = [
 # (similarity.py: the IVF index build collects ≤n_centroids vectors once;
 # export.py: the incremental export's affected-pk list is ≤num_buckets rows;
 # components.py: one single-row convergence count per propagation iteration;
-# sharding.py: the prefix-sum offsets collect is one row per partition)
+# sharding.py: the prefix-sum offsets collect is one row per partition;
+# pagerank.py: one scalar dangling-mass aggregate per iteration)
 COLLECT_ALLOWED = {
     "round.py", "lineage.py", "skew.py", "politeness.py", "skin.py",
     "similarity.py", "export.py", "components.py", "sharding.py",
+    "pagerank.py",
 }
 
 
