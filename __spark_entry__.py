@@ -629,6 +629,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_normalize"] = _text_normalize
     q["pagerank_scores"] = _pagerank_scores
 
+    def _pagerank_int_scores(s, d):
+        # the fixed-point integer variant that feeds frontier re-scoring
+        # (kernels/pagerank.py): same 200-node orders graph, EXACT integer
+        # equality vs DuckDB's unrolled CTEs — no float rounding anywhere
+        from indigo_crawler_spark.operators.pagerank import pagerank_int
+
+        edges = _t(s, d, "orders").select(
+            (F.col("o_custkey") % 200).cast("long").alias("src"),
+            (F.col("o_orderkey") % 200).cast("long").alias("dst"),
+        )
+        return pagerank_int(edges, iters=5)
+
+    q["pagerank_int_scores"] = _pagerank_int_scores
+
     # ---- training-data pipeline: dedup ----
     def _exact_dedup(s, d):
         from indigo_crawler_spark.operators.text_dedup import exact_dedup
@@ -1297,6 +1311,16 @@ def _pagerank_oracle() -> str:
     return f"SELECT node, ROUND(rank, 9) AS rank FROM ({inner})"
 
 
+def _pagerank_int_oracle() -> str:
+    from indigo_crawler_spark.operators.pagerank import pagerank_int_oracle_sql
+
+    return pagerank_int_oracle_sql(
+        "SELECT CAST(o_custkey % 200 AS BIGINT) AS src,"
+        " CAST(o_orderkey % 200 AS BIGINT) AS dst FROM orders",
+        iters=5,
+    )
+
+
 def _text_normalize_oracle() -> str:
     # same messy prefix built from chr() codepoints; the chain order must
     # match kernels/textnorm.py: CRLF->LF, CR->LF, strip C0/DEL, strip
@@ -1504,6 +1528,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_flags": _decontaminate_oracle(),
         "text_normalize": _text_normalize_oracle(),
         "pagerank_scores": _pagerank_oracle(),
+        "pagerank_int_scores": _pagerank_int_oracle(),
         "hash_split": _hash_split_oracle(),
         "boilerplate_shingles": _boilerplate_oracle(),
         "token_shards": (

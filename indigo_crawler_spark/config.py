@@ -74,6 +74,17 @@ class CrawlConfig:
     # their <loc> URLs as out-links instead of HTML text. Changes results
     # ⇒ extension field in config_hash. False disables (default).
     sitemaps_enabled: bool = False
+    # link-graph frontier prioritization (SEMANTICS.md §PageRank priority):
+    # when > 0, every pagerank_every-th round re-scores the outgoing
+    # frontier with a fixed-point integer PageRank over the link graph
+    # accumulated from every fetched page's out-links — priority becomes
+    # base_formula + pagerank_weight · (rank_int / PR_SCALE). Integer
+    # ranks (kernels/pagerank.py) keep the re-score bit-deterministic
+    # under any partitioning. 0 disables (default); iters/weight take
+    # effect only when the tick is on (dependent extensions below).
+    pagerank_every: int = 0
+    pagerank_iters: int = 5
+    pagerank_weight: float = 1.0
 
     # capacity is excluded from config_hash: it is pinned PER CRAWL by the
     # bootstrap manifest (bootstrap records the override or the A3-derived
@@ -100,14 +111,31 @@ class CrawlConfig:
         "domain_budget": 0,
         "sitemaps_enabled": False,
         "recrawl_after": 0,
+        "pagerank_every": 0,
+        "pagerank_iters": 5,
+        "pagerank_weight": 1.0,
+    }
+
+    # dependent extensions: inert unless their master knob is on. While the
+    # master sits at its default the dependent is semantically absent at ANY
+    # value (it cannot affect results), so it never enters the hash; once
+    # the master is on, the dependent is ALWAYS hashed — even at its default
+    # — so the manifest pins the exact tick semantics against a future
+    # default change.
+    _HASH_DEPENDENT = {
+        "pagerank_iters": "pagerank_every",
+        "pagerank_weight": "pagerank_every",
     }
 
     def _hash_dict(self) -> dict:
-        d = {
-            k: v for k, v in asdict(self).items() if k not in self._HASH_EXCLUDED
-        }
+        full = asdict(self)
+        d = {k: v for k, v in full.items() if k not in self._HASH_EXCLUDED}
         for k, default in self._HASH_EXTENSION_DEFAULTS.items():
-            if d.get(k) == default:
+            master = self._HASH_DEPENDENT.get(k)
+            if master is not None:
+                if full.get(master) == self._HASH_EXTENSION_DEFAULTS[master]:
+                    del d[k]
+            elif d.get(k) == default:
                 del d[k]
         return d
 

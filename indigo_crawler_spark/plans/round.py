@@ -190,6 +190,24 @@ class CrawlState:
             base = base.unionByName(self.io.read(inj, schemas.FRONTIER))
         return base
 
+    def links_through(self, r: int) -> DataFrame:
+        """Link-graph edges accumulated by rounds 0..r (written per round
+        when cfg.pagerank_every is on). The union chain is tick-cadence
+        input — a PageRank pass is O(whole graph) by nature, so one dir
+        per round is the right granularity; ``pagerank_int`` dedups edges
+        before iterating. Never GC'd: every future tick re-reads it."""
+        dfs = [
+            self.io.read(f"links/round={i}", schemas.LINKS)
+            for i in range(r + 1)
+            if self.io.exists(f"links/round={i}")
+        ]
+        if not dfs:
+            return self.io.spark.createDataFrame([], schemas.LINKS)
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
     def fetchable_store(self, pks: list) -> DataFrame:
         """(canon_url, html) fetchable at the given pk buckets: the bootstrap
         page store, plus — when the streaming skin has ingested micro-batches
@@ -765,6 +783,25 @@ def run_round(
                 f"fetched_text/round={round_no}",
             )
 
+        # link-graph edges (SEMANTICS.md §PageRank priority): every fetched
+        # page's out-links as (src, dst) rows — extraction facts, recorded
+        # BEFORE the depth cap and trap gate (those govern frontier
+        # admission, not the graph). Emitted-slice scale (≤K pages × avg
+        # out-degree), pooled off the critical path; reads the cached
+        # extracted frame, so it costs no second Arrow pass.
+        f_links = None
+        if cfg.pagerank_every:
+            links_edges = extracted.select(
+                F.col("canon_url").alias("src"),
+                F.explode("links").alias("dst"),
+            )
+
+            def _w_links() -> None:
+                with _timed(tm, "links_write"):
+                    io.write(links_edges, f"links/round={round_no}")
+
+            f_links = pool.submit(_w_links)
+
         f_seen.result()
         # A4/A6: fold this round's seen delta into the cumulative membership
         # filter (bloom: pure bitwise OR; cuckoo: fingerprint re-insert — the
@@ -925,15 +962,39 @@ def run_round(
                 F.lit(round_no + 1).alias("discovered_round"),
             )
         )
-        fn_obs = Observation()
-        frontier_next = (
-            remaining.unionByName(children_full)
-            .observe(
-                fn_obs,
-                _sum0(F.col("discovered_round") == round_no + 1).alias("links_new"),
+        frontier_next = remaining.unionByName(children_full)
+
+        # PageRank tick (SEMANTICS.md §PageRank priority): every
+        # pagerank_every-th outgoing frontier is re-scored with fixed-point
+        # integer ranks over the link graph accumulated through THIS round.
+        # The rescored priorities are what frontier/round=R+1 commits, so
+        # every downstream consumer — next round's gates, fetch_batches,
+        # resume — sees one consistent ordering, and a crash-replay of this
+        # round re-derives bit-identical ranks (integer sums are
+        # order-independent; kernels/pagerank.py). Tick-cadence cost: one
+        # graph pass + two SHUFFLE_HASH joins, never per-round.
+        if cfg.pagerank_every and (round_no + 1) % cfg.pagerank_every == 0:
+            from indigo_crawler_spark.operators.pagerank import (
+                pagerank_int,
+                rescore_frontier,
             )
-            .cache()
-        )
+
+            if f_links is not None:
+                f_links.result()
+            with _timed(tm, "pagerank_tick"):
+                pr_ranks = pagerank_int(
+                    state.links_through(round_no), iters=cfg.pagerank_iters
+                )
+                io.write(pr_ranks, f"pagerank/round={round_no + 1}")
+                frontier_next = rescore_frontier(
+                    frontier_next, pr_ranks, hc, cfg.pagerank_weight
+                )
+
+        fn_obs = Observation()
+        frontier_next = frontier_next.observe(
+            fn_obs,
+            _sum0(F.col("discovered_round") == round_no + 1).alias("links_new"),
+        ).cache()
         with _timed(tm, "discover_frontier_write"):
             io.write(frontier_next, f"frontier/round={round_no + 1}")
 
@@ -967,6 +1028,8 @@ def run_round(
             f_compact.result()
         if f_budgets is not None:
             f_budgets.result()
+        if f_links is not None:
+            f_links.result()
         f_metrics.result()
         digests = f_digest.result()
         max_host_cand, n_heavy_next = f_skew.result()
@@ -1001,12 +1064,18 @@ def run_round(
     # many rows. Parquet footer metadata only — a driver-side walk, zero
     # Spark jobs — so a torn or short write refuses the commit NOW instead
     # of surfacing at the next resume's file re-read.
-    for table, expected in (
+    cross_checks = [
         (f"seen/round={round_no}", digests["seen"]["rows"]),
         (f"frontier/round={round_no + 1}", digests["frontier_next"]["rows"]),
         (f"fetch_batches/round={round_no}", n_emitted),
         (f"fetched_text/round={round_no}", counters["fetched_pages"]),
-    ):
+    ]
+    if cfg.pagerank_every:
+        # exploded edge rows == the links_extracted sum riding the extract
+        cross_checks.append(
+            (f"links/round={round_no}", counters["links_extracted"])
+        )
+    for table, expected in cross_checks:
         on_disk = io.file_row_count(table)
         if on_disk is not None and on_disk != expected:
             raise RuntimeError(

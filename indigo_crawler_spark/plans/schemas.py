@@ -144,3 +144,22 @@ SEEN_BLOOM = StructType(
         StructField("bits", BinaryType()),
     ]
 )
+
+# link-graph edges extracted this round: src = fetched canon_url, dst = a
+# canonicalized out-link (extraction facts — recorded before the depth cap
+# and trap gate, which govern frontier ADMISSION, not the graph)
+LINKS = StructType(
+    [
+        StructField("src", StringType()),
+        StructField("dst", StringType()),
+    ]
+)
+
+# fixed-point PageRank over the accumulated link graph at a tick round
+# (kernels/pagerank.py is normative; rank_int is rank · PR_SCALE floored)
+PAGERANK = StructType(
+    [
+        StructField("node", StringType()),
+        StructField("rank_int", LongType()),
+    ]
+)

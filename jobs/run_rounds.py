@@ -243,6 +243,22 @@ def main(argv: list[str] | None = None) -> int:
         "at most N urls per last-two-label domain per round (0=off)",
     )
     ap.add_argument(
+        "--pagerank-every", type=int, default=0,
+        help="link-graph prioritization: every Nth round, re-score the "
+        "outgoing frontier with integer PageRank over the accumulated "
+        "out-link graph (0=off)",
+    )
+    ap.add_argument(
+        "--pagerank-iters", type=int, default=5,
+        help="fixed PageRank iterations per tick (inert unless "
+        "--pagerank-every > 0)",
+    )
+    ap.add_argument(
+        "--pagerank-weight", type=float, default=1.0,
+        help="priority boost = weight * (rank_int / 1e12) (inert unless "
+        "--pagerank-every > 0)",
+    )
+    ap.add_argument(
         "--retire", help="parquet/text-free path: newline file of urls to retire "
         "before running (re-crawlable on rediscovery)",
     )
@@ -294,6 +310,9 @@ def main(argv: list[str] | None = None) -> int:
         trap_max_url_len=args.trap_max_url_len,
         round_seconds=args.round_seconds,
         domain_budget=args.domain_budget,
+        pagerank_every=args.pagerank_every,
+        pagerank_iters=args.pagerank_iters,
+        pagerank_weight=args.pagerank_weight,
     )
     state = CrawlState(io=TableIO(spark, args.state_dir), cfg=cfg)
 

@@ -124,6 +124,10 @@ class OracleCrawl:
             )
         self.seen: dict[str, int] = {}  # canon_url -> first_round
         self.rounds_run = 0  # next round index — inject() stamps it
+        # link-graph edges (src=fetched canon_url, dst=out-link) — mirror of
+        # the engine's links/round=R tables; populated only when the
+        # PageRank tick is on, like the engine only writes them then
+        self.pr_edges: set[tuple[str, str]] = set()
 
     # ------------------------------------------------------------------
     def add_pages(self, pages) -> None:
@@ -334,6 +338,11 @@ class OracleCrawl:
             )
             res.texts[row.canon_url] = text
             counters["links_extracted"] += len(links)
+            # graph edges are extraction facts: recorded before the depth
+            # cap and trap gate (mirror of the engine's links write)
+            if cfg.pagerank_every:
+                for child in links:
+                    self.pr_edges.add((row.canon_url, child))
             d = row.depth + 1
             if d > cfg.max_depth:
                 continue
@@ -379,9 +388,42 @@ class OracleCrawl:
         self.rounds_run = max(self.rounds_run, r + 1)
         return res
 
+    def _pagerank_rescore(self) -> None:
+        """Mirror of the engine's PageRank tick (operators/pagerank.py
+        ``rescore_frontier``): re-score every frontier row as
+        base_formula + weight · (rank_int / PR_SCALE) over the integer
+        ranks of the accumulated link graph. The base is recomputed from
+        scratch — a second tick never compounds — and an unranked url adds
+        exactly 0.0. Float ops match the engine op-for-op (one divide, one
+        multiply, one add, left-to-right), so priorities are bit-equal."""
+        from indigo_crawler_spark.kernels.pagerank import (
+            PR_SCALE,
+            pagerank_int_py,
+        )
+
+        rank = pagerank_int_py(self.pr_edges, iters=self.cfg.pagerank_iters)
+        w = self.cfg.pagerank_weight
+        for row in self.frontier.values():
+            base = priority_score(
+                row.depth, row.seed_rank, self.host_count.get(row.host, 0)
+            )
+            ri = rank.get(row.canon_url)
+            boost = 0.0 if ri is None else w * (ri / PR_SCALE)
+            row.priority = base + boost
+
     def run(self, n_rounds: int) -> list[RoundResult]:
         out: list[RoundResult] = []
         for r in range(n_rounds):
+            # PageRank tick (mirror of run_round: the frontier WRITTEN for
+            # round r is rescored at the end of round r-1, i.e. before any
+            # round-r injection joins it — so the rescore runs BEFORE the
+            # recrawl tick below, and injected rows keep plain priority)
+            if (
+                self.cfg.pagerank_every
+                and r > 0
+                and r % self.cfg.pagerank_every == 0
+            ):
+                self._pagerank_rescore()
             # age-based refresh (SEMANTICS.md §Recrawl; mirror of
             # run_rounds → operators/recrawl.recrawl_tick): re-open round
             # r-A's emitted urls as refresh seeds before round r runs
