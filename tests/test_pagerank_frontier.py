@@ -163,3 +163,48 @@ def test_pagerank_config_hash_extension():
         CrawlConfig(pagerank_every=2, pagerank_iters=9).config_hash()
         != on.config_hash()
     )
+
+
+def test_pagerank_resume_bit_exact(spark, tmp_path):
+    """A crawl split across two run_rounds segments — the second resuming
+    through a tick round — commits byte-identical orderings and rank
+    tables to an uninterrupted run (the integer rank is a pure function of
+    committed links, so the tick replays exactly)."""
+    fb = fixture_bundle(**TINY)
+    cfg = CrawlConfig(
+        round_limit=50,
+        num_buckets=16,
+        bloom_bucket_capacity=64,
+        pagerank_every=2,
+        pagerank_weight=4.0,
+    )
+    a = _bootstrap(spark, tmp_path / "a", cfg, fb)
+    run_rounds(spark, a, 3)          # stops after round 2 (tick at round 2)
+    run_rounds(spark, a, N_ROUNDS)   # resume through the round-4 tick
+    b = _bootstrap(spark, tmp_path / "b", cfg, fb)
+    run_rounds(spark, b, N_ROUNDS)
+
+    for r in range(N_ROUNDS):
+        fa = [
+            (row["canon_url"], row["priority"], row["global_rank"])
+            for row in a.io.read(f"fetch_batches/round={r}", schemas.FETCH_BATCHES)
+            .orderBy("global_rank")
+            .collect()
+        ]
+        fbx = [
+            (row["canon_url"], row["priority"], row["global_rank"])
+            for row in b.io.read(f"fetch_batches/round={r}", schemas.FETCH_BATCHES)
+            .orderBy("global_rank")
+            .collect()
+        ]
+        assert fa == fbx, f"resumed ordering diverged at round {r}"
+    for tick in (2, 4):
+        ra = {
+            row["node"]: row["rank_int"]
+            for row in a.io.read(f"pagerank/round={tick}", schemas.PAGERANK).collect()
+        }
+        rb = {
+            row["node"]: row["rank_int"]
+            for row in b.io.read(f"pagerank/round={tick}", schemas.PAGERANK).collect()
+        }
+        assert ra == rb, f"rank table diverged at tick {tick}"
