@@ -115,3 +115,37 @@ def test_budget_join_is_broadcast(spark, frontier_like):
         frontier_like.drop("budget"), budgets, CrawlConfig(), 0
     )
     assert "BroadcastHashJoin" in _physical(eligible)
+
+
+def test_pagerank_rescore_joins_are_shuffle_hash(spark):
+    """The PageRank rescore (operators/pagerank.py rescore_frontier) joins
+    a frontier-scale table against the node-scale rank table and the host
+    dimension — at a 10^10-row frontier neither side may become a
+    broadcast build (serializes the tick) nor a sort-merge join (sorts
+    two giant sides). Both joins must honor their SHUFFLE_HASH hints."""
+    from indigo_crawler_spark.operators.pagerank import rescore_frontier
+    from indigo_crawler_spark.plans import schemas
+
+    frontier = spark.createDataFrame(
+        [
+            (f"https://h{i % 7}.com/p/{i}", f"h{i % 7}.com", i, i % 16, 1, None, 0.5, 0)
+            for i in range(50)
+        ],
+        schemas.FRONTIER,
+    )
+    ranks = spark.createDataFrame(
+        [(f"https://h{i % 7}.com/p/{i}", 10**9 + i) for i in range(30)],
+        schemas.PAGERANK,
+    )
+    hc = spark.createDataFrame(
+        [(f"h{i}.com", i + 1) for i in range(7)], schemas.HOST_COUNTS
+    )
+    out = rescore_frontier(frontier, ranks, hc, weight=2.0)
+    plan = _physical(out)
+    assert plan.count("ShuffledHashJoin") == 2
+    assert "BroadcastHashJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    # and the output schema is exactly the frontier contract
+    assert [f.name for f in out.schema.fields] == [
+        f.name for f in schemas.FRONTIER.fields
+    ]
