@@ -28,6 +28,10 @@ Env knobs:
   BENCH_LH_PAGES       (default 30000) long-horizon corpus rows
   BENCH_LH_CUCKOO      (default 1; 0 skips) second long-horizon block with
                        filter_kind=cuckoo + periodic retire batches
+  BENCH_LH_PAGERANK    (default 0; 1 adds) third long-horizon block with
+                       pagerank_every=6 (link-graph rescore ticks) — the
+                       tick is a growing-graph pass, so its rounds' walls
+                       are reported separately against the flat series
   BENCH_SF1_PAGES      (default 2000000; 0 skips) larger-corpus crawl block
                        showing phase scaling with corpus size (10x the default)
   BENCH_EXPORT_PAGES   (default 30000; 0 skips) corpus-export block: full
@@ -227,6 +231,7 @@ def bench_long_horizon(
     cpus: int,
     filter_kind: str = "bloom",
     retire_every: int = 0,
+    pagerank_every: int = 0,
 ) -> dict:
     """Per-round flatness over a LONG horizon (VERDICT r3 missing #1): the
     3-round headline never executes seen compaction or a deep bloom-fold /
@@ -271,6 +276,7 @@ def bench_long_horizon(
         ban_every=97,
         backoff_rounds=2,
         filter_kind=filter_kind,
+        pagerank_every=pagerank_every,
     )
     root = tempfile.mkdtemp(prefix="indigo_lh_", dir=scratch_dir())
     state = CrawlState(io=TableIO(spark, root), cfg=cfg)
@@ -284,10 +290,16 @@ def bench_long_horizon(
         state_bytes = []
         retire_walls: dict[str, float] = {}
         retired_total = 0
+        tick_walls: dict[str, float] = {}
         for r in range(n_rounds):
             t0 = time.time()
             payload = run_round(spark, state, r, with_counters=False)
             walls.append(round(time.time() - t0, 3))
+            # the PageRank tick rides the round that WRITES the rescored
+            # frontier — record those rounds' whole walls so the per-tick
+            # cost (a growing-graph pass) is visible against the flat series
+            if pagerank_every and (r + 1) % pagerank_every == 0:
+                tick_walls[f"round_{r}"] = walls[-1]
             # storage growth series (driver-side os.walk, not timed into the
             # round wall): without GC this grows with the round count — the
             # terminal gc block below measures how much of it is dead state
@@ -345,6 +357,9 @@ def bench_long_horizon(
         if retire_every:
             out["retire_walls"] = retire_walls
             out["retired_total"] = retired_total
+        if pagerank_every:
+            out["pagerank_every"] = pagerank_every
+            out["pagerank_tick_round_walls"] = tick_walls
         return out
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -501,6 +516,12 @@ def main() -> None:
         and int(os.environ.get("BENCH_LH_ROUNDS", "24"))
         else {}
     )
+    lh_pagerank = (
+        bench_long_horizon(spark, cpus, pagerank_every=6)
+        if os.environ.get("BENCH_LH_PAGERANK", "0") != "0"
+        and int(os.environ.get("BENCH_LH_ROUNDS", "24"))
+        else {}
+    )
     export = bench_export(spark, cpus)
     sf1_pages = int(os.environ.get("BENCH_SF1_PAGES", "2000000"))
     sf1 = {}
@@ -532,6 +553,7 @@ def main() -> None:
                 "corpus_rows": crawl["corpus_rows"],
                 "long_horizon": long_horizon,
                 "long_horizon_cuckoo": lh_cuckoo,
+                "long_horizon_pagerank": lh_pagerank,
                 "export": export,
                 "sf1": sf1,
                 "cpus": cpus,
