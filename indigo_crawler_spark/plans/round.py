@@ -195,10 +195,24 @@ class CrawlState:
         when cfg.pagerank_every is on). The union chain is tick-cadence
         input — a PageRank pass is O(whole graph) by nature, so one dir
         per round is the right granularity; ``pagerank_int`` dedups edges
-        before iterating. Never GC'd: every future tick re-reads it."""
-        dfs = [
+        before iterating. Never GC'd: every future tick re-reads it.
+
+        Read shape: newest complete ``links_compact/upto=U`` snapshot (the
+        tick folds the chain when it grows past seen_compact_every dirs —
+        same discipline as the seen chain) + the per-round deltas after it.
+        Without compaction a months-long crawl's tick would LIST one
+        directory per round before reading a byte; with it the listing is
+        O(1 snapshot + ≤cadence deltas). Content-identical either way —
+        the snapshot is the same edge rows consolidated."""
+        base, start = None, 0
+        for upto in sorted(self._links_compact_uptos(), reverse=True):
+            if upto <= r:
+                base = self.io.read(f"links_compact/upto={upto}", schemas.LINKS)
+                start = upto + 1
+                break
+        dfs = ([base] if base is not None else []) + [
             self.io.read(f"links/round={i}", schemas.LINKS)
-            for i in range(r + 1)
+            for i in range(start, r + 1)
             if self.io.exists(f"links/round={i}")
         ]
         if not dfs:
@@ -207,6 +221,31 @@ class CrawlState:
         for d in dfs[1:]:
             out = out.unionByName(d)
         return out
+
+    def _links_compact_uptos(self) -> list[int]:
+        import os
+
+        d = self.io.path("links_compact")
+        if not os.path.isdir(d):
+            return []
+        return [
+            int(name.split("=")[1])
+            for name in os.listdir(d)
+            if name.startswith("upto=")
+            and self.io.is_complete(f"links_compact/{name}")
+        ]
+
+    def links_delta_dirs_after_compact(self, r: int) -> int:
+        """How many per-round links dirs a ``links_through(r)`` read would
+        union on top of the newest snapshot — the tick's compaction
+        trigger. Driver-side listing only, no Spark job."""
+        uptos = [u for u in self._links_compact_uptos() if u <= r]
+        start = (max(uptos) + 1) if uptos else 0
+        return sum(
+            1
+            for i in range(start, r + 1)
+            if self.io.exists(f"links/round={i}")
+        )
 
     def fetchable_store(self, pks: list) -> DataFrame:
         """(canon_url, html) fetchable at the given pk buckets: the bootstrap
@@ -982,9 +1021,23 @@ def run_round(
             if f_links is not None:
                 f_links.result()
             with _timed(tm, "pagerank_tick"):
-                pr_ranks = pagerank_int(
-                    state.links_through(round_no), iters=cfg.pagerank_iters
-                )
+                edges = state.links_through(round_no)
+                # fold the delta chain into one snapshot when it grows past
+                # the compaction cadence (same discipline as seen_compact;
+                # physical-only — identical rows, identical ranks). The tick
+                # already reads the whole chain, so the fold rides it.
+                # Replay-safe: a killed-after-fold re-run sees the complete
+                # snapshot and skips; a half-written dir (no _SUCCESS) is
+                # ignored by _links_compact_uptos and safely overwritten.
+                if (
+                    cfg.seen_compact_every
+                    and state.links_delta_dirs_after_compact(round_no)
+                    >= cfg.seen_compact_every
+                    and not io.is_complete(f"links_compact/upto={round_no}")
+                ):
+                    io.write(edges, f"links_compact/upto={round_no}")
+                    edges = state.links_through(round_no)
+                pr_ranks = pagerank_int(edges, iters=cfg.pagerank_iters)
                 io.write(pr_ranks, f"pagerank/round={round_no + 1}")
                 frontier_next = rescore_frontier(
                     frontier_next, pr_ranks, hc, cfg.pagerank_weight

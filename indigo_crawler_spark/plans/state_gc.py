@@ -32,11 +32,13 @@ U = the newest COMPLETE ``seen_compact`` snapshot with upto ≤ L:
   ``round_metrics`` for every round — they are the crawl's output, not its
   state — unless the caller passes ``keep_outputs=False`` (products already
   shipped downstream).
-* ``links/round=*`` and ``pagerank/round=*`` (the PageRank-tick feature,
-  SEMANTICS.md §PageRank priority) are deliberately NOT gc families:
-  every future tick re-reads the whole ``links`` chain (a graph pass is
-  O(all edges) by nature), and the per-tick ``pagerank`` tables are the
-  link-rank product history. Neither is ever reclaimed here.
+* ``links/round=*``, ``links_compact/upto=*`` and ``pagerank/round=*``
+  (the PageRank-tick feature, SEMANTICS.md §PageRank priority) are
+  deliberately NOT gc families: every future tick re-reads the links
+  chain (a graph pass is O(all edges) by nature; the tick itself folds
+  the chain into ``links_compact`` snapshots at the seen_compact
+  cadence), and the per-tick ``pagerank`` tables are the link-rank
+  product history. None are ever reclaimed here.
 
 Reclaimed names are recorded cumulatively in the ``gc`` manifest (written
 with the same atomic-rename discipline as round commits) so ``fsck`` can

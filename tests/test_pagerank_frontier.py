@@ -208,3 +208,50 @@ def test_pagerank_resume_bit_exact(spark, tmp_path):
             for row in b.io.read(f"pagerank/round={tick}", schemas.PAGERANK).collect()
         }
         assert ra == rb, f"rank table diverged at tick {tick}"
+
+
+def test_pagerank_links_compaction(spark, tmp_path):
+    """With a tight compaction cadence the tick folds the links chain into
+    links_compact snapshots; the crawl still matches the plain oracle
+    (compaction is physical-only) and links_through returns exactly the
+    raw per-round union's edge multiset."""
+    fb = fixture_bundle(**TINY)
+    cfg = CrawlConfig(
+        round_limit=50,
+        num_buckets=16,
+        bloom_bucket_capacity=64,
+        seen_compact_every=2,
+        pagerank_every=2,
+        pagerank_weight=4.0,
+    )
+    state = _bootstrap(spark, tmp_path, cfg, fb)
+    manifests = run_rounds(spark, state, N_ROUNDS)
+    oc = OracleCrawl(fb["pages"], fb["seeds"], fb["robots"], fb["host_budgets"], cfg)
+    results = oc.run(N_ROUNDS)
+    for r in range(N_ROUNDS):
+        got = [
+            (row["canon_url"], row["priority"])
+            for row in state.io.read(f"fetch_batches/round={r}", schemas.FETCH_BATCHES)
+            .orderBy("global_rank")
+            .collect()
+        ]
+        want = [(e["canon_url"], e["priority"]) for e in results[r].emitted]
+        assert got == want, f"round {r} diverged under links compaction"
+        assert manifests[r]["counters"] == results[r].counters
+
+    # snapshots actually happened (ticks at rounds 1 and 3 see >= 2 deltas)
+    uptos = state._links_compact_uptos()
+    assert uptos, "compaction cadence 2 must have folded the links chain"
+    # the compacted read is the same edge multiset as the raw chain
+    through = sorted(
+        (row["src"], row["dst"])
+        for row in state.links_through(N_ROUNDS - 1).collect()
+    )
+    raw = []
+    for i in range(N_ROUNDS):
+        if state.io.exists(f"links/round={i}"):
+            raw += [
+                (row["src"], row["dst"])
+                for row in state.io.read(f"links/round={i}", schemas.LINKS).collect()
+            ]
+    assert through == sorted(raw)
