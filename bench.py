@@ -28,7 +28,7 @@ Env knobs:
   BENCH_LH_PAGES       (default 30000) long-horizon corpus rows
   BENCH_LH_CUCKOO      (default 1; 0 skips) second long-horizon block with
                        filter_kind=cuckoo + periodic retire batches
-  BENCH_LH_PAGERANK    (default 0; 1 adds) third long-horizon block with
+  BENCH_LH_PAGERANK    (default 1; 0 skips) third long-horizon block with
                        pagerank_every=6 (link-graph rescore ticks) — the
                        tick is a growing-graph pass, so its rounds' walls
                        are reported separately against the flat series
@@ -518,7 +518,7 @@ def main() -> None:
     )
     lh_pagerank = (
         bench_long_horizon(spark, cpus, pagerank_every=6)
-        if os.environ.get("BENCH_LH_PAGERANK", "0") != "0"
+        if os.environ.get("BENCH_LH_PAGERANK", "1") != "0"
         and int(os.environ.get("BENCH_LH_ROUNDS", "24"))
         else {}
     )
