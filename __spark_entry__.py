@@ -453,6 +453,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", whitespace_token_count("text").cast("long").alias("n_tokens")
         )
 
+    def _thin_host_flags(s, d):
+        # the thin-host demotion signal (SEMANTICS.md §Thin-host demotion)
+        # as a grouped analog over documents: integer comparison
+        # sum(words) < N * n_docs per source — no float division anywhere,
+        # the same shape the crawl's budget fold computes per host
+        from indigo_crawler_spark.functions.text_analysis import (
+            whitespace_token_count,
+        )
+
+        return (
+            _t(s, d, "documents")
+            .select("source", whitespace_token_count("text").alias("_w"))
+            .groupBy("source")
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum("_w").cast("long").alias("total_words"),
+            )
+            .withColumn(
+                "thin", F.col("total_words") < F.lit(51) * F.col("n_docs")
+            )
+        )
+
     def _quality_stats(s, d):
         from indigo_crawler_spark.functions.text_analysis import quality_exprs
 
@@ -549,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["token_counts"] = _token_counts
+    q["thin_host_flags"] = _thin_host_flags
     q["regex_token_counts"] = _regex_token_counts
     q["quality_stats"] = _quality_stats
     q["repetition_stats"] = _repetition_stats
@@ -1501,6 +1524,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
             "len(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT AS n_tokens "
             "FROM documents"
+        ),
+        "thin_host_flags": (
+            "SELECT source, COUNT(*)::BIGINT AS n_docs, SUM(w)::BIGINT AS "
+            "total_words, SUM(w) < 51 * COUNT(*) AS thin FROM ("
+            "SELECT source, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
+            "len(regexp_split_to_array(trim(text), '\\s+')) END AS w "
+            "FROM documents) GROUP BY source"
         ),
         "regex_token_counts": (
             "SELECT doc_id, CAST(len(regexp_extract_all(text, "

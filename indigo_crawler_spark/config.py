@@ -85,6 +85,14 @@ class CrawlConfig:
     pagerank_every: int = 0
     pagerank_iters: int = 5
     pagerank_weight: float = 1.0
+    # thin-content host demotion (SEMANTICS.md §Thin-host demotion): when
+    # > 0, a host whose round-R fetches average fewer than this many
+    # whitespace tokens of extracted text (integer comparison:
+    # total_words < min_words * n_pages) has its budget halved (floor 1)
+    # entering round R+1 — the closed-loop budget reallocation away from
+    # parked/thin domains. Compounds across repeated thin rounds. 0
+    # disables (default).
+    thin_host_min_words: int = 0
 
     # capacity is excluded from config_hash: it is pinned PER CRAWL by the
     # bootstrap manifest (bootstrap records the override or the A3-derived
@@ -114,6 +122,7 @@ class CrawlConfig:
         "pagerank_every": 0,
         "pagerank_iters": 5,
         "pagerank_weight": 1.0,
+        "thin_host_min_words": 0,
     }
 
     # dependent extensions: inert unless their master knob is on. While the

@@ -78,3 +78,67 @@ def fold_backoff(
             .alias("backoff_until_round"),
         )
     )
+
+
+def fold_thin_hosts(
+    budgets: DataFrame, extracted: DataFrame, cfg: CrawlConfig
+) -> DataFrame:
+    """Thin-content demotion (SEMANTICS.md §Thin-host demotion): hosts whose
+    round-R fetches average fewer than ``cfg.thin_host_min_words``
+    whitespace tokens of extracted text get ``budget = greatest(1,
+    budget div 2)`` entering round R+1. The mean is compared as integers —
+    ``sum(words) < min_words * n_pages`` — so engine and oracle agree
+    bit-for-bit with no float division anywhere; the token count expr is
+    pinned operation-for-operation against kernels/tokens.py.
+
+    Returns budgets' carrying a ``_thin_demoted`` marker column — the
+    caller attaches an Observation summing it (so the counter rides the
+    budgets write, zero extra jobs) and drops it before the write.
+    Scale shape: *extracted* is the cached ≤K-row emitted slice;
+    the per-host stats are one tiny hash agg, the fold one small full-outer
+    join against the dimension-sized budgets table (a thin host may lack a
+    budgets row — it gets one at half the default, matching the oracle).
+    Compounds across consecutive thin rounds by construction (the halved
+    budget is what the next fold reads)."""
+    from indigo_crawler_spark.functions.keys import host_expr
+    from indigo_crawler_spark.functions.text_analysis import (
+        whitespace_token_count,
+    )
+
+    stats = (
+        extracted.select(
+            host_expr("canon_url").alias("host"),
+            whitespace_token_count(F.col("text")).alias("_w"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("_pages"),
+            F.coalesce(F.sum("_w"), F.lit(0)).alias("_words"),
+        )
+        .where(
+            F.col("_words")
+            < F.lit(cfg.thin_host_min_words) * F.col("_pages")
+        )
+        .select("host", F.lit(True).alias("_thin"))
+    )
+    marked = budgets.join(stats, on="host", how="full_outer").select(
+        "host",
+        F.coalesce(F.col("host_hash"), F.xxhash64("host")).alias("host_hash"),
+        F.when(
+            F.coalesce(F.col("_thin"), F.lit(False)),
+            F.greatest(
+                F.lit(1),
+                F.expr(
+                    f"coalesce(budget, {cfg.default_budget}) div 2"
+                ).cast("int"),
+            ),
+        )
+        .otherwise(F.coalesce(F.col("budget"), F.lit(cfg.default_budget)))
+        .cast("int")
+        .alias("budget"),
+        F.coalesce(F.col("backoff_until_round"), F.lit(0))
+        .cast("int")
+        .alias("backoff_until_round"),
+        F.coalesce(F.col("_thin"), F.lit(False)).alias("_thin_demoted"),
+    )
+    return marked

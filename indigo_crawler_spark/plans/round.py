@@ -272,7 +272,11 @@ class CrawlState:
     def budgets(self, r: int) -> DataFrame:
         """host_budgets ENTERING round r: the versioned table round r-1's
         backoff fold wrote (EP3 feedback), else the bootstrap-static one."""
-        if self.cfg.ban_every and r > 0 and self.io.exists(f"host_budgets/round={r}"):
+        if (
+            (self.cfg.ban_every or self.cfg.thin_host_min_words)
+            and r > 0
+            and self.io.exists(f"host_budgets/round={r}")
+        ):
             return self.io.read(f"host_budgets/round={r}", schemas.HOST_BUDGETS)
         return self.io.read("host_budgets", schemas.HOST_BUDGETS)
 
@@ -774,18 +778,8 @@ def run_round(
             io.write, metrics, f"round_metrics/round={round_no}"
         )
 
-        # EP3 feedback: fold this round's fetch statuses into next round's
-        # budgets (versioned; deterministic ⇒ replay-safe), off the critical
-        # path. Reads emitted from cache — tiny job.
-        f_budgets = None
-        if cfg.ban_every:
-            from indigo_crawler_spark.operators.feedback import fold_backoff
-
-            statuses = emitted.select("host", "status")
-            budgets_next = fold_backoff(budgets, statuses, round_no, cfg)
-            f_budgets = pool.submit(
-                io.write, budgets_next, f"host_budgets/round={round_no + 1}"
-            )
+        # (the EP3 budget folds are submitted after the extract below —
+        # the thin-host fold reads the extracted slice)
 
         # 5. fetch: emitted ⋈ page store — broadcast the ≤K emitted urls into
         # the store scan so the 100 TB side never shuffles, and prune store
@@ -840,6 +834,38 @@ def run_round(
                     io.write(links_edges, f"links/round={round_no}")
 
             f_links = pool.submit(_w_links)
+
+        # EP3 feedback folds into next round's budgets (versioned;
+        # deterministic ⇒ replay-safe), off the critical path and composed
+        # into ONE write: ban→backoff reads emitted's statuses from cache,
+        # thin-content demotion (SEMANTICS.md §Thin-host demotion) reads
+        # the cached extracted slice — its demoted-host counter rides the
+        # budgets write via Observation (zero extra jobs).
+        f_budgets = None
+        thin_obs = None
+        if cfg.ban_every or cfg.thin_host_min_words:
+            from indigo_crawler_spark.operators.feedback import (
+                fold_backoff,
+                fold_thin_hosts,
+            )
+
+            budgets_next = budgets
+            if cfg.ban_every:
+                statuses = emitted.select("host", "status")
+                budgets_next = fold_backoff(budgets_next, statuses, round_no, cfg)
+            if cfg.thin_host_min_words:
+                thin_obs = Observation()
+                budgets_next = (
+                    fold_thin_hosts(budgets_next, extracted, cfg)
+                    .observe(
+                        thin_obs,
+                        _sum0(F.col("_thin_demoted")).alias("thin"),
+                    )
+                    .drop("_thin_demoted")
+                )
+            f_budgets = pool.submit(
+                io.write, budgets_next, f"host_budgets/round={round_no + 1}"
+            )
 
         f_seen.result()
         # A4/A6: fold this round's seen delta into the cumulative membership
@@ -1106,6 +1132,8 @@ def run_round(
         "links_extracted": _obs_int(ext_obs, "links_extracted"),
         "links_new": _obs_int(fn_obs, "links_new"),
     }
+    if cfg.thin_host_min_words:
+        counters["thin_hosts_demoted"] = _obs_int(thin_obs, "thin")
     if tm is not None:
         import sys
 

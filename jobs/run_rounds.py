@@ -243,6 +243,12 @@ def main(argv: list[str] | None = None) -> int:
         "at most N urls per last-two-label domain per round (0=off)",
     )
     ap.add_argument(
+        "--thin-host-min-words", type=int, default=0,
+        help="closed-loop quality feedback: a host whose round's fetches "
+        "average fewer than N whitespace tokens of extracted text has its "
+        "budget halved (floor 1) entering the next round (0=off)",
+    )
+    ap.add_argument(
         "--pagerank-every", type=int, default=0,
         help="link-graph prioritization: every Nth round, re-score the "
         "outgoing frontier with integer PageRank over the accumulated "
@@ -313,6 +319,7 @@ def main(argv: list[str] | None = None) -> int:
         pagerank_every=args.pagerank_every,
         pagerank_iters=args.pagerank_iters,
         pagerank_weight=args.pagerank_weight,
+        thin_host_min_words=args.thin_host_min_words,
     )
     state = CrawlState(io=TableIO(spark, args.state_dir), cfg=cfg)
 

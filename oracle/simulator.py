@@ -373,6 +373,30 @@ class OracleCrawl:
             self.backoff[h] = max(
                 self.backoff.get(h, 0), r + 1 + cfg.backoff_rounds
             )
+        # thin-content host demotion (mirror of fold_thin_hosts): integer
+        # comparison sum(words) < min_words * n_pages over this round's
+        # fetched texts; thin hosts' budgets halve (floor 1) entering r+1
+        if cfg.thin_host_min_words:
+            from indigo_crawler_spark.kernels.tokens import (
+                whitespace_token_count_py,
+            )
+
+            pages_n: dict[str, int] = {}
+            words_n: dict[str, int] = {}
+            for u, text in res.texts.items():
+                h = _host_of(u)
+                pages_n[h] = pages_n.get(h, 0) + 1
+                words_n[h] = words_n.get(h, 0) + whitespace_token_count_py(text)
+            thin = {
+                h
+                for h, n in pages_n.items()
+                if words_n[h] < cfg.thin_host_min_words * n
+            }
+            for h in sorted(thin):
+                self.budget[h] = max(
+                    1, self.budget.get(h, cfg.default_budget) // 2
+                )
+            counters["thin_hosts_demoted"] = len(thin)
         for u in emitted_urls:
             self.seen[u] = r
             self.frontier.pop(u, None)
