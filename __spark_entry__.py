@@ -971,10 +971,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.posexplode("links").alias("pos", "loc"),
         ).select("doc_id", (F.col("pos") + 1).cast("long").alias("pos"), "loc")
 
+    # ---- REP meta-robots flags (SEMANTICS.md §Meta robots) ----
+    def _meta_robots_flags(s, d):
+        """The REAL meta_robots extraction (operators/extract.py →
+        kernels/textextract.meta_robots_flags) over pages whose robots meta
+        cycles through 7 directive variants by doc_id — absent, noindex,
+        nofollow, both, none, all, case/whitespace — behind a decoy
+        ``<meta name="description" content="noindex">`` that must NOT
+        match. DuckDB re-derives both flags from the construction rule."""
+        from indigo_crawler_spark.operators.extract import extract_pages
+
+        docs = _t(s, d, "documents")
+        content = F.element_at(
+            F.array(
+                F.lit(None).cast("string"),   # m=0: no robots meta at all
+                F.lit("noindex"),
+                F.lit("nofollow"),
+                F.lit("noindex, nofollow"),
+                F.lit("none"),
+                F.lit("all"),
+                F.lit(" NoIndex "),
+            ),
+            (F.col("doc_id") % 7).cast("int") + 1,
+        )
+        robots_meta = F.when(content.isNull(), F.lit("")).otherwise(
+            F.concat(
+                F.lit('<meta name="robots" content="'), content, F.lit('">')
+            )
+        )
+        html = F.encode(
+            F.concat(
+                F.lit('<html><head><meta name="description" content="noindex">'),
+                robots_meta,
+                F.lit("</head><body><p>"),
+                F.col("text"),
+                F.lit("</p></body></html>"),
+            ),
+            "UTF-8",
+        )
+        pages = docs.select(
+            F.col("doc_id").cast("string").alias("canon_url"),
+            F.lit(0).alias("depth"),
+            html.alias("html"),
+        )
+        out = extract_pages(pages, meta_robots=True)
+        return out.select(
+            F.col("canon_url").cast("bigint").alias("doc_id"),
+            "noindex",
+            "nofollow",
+        )
+
     q["trap_flags"] = _trap_flags
     q["domain_topk"] = _domain_topk
     q["connected_components"] = _connected_components
     q["sitemap_locs"] = _sitemap_locs
+    q["meta_robots_flags"] = _meta_robots_flags
 
     # ---- rows-only (no ANSI-SQL equivalent; exactness proven in pytest) ----
     q["xxhash64_hosts"] = lambda s, d: _t(s, d, "documents").select(
@@ -1282,6 +1333,13 @@ UNION ALL
 SELECT doc_id, CAST(2 AS BIGINT) AS pos, replace(locs[2], '&amp;', '&') AS loc FROM l
 """
 
+_META_ROBOTS_SQL = """
+SELECT doc_id,
+       (doc_id % 7) IN (1, 3, 4, 6) AS noindex,
+       (doc_id % 7) IN (2, 3, 4) AS nofollow
+FROM documents
+"""
+
 _CONNECTED_COMPONENTS_SQL = """
 WITH RECURSIVE e AS (
   SELECT DISTINCT 'o' || CAST(l_orderkey AS VARCHAR) AS a,
@@ -1427,6 +1485,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_topk": _DOMAIN_TOPK_SQL,
         "connected_components": _CONNECTED_COMPONENTS_SQL,
         "sitemap_locs": _SITEMAP_LOCS_SQL,
+        "meta_robots_flags": _META_ROBOTS_SQL,
         "scan_prune": "SELECT doc_id, lang FROM documents",
         "filter_events": "SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'",
         "null_guard": "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 400000",

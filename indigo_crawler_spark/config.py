@@ -93,6 +93,14 @@ class CrawlConfig:
     # parked/thin domains. Compounds across repeated thin rounds. 0
     # disables (default).
     thin_host_min_words: int = 0
+    # REP meta-robots honor (SEMANTICS.md §Meta robots): when True, a page
+    # whose <meta name="robots"> declares ``nofollow`` (or ``none``) has its
+    # out-links withheld from BOTH the link graph and frontier discovery,
+    # and a page declaring ``noindex`` (or ``none``) is excluded from the
+    # corpus export (its text is still fetched and recorded — noindex
+    # governs the corpus, not the crawl). Changes results ⇒ extension
+    # field in config_hash. False disables (default).
+    meta_robots_enabled: bool = False
 
     # capacity is excluded from config_hash: it is pinned PER CRAWL by the
     # bootstrap manifest (bootstrap records the override or the A3-derived
@@ -123,6 +131,7 @@ class CrawlConfig:
         "pagerank_iters": 5,
         "pagerank_weight": 1.0,
         "thin_host_min_words": 0,
+        "meta_robots_enabled": False,
     }
 
     # dependent extensions: inert unless their master knob is on. While the

@@ -240,3 +240,54 @@ def extract_fields(
     """(title, h1-h3 headings in order, meta name→content) for one page."""
     p = _parse(html)
     return p.title(), p.headings, p.meta
+
+
+def meta_robots_flags(meta: dict[str, str]) -> tuple[bool, bool]:
+    """(noindex, nofollow) from a page's meta name→content map —
+    SEMANTICS.md §Meta robots (normative; the oracle shares this kernel).
+
+    REP semantics: the first meta whose *name* lowercases to ``robots``
+    (document order — the meta dict preserves insertion order and is
+    first-occurrence-wins per exact name) is the directive source; its
+    content is split on commas, each directive trimmed and lowercased:
+    ``noindex`` / ``nofollow`` set their flag, ``none`` sets both, anything
+    else (``all``, ``index``, ``follow``, unknown tokens) is ignored. No
+    meta robots → (False, False)."""
+    content = None
+    for k, v in meta.items():
+        if k.lower() == "robots":
+            content = v
+            break
+    noindex = nofollow = False
+    if content:
+        for d in content.split(","):
+            d = d.strip().lower()
+            if d == "noindex":
+                noindex = True
+            elif d == "nofollow":
+                nofollow = True
+            elif d == "none":
+                noindex = nofollow = True
+    return noindex, nofollow
+
+
+def extract_text_links_robots(
+    html: bytes | str | None, base_url: str | None, sitemap_aware: bool = False
+) -> tuple[str, list[str], bool, bool]:
+    """Parse *html* once; return (text, links, noindex, nofollow) — the
+    ``extract_text_and_links`` surface plus the page's REP meta-robots
+    flags from the SAME parse (cfg.meta_robots_enabled). text/links are
+    byte-identical to ``extract_text_and_links``; sitemap documents under
+    *sitemap_aware* carry no meta, so their flags are (False, False)."""
+    if sitemap_aware:
+        from indigo_crawler_spark.kernels.sitemap import (
+            looks_like_sitemap,
+            sitemap_locs,
+        )
+
+        doc = _decode(html)
+        if looks_like_sitemap(doc):
+            return "", _canon_links(sitemap_locs(doc), base_url), False, False
+    p = _parse(html)
+    noindex, nofollow = meta_robots_flags(p.meta)
+    return p.text(), _canon_links(p.hrefs, base_url), noindex, nofollow

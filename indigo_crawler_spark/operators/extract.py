@@ -15,6 +15,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     IntegerType,
     MapType,
     StringType,
@@ -22,7 +23,11 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from indigo_crawler_spark.kernels.textextract import extract_all, extract_text_and_links
+from indigo_crawler_spark.kernels.textextract import (
+    extract_all,
+    extract_text_and_links,
+    extract_text_links_robots,
+)
 
 _OUT_SCHEMA = StructType(
     [
@@ -30,6 +35,14 @@ _OUT_SCHEMA = StructType(
         StructField("depth", IntegerType()),
         StructField("text", StringType()),
         StructField("links", ArrayType(StringType())),
+    ]
+)
+
+_ROBOTS_SCHEMA = StructType(
+    _OUT_SCHEMA.fields
+    + [
+        StructField("noindex", BooleanType()),
+        StructField("nofollow", BooleanType()),
     ]
 )
 
@@ -43,32 +56,49 @@ _FIELDS_SCHEMA = StructType(
 )
 
 
-def extract_pages(df: DataFrame, sitemap_aware: bool = False) -> DataFrame:
+def extract_pages(
+    df: DataFrame, sitemap_aware: bool = False, meta_robots: bool = False
+) -> DataFrame:
     """(canon_url, depth, html) → (canon_url, depth, text, links).
 
     Input may carry extra columns; only the three named ones are read —
     select them *before* calling so Parquet scans prune everything else.
     *sitemap_aware* (cfg.sitemaps_enabled) routes sitemap documents through
     the <loc> branch of the shared kernel — same single Arrow crossing.
+    *meta_robots* (cfg.meta_robots_enabled) adds boolean ``noindex`` /
+    ``nofollow`` columns from the page's REP meta-robots directives — the
+    SAME parse, so text/links stay byte-identical and html still crosses
+    Arrow exactly once.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             texts, links = [], []
+            noidx, nofol = [], []
             for html, base in zip(pdf["html"], pdf["canon_url"]):
-                t, ls = extract_text_and_links(html, base, sitemap_aware)
+                if meta_robots:
+                    t, ls, ni, nf = extract_text_links_robots(
+                        html, base, sitemap_aware
+                    )
+                    noidx.append(ni)
+                    nofol.append(nf)
+                else:
+                    t, ls = extract_text_and_links(html, base, sitemap_aware)
                 texts.append(t)
                 links.append(ls)
-            yield pd.DataFrame(
-                {
-                    "canon_url": pdf["canon_url"],
-                    "depth": pdf["depth"],
-                    "text": texts,
-                    "links": links,
-                }
-            )
+            out = {
+                "canon_url": pdf["canon_url"],
+                "depth": pdf["depth"],
+                "text": texts,
+                "links": links,
+            }
+            if meta_robots:
+                out["noindex"] = noidx
+                out["nofollow"] = nofol
+            yield pd.DataFrame(out)
 
-    return df.select("canon_url", "depth", "html").mapInPandas(run, _OUT_SCHEMA)
+    schema = _ROBOTS_SCHEMA if meta_robots else _OUT_SCHEMA
+    return df.select("canon_url", "depth", "html").mapInPandas(run, schema)
 
 
 def extract_pages_with_fields(df: DataFrame, sitemap_aware: bool = False) -> DataFrame:

@@ -131,12 +131,35 @@ def _pk_rows(out_path: str, pk: int) -> int:
     return total
 
 
+def _rounds_carry_noindex(state: CrawlState, first: int, last: int) -> bool:
+    """Whether this crawl's fetched_text rounds carry the REP noindex column
+    (written under meta_robots_enabled — SEMANTICS.md §Meta robots). The
+    DATA decides, not this invocation's config: noindex-ness is a property
+    of the committed crawl, and an --export run without the flag must not
+    silently ship pages the crawl marked non-indexable. Parquet footer
+    schema of the first non-empty round — driver-side, zero Spark jobs
+    (same access pattern as ``_pk_rows``). No files at all → fall back to
+    the config flag."""
+    import pyarrow.parquet as pq
+
+    for r in range(first, last + 1):
+        d = state.io.path(f"fetched_text/round={r}")
+        if not os.path.isdir(d):
+            continue
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                names = pq.ParquetFile(os.path.join(d, f)).schema_arrow.names
+                return "noindex" in names
+    return state.cfg.meta_robots_enabled
+
+
 def _delta_union(
     state: CrawlState, first: int, last: int, num_buckets: int
 ) -> tuple[DataFrame, list[int]]:
     """Union of fetched_text rounds *first..last* with fetch_round/host/pk
     attached — refuses rounds already reclaimed by --gc-drop-outputs."""
     reclaimed = set((state.io.read_manifest("gc") or {}).get("reclaimed", []))
+    meta_robots = _rounds_carry_noindex(state, first, last)
     parts, rounds = [], []
     for r in range(first, last + 1):
         table = f"fetched_text/round={r}"
@@ -147,39 +170,74 @@ def _delta_union(
                 "state dir"
             )
         # a committed round with zero fetches writes an empty table; missing
-        # dir → empty frame via the schema fallback either way
+        # dir → empty frame via the schema fallback either way.
+        # Under meta_robots the rounds carry the REP noindex flag
+        # (FETCHED_TEXT_ROBOTS); rounds fetched before the flag existed read
+        # as NULL → coalesced to False below.
+        schema = (
+            schemas.FETCHED_TEXT_ROBOTS if meta_robots else schemas.FETCHED_TEXT
+        )
         parts.append(
-            state.io.read(table, schemas.FETCHED_TEXT).withColumn(
-                "fetch_round", F.lit(r)
-            )
+            state.io.read(table, schema).withColumn("fetch_round", F.lit(r))
         )
         rounds.append(r)
     union = parts[0]
     for p in parts[1:]:
         union = union.unionByName(p)
-    delta = union.select(
-        "canon_url",
+    cols = [
+        F.col("canon_url"),
         host_expr("canon_url").alias("host"),
         F.col("fetch_round").cast("int").alias("fetch_round"),
-        "text",
+        F.col("text"),
         pk_expr(host_hash_expr(host_expr("canon_url")), num_buckets).alias("pk"),
-    )
-    return delta, rounds
+    ]
+    if meta_robots:
+        cols.append(F.coalesce(F.col("noindex"), F.lit(False)).alias("noindex"))
+    return union.select(*cols), rounds
 
 
 def _latest_per_url(df: DataFrame) -> DataFrame:
     """One partial+final hash agg: latest row per canon_url by fetch_round
     (host/pk ride the struct — they are functions of the url, so any row's
-    values agree; text is the superseding fetch's)."""
+    values agree; text is the superseding fetch's). A ``noindex`` column
+    (meta_robots crawls) rides the struct too — the LATEST fetch's
+    directive decides the url's corpus membership."""
+    extra = ["noindex"] if "noindex" in df.columns else []
     return (
         df.select(
             "canon_url",
-            F.struct("fetch_round", "host", "text", "pk").alias("_row"),
+            F.struct("fetch_round", "host", "text", "pk", *extra).alias("_row"),
         )
         .groupBy("canon_url")
         .agg(F.max_by("_row", F.col("_row.fetch_round")).alias("_row"))
-        .select("canon_url", "_row.host", "_row.fetch_round", "_row.text", "_row.pk")
+        .select(
+            "canon_url",
+            "_row.host",
+            "_row.fetch_round",
+            "_row.text",
+            "_row.pk",
+            *[f"_row.{c}" for c in extra],
+        )
     )
+
+
+def _drop_noindex(df: DataFrame) -> tuple[DataFrame, Observation | None]:
+    """Honor REP noindex (SEMANTICS.md §Meta robots): rows whose LATEST
+    fetch declared it leave the corpus here — after the latest-per-url merge
+    (so a clean re-fetch restores the url), before annotation (dropped rows
+    are never annotated). The dropped count rides the caller's write via
+    Observation — zero extra jobs. No-op (None observation) when the corpus
+    carries no noindex column."""
+    if "noindex" not in df.columns:
+        return df, None
+    obs = Observation()
+    df = df.observe(
+        obs,
+        F.coalesce(F.sum(F.col("noindex").cast("int")), F.lit(0)).alias(
+            "noindex_dropped"
+        ),
+    )
+    return df.where(~F.col("noindex")).drop("noindex"), obs
 
 
 def _annotate(df: DataFrame) -> DataFrame:
@@ -344,6 +402,7 @@ def _export_full(
     delta, rounds = _delta_union(state, 0, last, num_buckets)
     obs = Observation()
     corpus = _latest_per_url(delta)
+    corpus, ni_obs = _drop_noindex(corpus)
     if annotate:
         corpus = _annotate(corpus)
     if split:
@@ -362,17 +421,17 @@ def _export_full(
         for pk in range(num_buckets)
         if (n := _pk_rows(out_path, pk))
     }
-    _write_export_manifest(
-        out_path,
-        {
-            "through_round": last,
-            "num_buckets": num_buckets,
-            "rows": rows,
-            "rows_by_pk": rows_by_pk,
-            "annotated": annotate,
-            "split": split,
-        },
-    )
+    payload = {
+        "through_round": last,
+        "num_buckets": num_buckets,
+        "rows": rows,
+        "rows_by_pk": rows_by_pk,
+        "annotated": annotate,
+        "split": split,
+    }
+    if ni_obs is not None:
+        payload["noindex_dropped"] = int(ni_obs.get["noindex_dropped"])
+    _write_export_manifest(out_path, payload)
     return {
         "rows": rows,
         "rounds": rounds,
@@ -419,9 +478,16 @@ def _export_incremental(
                     .schema(CORPUS_SCHEMA)
                     .parquet(*existing)
                 )
+                if "noindex" in delta.columns:
+                    # an exported row is by definition not-noindex at its
+                    # fetch_round (dropped rows never reach the corpus); a
+                    # newer delta fetch with the directive supersedes it in
+                    # the latest-per-url merge and leaves below
+                    prev_rows = prev_rows.withColumn("noindex", F.lit(False))
                 merged = _latest_per_url(prev_rows.unionByName(delta))
             else:
                 merged = _latest_per_url(delta)
+            merged, _ni_obs = _drop_noindex(merged)
             if annotate:
                 merged = _annotate(merged)
             if split:

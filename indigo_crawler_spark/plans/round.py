@@ -801,18 +801,46 @@ def run_round(
                 emitted_sel.hint("SHUFFLE_HASH"), on="canon_url", how="inner"
             )
         ext_obs = Observation()
-        extracted = (
-            extract_pages(fetched, sitemap_aware=cfg.sitemaps_enabled)
-            .observe(
-                ext_obs,
-                F.count(F.lit(1)).alias("fetched_pages"),
-                F.coalesce(F.sum(F.size("links")), F.lit(0)).alias("links_extracted"),
+        ext_metrics = [
+            F.count(F.lit(1)).alias("fetched_pages"),
+            F.coalesce(F.sum(F.size("links")), F.lit(0)).alias("links_extracted"),
+        ]
+        if cfg.meta_robots_enabled:
+            # links withheld by REP nofollow (SEMANTICS.md §Meta robots) —
+            # rides the same observe, zero extra jobs
+            ext_metrics.append(
+                F.coalesce(
+                    F.sum(F.when(F.col("nofollow"), F.size("links")).otherwise(0)),
+                    F.lit(0),
+                ).alias("nofollow_dropped")
             )
+        extracted = (
+            extract_pages(
+                fetched,
+                sitemap_aware=cfg.sitemaps_enabled,
+                meta_robots=cfg.meta_robots_enabled,
+            )
+            .observe(ext_obs, *ext_metrics)
             .cache()
         )
+        # REP nofollow (SEMANTICS.md §Meta robots): a nofollow page's
+        # out-links are withheld from BOTH the link graph and discovery —
+        # nofollow is an endorsement signal, so the edges pass no rank and
+        # the children are not admitted through this page. One lazy filter
+        # over the cached frame; folds away when the flag is off.
+        followable = (
+            extracted.where(~F.col("nofollow"))
+            if cfg.meta_robots_enabled
+            else extracted
+        )
         with _timed(tm, "extract_text_write"):
+            # under meta_robots the noindex flag rides the text table so the
+            # corpus export can honor it; text bytes are unchanged either way
+            text_cols = ["canon_url", "text"] + (
+                ["noindex"] if cfg.meta_robots_enabled else []
+            )
             io.write(
-                extracted.select("canon_url", "text"),
+                extracted.select(*text_cols),
                 f"fetched_text/round={round_no}",
             )
 
@@ -824,7 +852,7 @@ def run_round(
         # extracted frame, so it costs no second Arrow pass.
         f_links = None
         if cfg.pagerank_every:
-            links_edges = extracted.select(
+            links_edges = followable.select(
                 F.col("canon_url").alias("src"),
                 F.explode("links").alias("dst"),
             )
@@ -935,7 +963,7 @@ def run_round(
             )
 
         # 6. discover children: explode → min-depth dedup → not in seen'/frontier'
-        children = extracted.where(F.col("depth") + 1 <= cfg.max_depth).select(
+        children = followable.where(F.col("depth") + 1 <= cfg.max_depth).select(
             F.explode("links").alias("canon_url"),
             (F.col("depth") + 1).cast("int").alias("depth"),
         )
@@ -1134,6 +1162,8 @@ def run_round(
     }
     if cfg.thin_host_min_words:
         counters["thin_hosts_demoted"] = _obs_int(thin_obs, "thin")
+    if cfg.meta_robots_enabled:
+        counters["nofollow_dropped"] = _obs_int(ext_obs, "nofollow_dropped")
     if tm is not None:
         import sys
 
@@ -1152,9 +1182,14 @@ def run_round(
         (f"fetched_text/round={round_no}", counters["fetched_pages"]),
     ]
     if cfg.pagerank_every:
-        # exploded edge rows == the links_extracted sum riding the extract
+        # exploded edge rows == the links_extracted sum riding the extract,
+        # minus any links withheld by REP nofollow (meta_robots_enabled)
         cross_checks.append(
-            (f"links/round={round_no}", counters["links_extracted"])
+            (
+                f"links/round={round_no}",
+                counters["links_extracted"]
+                - counters.get("nofollow_dropped", 0),
+            )
         )
     for table, expected in cross_checks:
         on_disk = io.file_row_count(table)

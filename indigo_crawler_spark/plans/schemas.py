@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -90,6 +91,13 @@ FETCHED_TEXT = StructType(
         StructField("canon_url", StringType()),
         StructField("text", StringType()),
     ]
+)
+
+# fetched_text as written under cfg.meta_robots_enabled: the page's REP
+# noindex flag rides the table so the corpus export can honor it. Reading a
+# pre-flag round with this schema yields noindex = NULL (treated as False).
+FETCHED_TEXT_ROBOTS = StructType(
+    FETCHED_TEXT.fields + [StructField("noindex", BooleanType())]
 )
 
 PAGE_STORE = StructType(

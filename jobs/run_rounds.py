@@ -249,6 +249,12 @@ def main(argv: list[str] | None = None) -> int:
         "budget halved (floor 1) entering the next round (0=off)",
     )
     ap.add_argument(
+        "--meta-robots", action="store_true",
+        help="honor REP meta robots: nofollow pages' out-links are withheld "
+        "from discovery and the link graph; noindex pages are excluded from "
+        "the corpus export (text still fetched and recorded)",
+    )
+    ap.add_argument(
         "--pagerank-every", type=int, default=0,
         help="link-graph prioritization: every Nth round, re-score the "
         "outgoing frontier with integer PageRank over the accumulated "
@@ -320,6 +326,7 @@ def main(argv: list[str] | None = None) -> int:
         pagerank_iters=args.pagerank_iters,
         pagerank_weight=args.pagerank_weight,
         thin_host_min_words=args.thin_host_min_words,
+        meta_robots_enabled=args.meta_robots,
     )
     state = CrawlState(io=TableIO(spark, args.state_dir), cfg=cfg)
 

@@ -24,7 +24,10 @@ from indigo_crawler_spark.kernels.robots import (
     robots_allowed,
     robots_sitemaps,
 )
-from indigo_crawler_spark.kernels.textextract import extract_text_and_links
+from indigo_crawler_spark.kernels.textextract import (
+    extract_text_and_links,
+    extract_text_links_robots,
+)
 from indigo_crawler_spark.kernels.traps import is_trap_url
 from indigo_crawler_spark.kernels.xxh64 import xxhash64
 
@@ -128,6 +131,10 @@ class OracleCrawl:
         # the engine's links/round=R tables; populated only when the
         # PageRank tick is on, like the engine only writes them then
         self.pr_edges: set[tuple[str, str]] = set()
+        # urls whose LATEST fetch declared meta robots noindex (SEMANTICS.md
+        # §Meta robots) — the corpus-export exclusion set; maintained only
+        # when the flag is on, like the engine only writes the column then
+        self.noindex: set[str] = set()
 
     # ------------------------------------------------------------------
     def add_pages(self, pages) -> None:
@@ -229,6 +236,8 @@ class OracleCrawl:
             "links_extracted": 0,
             "links_new": 0,
         }
+        if cfg.meta_robots_enabled:
+            counters["nofollow_dropped"] = 0
 
         # 1-2. gates
         eligible: list[FrontierRow] = []
@@ -333,11 +342,28 @@ class OracleCrawl:
             if page is None:
                 continue
             counters["fetched_pages"] += 1
-            text, links = extract_text_and_links(
-                page["html"], row.canon_url, cfg.sitemaps_enabled
-            )
+            if cfg.meta_robots_enabled:
+                text, links, noindex, nofollow = extract_text_links_robots(
+                    page["html"], row.canon_url, cfg.sitemaps_enabled
+                )
+                # latest fetch wins: a recrawl without the directive clears it
+                if noindex:
+                    self.noindex.add(row.canon_url)
+                else:
+                    self.noindex.discard(row.canon_url)
+            else:
+                text, links = extract_text_and_links(
+                    page["html"], row.canon_url, cfg.sitemaps_enabled
+                )
+                nofollow = False
             res.texts[row.canon_url] = text
             counters["links_extracted"] += len(links)
+            # REP nofollow withholds this page's out-links from BOTH the
+            # link graph and discovery (mirror of the engine's `followable`
+            # filter — SEMANTICS.md §Meta robots)
+            if nofollow:
+                counters["nofollow_dropped"] += len(links)
+                continue
             # graph edges are extraction facts: recorded before the depth
             # cap and trap gate (mirror of the engine's links write)
             if cfg.pagerank_every:
