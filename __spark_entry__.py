@@ -1021,11 +1021,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "nofollow",
         )
 
+    # ---- rel=canonical targets (SEMANTICS.md §Canonical link) ----
+    def _canonical_targets(s, d):
+        """The REAL canonical capture (operators/extract.py →
+        kernels/textextract canonical_href + canonical_target) over pages
+        whose <link> cycles through 6 variants by doc_id — absent, absolute
+        href, RELATIVE href (urljoin against the page url), rel token list,
+        non-canonical rel, junk scheme — behind a decoy rel="alternate"
+        link that must NOT match. DuckDB re-derives the resolved target
+        from the construction rule."""
+        from indigo_crawler_spark.operators.extract import extract_pages
+
+        docs = _t(s, d, "documents")
+        page_url = F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/d/"),
+            F.col("doc_id").cast("string"),
+        )
+        target_abs = F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/c/"),
+            (F.col("doc_id") % 50).cast("string"),
+        )
+        target_rel = F.concat(
+            F.lit("/c/"), (F.col("doc_id") % 50).cast("string")
+        )
+        link = F.element_at(
+            F.array(
+                F.lit(""),                                     # m=0: none
+                F.concat(F.lit('<link rel="canonical" href="'),
+                         target_abs, F.lit('">')),
+                F.concat(F.lit('<link rel="canonical" href="'),
+                         target_rel, F.lit('">')),
+                F.concat(F.lit('<link rel="Alternate CANONICAL" href="'),
+                         target_abs, F.lit('">')),
+                F.lit('<link rel="stylesheet" href="/style.css">'),
+                F.lit('<link rel="canonical" href="ftp://junk/x">'),
+            ),
+            (F.col("doc_id") % 6).cast("int") + 1,
+        )
+        html = F.encode(
+            F.concat(
+                F.lit('<html><head><link rel="alternate" href="/feed">'),
+                link,
+                F.lit("</head><body><p>"), F.col("text"),
+                F.lit("</p></body></html>"),
+            ),
+            "UTF-8",
+        )
+        pages = docs.select(
+            page_url.alias("canon_url"),
+            F.lit(0).alias("depth"),
+            html.alias("html"),
+        )
+        out = extract_pages(pages, rel_canonical=True)
+        return out.select(
+            F.col("canon_url").alias("url"), "canonical_url"
+        )
+
     q["trap_flags"] = _trap_flags
     q["domain_topk"] = _domain_topk
     q["connected_components"] = _connected_components
     q["sitemap_locs"] = _sitemap_locs
     q["meta_robots_flags"] = _meta_robots_flags
+    q["canonical_targets"] = _canonical_targets
 
     # ---- rows-only (no ANSI-SQL equivalent; exactness proven in pytest) ----
     q["xxhash64_hosts"] = lambda s, d: _t(s, d, "documents").select(
@@ -1333,6 +1390,16 @@ UNION ALL
 SELECT doc_id, CAST(2 AS BIGINT) AS pos, replace(locs[2], '&amp;', '&') AS loc FROM l
 """
 
+_CANONICAL_TARGETS_SQL = """
+SELECT 'https://' || source || '.example.com/d/' || CAST(doc_id AS VARCHAR)
+         AS url,
+       CASE WHEN (doc_id % 6) IN (1, 2, 3)
+            THEN 'https://' || source || '.example.com/c/'
+                 || CAST(doc_id % 50 AS VARCHAR)
+            END AS canonical_url
+FROM documents
+"""
+
 _META_ROBOTS_SQL = """
 SELECT doc_id,
        (doc_id % 7) IN (1, 3, 4, 6) AS noindex,
@@ -1486,6 +1553,7 @@ def oracle_sql() -> dict[str, str]:
         "connected_components": _CONNECTED_COMPONENTS_SQL,
         "sitemap_locs": _SITEMAP_LOCS_SQL,
         "meta_robots_flags": _META_ROBOTS_SQL,
+        "canonical_targets": _CANONICAL_TARGETS_SQL,
         "scan_prune": "SELECT doc_id, lang FROM documents",
         "filter_events": "SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'",
         "null_guard": "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 400000",

@@ -101,6 +101,15 @@ class CrawlConfig:
     # governs the corpus, not the crawl). Changes results ⇒ extension
     # field in config_hash. False disables (default).
     meta_robots_enabled: bool = False
+    # rel=canonical honor (SEMANTICS.md §Canonical link): when True, the
+    # first <link rel="canonical" href=...> of each fetched page resolves
+    # (urljoin + canonicalize) to a canonical target recorded alongside the
+    # extracted text, and the corpus export collapses rows whose LATEST
+    # fetch declared a DIFFERENT url that is itself present in the corpus —
+    # the canonical version supersedes its variants. The crawl itself is
+    # unaffected (canonical is an indexing signal, like noindex). Changes
+    # the export ⇒ extension field in config_hash. False disables (default).
+    rel_canonical_enabled: bool = False
 
     # capacity is excluded from config_hash: it is pinned PER CRAWL by the
     # bootstrap manifest (bootstrap records the override or the A3-derived
@@ -132,6 +141,7 @@ class CrawlConfig:
         "pagerank_weight": 1.0,
         "thin_host_min_words": 0,
         "meta_robots_enabled": False,
+        "rel_canonical_enabled": False,
     }
 
     # dependent extensions: inert unless their master knob is on. While the

@@ -63,6 +63,7 @@ class _Extractor(HTMLParser):
         self._head_chunks: list[str] = []
         self.headings: list[str] = []
         self.meta: dict[str, str] = {}
+        self.canonical_href: str | None = None
 
     def handle_starttag(self, tag, attrs):
         if self._in_title and tag != "title" and tag not in _TITLE_INLINE_TAGS:
@@ -96,6 +97,23 @@ class _Extractor(HTMLParser):
                     content = v
             if name and content is not None and name not in self.meta:
                 self.meta[name] = content
+        elif tag == "link" and self.canonical_href is None:
+            # first <link> whose rel token list (whitespace-separated,
+            # case-insensitive) contains "canonical" AND that carries an
+            # href — SEMANTICS.md §Canonical link; links without a usable
+            # href don't consume first-wins
+            rel = href = None
+            for k, v in attrs:
+                if k == "rel":
+                    rel = v
+                elif k == "href":
+                    href = v
+            if (
+                rel is not None
+                and href is not None
+                and "canonical" in rel.lower().split()
+            ):
+                self.canonical_href = href
         elif tag == "title" and not self._title_done:
             self._in_title = True
         elif tag in _HEADING_TAGS and self._head_tag is None:
@@ -271,14 +289,34 @@ def meta_robots_flags(meta: dict[str, str]) -> tuple[bool, bool]:
     return noindex, nofollow
 
 
-def extract_text_links_robots(
+def canonical_target(href: str | None, base_url: str | None) -> str | None:
+    """Resolve a ``<link rel="canonical">`` href to a canonical URL —
+    SEMANTICS.md §Canonical link: ``urljoin(base, href)`` then
+    ``canonicalize_url``; an unresolvable or rejected href (junk scheme,
+    unparseable) yields None — a declared-but-unusable canonical is
+    treated as absent."""
+    if href is None:
+        return None
+    h = href.strip()
+    if not h:
+        return None
+    try:
+        absu = urljoin(base_url or "", h)
+    except ValueError:
+        return None
+    return canonicalize_url(absu)
+
+
+def extract_text_links_signals(
     html: bytes | str | None, base_url: str | None, sitemap_aware: bool = False
-) -> tuple[str, list[str], bool, bool]:
-    """Parse *html* once; return (text, links, noindex, nofollow) — the
-    ``extract_text_and_links`` surface plus the page's REP meta-robots
-    flags from the SAME parse (cfg.meta_robots_enabled). text/links are
-    byte-identical to ``extract_text_and_links``; sitemap documents under
-    *sitemap_aware* carry no meta, so their flags are (False, False)."""
+) -> tuple[str, list[str], bool, bool, str | None]:
+    """Parse *html* once; return (text, links, noindex, nofollow,
+    canonical) — the ``extract_text_and_links`` surface plus every
+    page-level indexing signal from the SAME parse: REP meta-robots flags
+    (cfg.meta_robots_enabled) and the rel=canonical target
+    (cfg.rel_canonical_enabled). text/links are byte-identical to
+    ``extract_text_and_links``; sitemap documents under *sitemap_aware*
+    carry neither meta nor link elements for our purposes."""
     if sitemap_aware:
         from indigo_crawler_spark.kernels.sitemap import (
             looks_like_sitemap,
@@ -287,7 +325,24 @@ def extract_text_links_robots(
 
         doc = _decode(html)
         if looks_like_sitemap(doc):
-            return "", _canon_links(sitemap_locs(doc), base_url), False, False
+            return "", _canon_links(sitemap_locs(doc), base_url), False, False, None
     p = _parse(html)
     noindex, nofollow = meta_robots_flags(p.meta)
-    return p.text(), _canon_links(p.hrefs, base_url), noindex, nofollow
+    return (
+        p.text(),
+        _canon_links(p.hrefs, base_url),
+        noindex,
+        nofollow,
+        canonical_target(p.canonical_href, base_url),
+    )
+
+
+def extract_text_links_robots(
+    html: bytes | str | None, base_url: str | None, sitemap_aware: bool = False
+) -> tuple[str, list[str], bool, bool]:
+    """(text, links, noindex, nofollow) — the meta-robots slice of
+    ``extract_text_links_signals`` (same single parse)."""
+    text, links, noindex, nofollow, _ = extract_text_links_signals(
+        html, base_url, sitemap_aware
+    )
+    return text, links, noindex, nofollow

@@ -26,7 +26,7 @@ from pyspark.sql.types import (
 from indigo_crawler_spark.kernels.textextract import (
     extract_all,
     extract_text_and_links,
-    extract_text_links_robots,
+    extract_text_links_signals,
 )
 
 _OUT_SCHEMA = StructType(
@@ -35,14 +35,6 @@ _OUT_SCHEMA = StructType(
         StructField("depth", IntegerType()),
         StructField("text", StringType()),
         StructField("links", ArrayType(StringType())),
-    ]
-)
-
-_ROBOTS_SCHEMA = StructType(
-    _OUT_SCHEMA.fields
-    + [
-        StructField("noindex", BooleanType()),
-        StructField("nofollow", BooleanType()),
     ]
 )
 
@@ -57,7 +49,10 @@ _FIELDS_SCHEMA = StructType(
 
 
 def extract_pages(
-    df: DataFrame, sitemap_aware: bool = False, meta_robots: bool = False
+    df: DataFrame,
+    sitemap_aware: bool = False,
+    meta_robots: bool = False,
+    rel_canonical: bool = False,
 ) -> DataFrame:
     """(canon_url, depth, html) → (canon_url, depth, text, links).
 
@@ -66,22 +61,34 @@ def extract_pages(
     *sitemap_aware* (cfg.sitemaps_enabled) routes sitemap documents through
     the <loc> branch of the shared kernel — same single Arrow crossing.
     *meta_robots* (cfg.meta_robots_enabled) adds boolean ``noindex`` /
-    ``nofollow`` columns from the page's REP meta-robots directives — the
-    SAME parse, so text/links stay byte-identical and html still crosses
-    Arrow exactly once.
+    ``nofollow`` columns from the page's REP meta-robots directives;
+    *rel_canonical* (cfg.rel_canonical_enabled) adds a ``canonical_url``
+    string column (NULL = none declared/resolvable). All signals come from
+    the SAME parse, so text/links stay byte-identical and html still
+    crosses Arrow exactly once.
     """
+    fields = list(_OUT_SCHEMA.fields)
+    if meta_robots:
+        fields += [
+            StructField("noindex", BooleanType()),
+            StructField("nofollow", BooleanType()),
+        ]
+    if rel_canonical:
+        fields.append(StructField("canonical_url", StringType()))
+    schema = StructType(fields)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             texts, links = [], []
-            noidx, nofol = [], []
+            noidx, nofol, canon = [], [], []
             for html, base in zip(pdf["html"], pdf["canon_url"]):
-                if meta_robots:
-                    t, ls, ni, nf = extract_text_links_robots(
+                if meta_robots or rel_canonical:
+                    t, ls, ni, nf, cu = extract_text_links_signals(
                         html, base, sitemap_aware
                     )
                     noidx.append(ni)
                     nofol.append(nf)
+                    canon.append(cu)
                 else:
                     t, ls = extract_text_and_links(html, base, sitemap_aware)
                 texts.append(t)
@@ -95,9 +102,10 @@ def extract_pages(
             if meta_robots:
                 out["noindex"] = noidx
                 out["nofollow"] = nofol
+            if rel_canonical:
+                out["canonical_url"] = canon
             yield pd.DataFrame(out)
 
-    schema = _ROBOTS_SCHEMA if meta_robots else _OUT_SCHEMA
     return df.select("canon_url", "depth", "html").mapInPandas(run, schema)
 
 

@@ -53,6 +53,7 @@ import tempfile
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BooleanType,
     IntegerType,
     StringType,
     StructField,
@@ -131,15 +132,25 @@ def _pk_rows(out_path: str, pk: int) -> int:
     return total
 
 
-def _rounds_carry_noindex(state: CrawlState, first: int, last: int) -> bool:
-    """Whether this crawl's fetched_text rounds carry the REP noindex column
-    (written under meta_robots_enabled — SEMANTICS.md §Meta robots). The
-    DATA decides, not this invocation's config: noindex-ness is a property
-    of the committed crawl, and an --export run without the flag must not
-    silently ship pages the crawl marked non-indexable. Parquet footer
-    schema of the first non-empty round — driver-side, zero Spark jobs
-    (same access pattern as ``_pk_rows``). No files at all → fall back to
-    the config flag."""
+# page-level indexing-signal columns a crawl may have written alongside the
+# extracted text (SEMANTICS.md §Meta robots / §Canonical link), with the
+# config flag that gates each — checked in this order
+_SIGNAL_COLS = (
+    ("noindex", BooleanType(), "meta_robots_enabled"),
+    ("canonical_url", StringType(), "rel_canonical_enabled"),
+)
+
+
+def _fetched_text_signals(state: CrawlState, first: int, last: int) -> list[str]:
+    """Which indexing-signal columns this crawl's fetched_text rounds carry
+    (noindex under meta_robots_enabled, canonical_url under
+    rel_canonical_enabled). The DATA decides, not this invocation's config:
+    the signals are properties of the committed crawl, and an --export run
+    without the flags must not silently ship pages the crawl marked
+    non-indexable or canonical-superseded. Parquet footer schema of the
+    first non-empty round — driver-side, zero Spark jobs (same access
+    pattern as ``_pk_rows``). No files at all → fall back to the config
+    flags."""
     import pyarrow.parquet as pq
 
     for r in range(first, last + 1):
@@ -149,8 +160,8 @@ def _rounds_carry_noindex(state: CrawlState, first: int, last: int) -> bool:
         for f in sorted(os.listdir(d)):
             if f.endswith(".parquet"):
                 names = pq.ParquetFile(os.path.join(d, f)).schema_arrow.names
-                return "noindex" in names
-    return state.cfg.meta_robots_enabled
+                return [c for c, _, _ in _SIGNAL_COLS if c in names]
+    return [c for c, _, flag in _SIGNAL_COLS if getattr(state.cfg, flag)]
 
 
 def _delta_union(
@@ -159,7 +170,7 @@ def _delta_union(
     """Union of fetched_text rounds *first..last* with fetch_round/host/pk
     attached — refuses rounds already reclaimed by --gc-drop-outputs."""
     reclaimed = set((state.io.read_manifest("gc") or {}).get("reclaimed", []))
-    meta_robots = _rounds_carry_noindex(state, first, last)
+    signals = _fetched_text_signals(state, first, last)
     parts, rounds = [], []
     for r in range(first, last + 1):
         table = f"fetched_text/round={r}"
@@ -171,11 +182,16 @@ def _delta_union(
             )
         # a committed round with zero fetches writes an empty table; missing
         # dir → empty frame via the schema fallback either way.
-        # Under meta_robots the rounds carry the REP noindex flag
-        # (FETCHED_TEXT_ROBOTS); rounds fetched before the flag existed read
-        # as NULL → coalesced to False below.
-        schema = (
-            schemas.FETCHED_TEXT_ROBOTS if meta_robots else schemas.FETCHED_TEXT
+        # Signal columns the crawl wrote (noindex / canonical_url) ride the
+        # read schema; rounds fetched before a flag existed read as NULL
+        # (noindex coalesced to False below; NULL canonical = none).
+        schema = StructType(
+            schemas.FETCHED_TEXT.fields
+            + [
+                StructField(c, typ)
+                for c, typ, _ in _SIGNAL_COLS
+                if c in signals
+            ]
         )
         parts.append(
             state.io.read(table, schema).withColumn("fetch_round", F.lit(r))
@@ -191,18 +207,20 @@ def _delta_union(
         F.col("text"),
         pk_expr(host_hash_expr(host_expr("canon_url")), num_buckets).alias("pk"),
     ]
-    if meta_robots:
+    if "noindex" in signals:
         cols.append(F.coalesce(F.col("noindex"), F.lit(False)).alias("noindex"))
+    if "canonical_url" in signals:
+        cols.append(F.col("canonical_url"))
     return union.select(*cols), rounds
 
 
 def _latest_per_url(df: DataFrame) -> DataFrame:
     """One partial+final hash agg: latest row per canon_url by fetch_round
     (host/pk ride the struct — they are functions of the url, so any row's
-    values agree; text is the superseding fetch's). A ``noindex`` column
-    (meta_robots crawls) rides the struct too — the LATEST fetch's
-    directive decides the url's corpus membership."""
-    extra = ["noindex"] if "noindex" in df.columns else []
+    values agree; text is the superseding fetch's). Signal columns
+    (``noindex`` / ``canonical_url``) ride the struct too — the LATEST
+    fetch's directives decide the url's corpus membership."""
+    extra = [c for c, _, _ in _SIGNAL_COLS if c in df.columns]
     return (
         df.select(
             "canon_url",
@@ -238,6 +256,46 @@ def _drop_noindex(df: DataFrame) -> tuple[DataFrame, Observation | None]:
         ),
     )
     return df.where(~F.col("noindex")).drop("noindex"), obs
+
+
+def _collapse_canonical(
+    df: DataFrame, targets: DataFrame | None = None
+) -> tuple[DataFrame, Observation | None]:
+    """Honor rel=canonical (SEMANTICS.md §Canonical link): a row whose
+    LATEST fetch declared a canonical target DIFFERENT from its own
+    canon_url leaves the corpus iff that target is itself present — the
+    canonical version supersedes its variants; a variant whose target was
+    never fetched keeps its content. Presence is evaluated single-pass
+    against the post-noindex, pre-collapse corpus (*targets* extends it for
+    incremental merges where the target may live in an unrewritten bucket).
+    One id-only self-join on the url key; the collapsed count rides the
+    caller's write via Observation. No-op when the corpus carries no
+    canonical_url column."""
+    if "canonical_url" not in df.columns:
+        return df, None
+    present = df.select(F.col("canon_url").alias("canonical_url"))
+    if targets is not None:
+        present = present.unionByName(
+            targets.select(F.col("canon_url").alias("canonical_url"))
+        )
+    present = present.distinct().withColumn("_present", F.lit(True))
+    foreign = F.col("canonical_url").isNotNull() & (
+        F.col("canonical_url") != F.col("canon_url")
+    )
+    collapse = foreign & F.coalesce(F.col("_present"), F.lit(False))
+    obs = Observation()
+    out = (
+        df.join(present, on="canonical_url", how="left")
+        .observe(
+            obs,
+            F.coalesce(F.sum(collapse.cast("int")), F.lit(0)).alias(
+                "canonical_collapsed"
+            ),
+        )
+        .where(~collapse)
+        .drop("_present", "canonical_url")
+    )
+    return out, obs
 
 
 def _annotate(df: DataFrame) -> DataFrame:
@@ -403,6 +461,7 @@ def _export_full(
     obs = Observation()
     corpus = _latest_per_url(delta)
     corpus, ni_obs = _drop_noindex(corpus)
+    corpus, cc_obs = _collapse_canonical(corpus)
     if annotate:
         corpus = _annotate(corpus)
     if split:
@@ -431,6 +490,8 @@ def _export_full(
     }
     if ni_obs is not None:
         payload["noindex_dropped"] = int(ni_obs.get["noindex_dropped"])
+    if cc_obs is not None:
+        payload["canonical_collapsed"] = int(cc_obs.get["canonical_collapsed"])
     _write_export_manifest(out_path, payload)
     return {
         "rows": rows,
@@ -484,10 +545,36 @@ def _export_incremental(
                     # newer delta fetch with the directive supersedes it in
                     # the latest-per-url merge and leaves below
                     prev_rows = prev_rows.withColumn("noindex", F.lit(False))
+                if "canonical_url" in delta.columns:
+                    # same settled-at-write-time rule: an exported row's
+                    # canonical gate was evaluated when its bucket was
+                    # written; only a newer fetch re-opens it
+                    prev_rows = prev_rows.withColumn(
+                        "canonical_url", F.lit(None).cast("string")
+                    )
                 merged = _latest_per_url(prev_rows.unionByName(delta))
             else:
                 merged = _latest_per_url(delta)
             merged, _ni_obs = _drop_noindex(merged)
+            if "canonical_url" in merged.columns:
+                # canonical targets may live in buckets this extend never
+                # touches: presence = merged rows ∪ keys of the untouched
+                # live buckets (canon_url column only — parquet-pruned read)
+                other = [
+                    _pk_dir(out_path, pk)
+                    for pk in range(num_buckets)
+                    if pk not in set(affected)
+                    and os.path.isdir(_pk_dir(out_path, pk))
+                ]
+                targets = None
+                if other:
+                    targets = (
+                        spark.read.option("basePath", out_path)
+                        .schema(CORPUS_SCHEMA)
+                        .parquet(*other)
+                        .select("canon_url")
+                    )
+                merged, _cc_obs = _collapse_canonical(merged, targets)
             if annotate:
                 merged = _annotate(merged)
             if split:

@@ -814,11 +814,27 @@ def run_round(
                     F.lit(0),
                 ).alias("nofollow_dropped")
             )
+        if cfg.rel_canonical_enabled:
+            # pages declaring a canonical target other than themselves
+            # (SEMANTICS.md §Canonical link) — the export-time collapse set
+            ext_metrics.append(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("canonical_url").isNotNull()
+                            & (F.col("canonical_url") != F.col("canon_url")),
+                            1,
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
+                ).alias("canonical_variants")
+            )
         extracted = (
             extract_pages(
                 fetched,
                 sitemap_aware=cfg.sitemaps_enabled,
                 meta_robots=cfg.meta_robots_enabled,
+                rel_canonical=cfg.rel_canonical_enabled,
             )
             .observe(ext_obs, *ext_metrics)
             .cache()
@@ -834,11 +850,14 @@ def run_round(
             else extracted
         )
         with _timed(tm, "extract_text_write"):
-            # under meta_robots the noindex flag rides the text table so the
-            # corpus export can honor it; text bytes are unchanged either way
-            text_cols = ["canon_url", "text"] + (
-                ["noindex"] if cfg.meta_robots_enabled else []
-            )
+            # under meta_robots / rel_canonical the page-level indexing
+            # signals ride the text table so the corpus export can honor
+            # them; text bytes are unchanged either way
+            text_cols = ["canon_url", "text"]
+            if cfg.meta_robots_enabled:
+                text_cols.append("noindex")
+            if cfg.rel_canonical_enabled:
+                text_cols.append("canonical_url")
             io.write(
                 extracted.select(*text_cols),
                 f"fetched_text/round={round_no}",
@@ -1164,6 +1183,8 @@ def run_round(
         counters["thin_hosts_demoted"] = _obs_int(thin_obs, "thin")
     if cfg.meta_robots_enabled:
         counters["nofollow_dropped"] = _obs_int(ext_obs, "nofollow_dropped")
+    if cfg.rel_canonical_enabled:
+        counters["canonical_variants"] = _obs_int(ext_obs, "canonical_variants")
     if tm is not None:
         import sys
 

@@ -255,6 +255,12 @@ def main(argv: list[str] | None = None) -> int:
         "the corpus export (text still fetched and recorded)",
     )
     ap.add_argument(
+        "--rel-canonical", action="store_true",
+        help="honor <link rel=canonical>: record each fetched page's "
+        "canonical target; the corpus export collapses variants whose "
+        "target is itself in the corpus (crawl unaffected)",
+    )
+    ap.add_argument(
         "--pagerank-every", type=int, default=0,
         help="link-graph prioritization: every Nth round, re-score the "
         "outgoing frontier with integer PageRank over the accumulated "
@@ -327,6 +333,7 @@ def main(argv: list[str] | None = None) -> int:
         pagerank_weight=args.pagerank_weight,
         thin_host_min_words=args.thin_host_min_words,
         meta_robots_enabled=args.meta_robots,
+        rel_canonical_enabled=args.rel_canonical,
     )
     state = CrawlState(io=TableIO(spark, args.state_dir), cfg=cfg)
 

@@ -26,7 +26,7 @@ from indigo_crawler_spark.kernels.robots import (
 )
 from indigo_crawler_spark.kernels.textextract import (
     extract_text_and_links,
-    extract_text_links_robots,
+    extract_text_links_signals,
 )
 from indigo_crawler_spark.kernels.traps import is_trap_url
 from indigo_crawler_spark.kernels.xxh64 import xxhash64
@@ -135,6 +135,10 @@ class OracleCrawl:
         # §Meta robots) — the corpus-export exclusion set; maintained only
         # when the flag is on, like the engine only writes the column then
         self.noindex: set[str] = set()
+        # url → canonical target of its LATEST fetch, recorded only when the
+        # declared target differs from the url itself (SEMANTICS.md
+        # §Canonical link) — the corpus-export collapse map
+        self.canonical: dict[str, str] = {}
 
     # ------------------------------------------------------------------
     def add_pages(self, pages) -> None:
@@ -238,6 +242,8 @@ class OracleCrawl:
         }
         if cfg.meta_robots_enabled:
             counters["nofollow_dropped"] = 0
+        if cfg.rel_canonical_enabled:
+            counters["canonical_variants"] = 0
 
         # 1-2. gates
         eligible: list[FrontierRow] = []
@@ -342,15 +348,27 @@ class OracleCrawl:
             if page is None:
                 continue
             counters["fetched_pages"] += 1
-            if cfg.meta_robots_enabled:
-                text, links, noindex, nofollow = extract_text_links_robots(
-                    page["html"], row.canon_url, cfg.sitemaps_enabled
+            if cfg.meta_robots_enabled or cfg.rel_canonical_enabled:
+                text, links, noindex, nofollow, canonical = (
+                    extract_text_links_signals(
+                        page["html"], row.canon_url, cfg.sitemaps_enabled
+                    )
                 )
-                # latest fetch wins: a recrawl without the directive clears it
-                if noindex:
-                    self.noindex.add(row.canon_url)
+                if cfg.meta_robots_enabled:
+                    # latest fetch wins: a recrawl without the directive
+                    # clears it
+                    if noindex:
+                        self.noindex.add(row.canon_url)
+                    else:
+                        self.noindex.discard(row.canon_url)
                 else:
-                    self.noindex.discard(row.canon_url)
+                    nofollow = False  # meta robots off: links always follow
+                if cfg.rel_canonical_enabled:
+                    if canonical is not None and canonical != row.canon_url:
+                        self.canonical[row.canon_url] = canonical
+                        counters["canonical_variants"] += 1
+                    else:
+                        self.canonical.pop(row.canon_url, None)
             else:
                 text, links = extract_text_and_links(
                     page["html"], row.canon_url, cfg.sitemaps_enabled
