@@ -1077,12 +1077,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("canon_url").alias("url"), "canonical_url"
         )
 
+    # ---- meta-refresh redirects (SEMANTICS.md §Meta refresh) ----
+    def _meta_refresh_targets(s, d):
+        """The REAL meta-refresh capture (operators/extract.py →
+        kernels/textextract.meta_refresh_target) over pages whose refresh
+        meta cycles through 6 variants by doc_id — absent, delay-0
+        absolute, delay-30 relative, url-less reload, junk delay, self
+        target. The appended link is visible as the link count (each page
+        carries exactly one anchor); DuckDB re-derives redirect-ness and
+        the count from the construction rule."""
+        from indigo_crawler_spark.operators.extract import extract_pages
+
+        docs = _t(s, d, "documents")
+        page_url = F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/d/"),
+            F.col("doc_id").cast("string"),
+        )
+        target_abs = F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/r/"),
+            (F.col("doc_id") % 50).cast("string"),
+        )
+        refresh = F.element_at(
+            F.array(
+                F.lit(""),
+                F.concat(
+                    F.lit('<meta http-equiv="refresh" content="0;url='),
+                    target_abs, F.lit('">'),
+                ),
+                F.concat(
+                    F.lit('<meta http-equiv="Refresh" content="30;URL=/r/'),
+                    (F.col("doc_id") % 50).cast("string"), F.lit('">'),
+                ),
+                F.lit('<meta http-equiv="refresh" content="0">'),
+                F.lit('<meta http-equiv="refresh" content="abc;url=/r/1">'),
+                F.concat(
+                    F.lit('<meta http-equiv="refresh" content="0;url='),
+                    page_url, F.lit('">'),
+                ),
+            ),
+            (F.col("doc_id") % 6).cast("int") + 1,
+        )
+        html = F.encode(
+            F.concat(
+                F.lit("<html><head>"), refresh,
+                F.lit('</head><body><a href="/child">c</a><p>'),
+                F.col("text"), F.lit("</p></body></html>"),
+            ),
+            "UTF-8",
+        )
+        pages = docs.select(
+            page_url.alias("canon_url"), F.lit(0).alias("depth"),
+            html.alias("html"),
+        )
+        out = extract_pages(pages, meta_refresh=True)
+        return out.select(
+            F.col("canon_url").alias("url"),
+            "redirect",
+            F.size("links").cast("long").alias("n_links"),
+        )
+
     q["trap_flags"] = _trap_flags
     q["domain_topk"] = _domain_topk
     q["connected_components"] = _connected_components
     q["sitemap_locs"] = _sitemap_locs
     q["meta_robots_flags"] = _meta_robots_flags
     q["canonical_targets"] = _canonical_targets
+    q["meta_refresh_targets"] = _meta_refresh_targets
 
     # ---- rows-only (no ANSI-SQL equivalent; exactness proven in pytest) ----
     q["xxhash64_hosts"] = lambda s, d: _t(s, d, "documents").select(
@@ -1400,6 +1460,15 @@ SELECT 'https://' || source || '.example.com/d/' || CAST(doc_id AS VARCHAR)
 FROM documents
 """
 
+_META_REFRESH_SQL = """
+SELECT 'https://' || source || '.example.com/d/' || CAST(doc_id AS VARCHAR)
+         AS url,
+       (doc_id % 6) = 1 AS redirect,
+       CAST(CASE WHEN (doc_id % 6) IN (1, 2) THEN 2 ELSE 1 END AS BIGINT)
+         AS n_links
+FROM documents
+"""
+
 _META_ROBOTS_SQL = """
 SELECT doc_id,
        (doc_id % 7) IN (1, 3, 4, 6) AS noindex,
@@ -1554,6 +1623,7 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_locs": _SITEMAP_LOCS_SQL,
         "meta_robots_flags": _META_ROBOTS_SQL,
         "canonical_targets": _CANONICAL_TARGETS_SQL,
+        "meta_refresh_targets": _META_REFRESH_SQL,
         "scan_prune": "SELECT doc_id, lang FROM documents",
         "filter_events": "SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'",
         "null_guard": "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 400000",

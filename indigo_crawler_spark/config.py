@@ -110,6 +110,16 @@ class CrawlConfig:
     # unaffected (canonical is an indexing signal, like noindex). Changes
     # the export ⇒ extension field in config_hash. False disables (default).
     rel_canonical_enabled: bool = False
+    # meta-refresh redirects (SEMANTICS.md §Meta refresh): when True, the
+    # first <meta http-equiv="refresh" content="N;url=T"> of each fetched
+    # page appends its resolved foreign target T to the page's out-links
+    # (ordinary discovery: depth+1, trap gate, dedup — the only redirect
+    # mechanism an html-only page model can express), and a delay-0 page
+    # with a valid target is a PURE REDIRECT: excluded from the corpus
+    # export like noindex (its text is still fetched and recorded).
+    # Changes results ⇒ extension field in config_hash. False disables
+    # (default).
+    meta_refresh_enabled: bool = False
 
     # capacity is excluded from config_hash: it is pinned PER CRAWL by the
     # bootstrap manifest (bootstrap records the override or the A3-derived
@@ -142,6 +152,7 @@ class CrawlConfig:
         "thin_host_min_words": 0,
         "meta_robots_enabled": False,
         "rel_canonical_enabled": False,
+        "meta_refresh_enabled": False,
     }
 
     # dependent extensions: inert unless their master knob is on. While the

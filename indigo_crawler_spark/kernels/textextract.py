@@ -64,6 +64,7 @@ class _Extractor(HTMLParser):
         self.headings: list[str] = []
         self.meta: dict[str, str] = {}
         self.canonical_href: str | None = None
+        self.refresh_content: str | None = None
 
     def handle_starttag(self, tag, attrs):
         if self._in_title and tag != "title" and tag not in _TITLE_INLINE_TAGS:
@@ -89,14 +90,25 @@ class _Extractor(HTMLParser):
                     self.hrefs.append(v)
                     break
         elif tag == "meta":
-            name = content = None
+            name = content = equiv = None
             for k, v in attrs:
                 if k == "name":
                     name = v
                 elif k == "content":
                     content = v
+                elif k == "http-equiv":
+                    equiv = v
             if name and content is not None and name not in self.meta:
                 self.meta[name] = content
+            if (
+                equiv is not None
+                and content is not None
+                and self.refresh_content is None
+                and equiv.strip().lower() == "refresh"
+            ):
+                # first http-equiv=refresh in document order wins —
+                # SEMANTICS.md §Meta refresh
+                self.refresh_content = content
         elif tag == "link" and self.canonical_href is None:
             # first <link> whose rel token list (whitespace-separated,
             # case-insensitive) contains "canonical" AND that carries an
@@ -307,16 +319,50 @@ def canonical_target(href: str | None, base_url: str | None) -> str | None:
     return canonicalize_url(absu)
 
 
+def meta_refresh_target(
+    content: str | None, base_url: str | None
+) -> tuple[int, str] | None:
+    """(delay_seconds, resolved_target) from a meta http-equiv=refresh
+    content string — SEMANTICS.md §Meta refresh (normative; the oracle
+    shares this kernel). Grammar honored: ``DELAY[;url=TARGET]`` — DELAY is
+    a leading run of ASCII digits (anything else → no refresh); after the
+    first ``;`` the ``url=`` key matches case-insensitively with optional
+    surrounding whitespace; the target may be wrapped in one pair of
+    matching single/double quotes. The target resolves like a canonical
+    href (urljoin + canonicalize); an absent, unresolvable, or
+    SELF-pointing target yields None — a page refreshing to itself is a
+    reload, not a redirect."""
+    if content is None:
+        return None
+    head, sep, rest = content.partition(";")
+    delay_s = head.strip()
+    if not delay_s or not delay_s.isdigit():
+        return None
+    if not sep:
+        return None
+    r = rest.strip()
+    if r[:4].lower() != "url=":
+        return None
+    t = r[4:].strip()
+    if len(t) >= 2 and t[0] == t[-1] and t[0] in ("'", '"'):
+        t = t[1:-1].strip()
+    target = canonical_target(t, base_url)
+    if target is None or target == base_url:
+        return None
+    return int(delay_s), target
+
+
 def extract_text_links_signals(
     html: bytes | str | None, base_url: str | None, sitemap_aware: bool = False
-) -> tuple[str, list[str], bool, bool, str | None]:
+) -> tuple[str, list[str], bool, bool, str | None, tuple[int, str] | None]:
     """Parse *html* once; return (text, links, noindex, nofollow,
-    canonical) — the ``extract_text_and_links`` surface plus every
-    page-level indexing signal from the SAME parse: REP meta-robots flags
-    (cfg.meta_robots_enabled) and the rel=canonical target
-    (cfg.rel_canonical_enabled). text/links are byte-identical to
-    ``extract_text_and_links``; sitemap documents under *sitemap_aware*
-    carry neither meta nor link elements for our purposes."""
+    canonical, refresh) — the ``extract_text_and_links`` surface plus every
+    page-level signal from the SAME parse: REP meta-robots flags
+    (cfg.meta_robots_enabled), the rel=canonical target
+    (cfg.rel_canonical_enabled), and the meta-refresh redirect
+    (cfg.meta_refresh_enabled; ``refresh`` is (delay, target) or None).
+    text/links are byte-identical to ``extract_text_and_links``; sitemap
+    documents under *sitemap_aware* carry none of these signals."""
     if sitemap_aware:
         from indigo_crawler_spark.kernels.sitemap import (
             looks_like_sitemap,
@@ -325,7 +371,14 @@ def extract_text_links_signals(
 
         doc = _decode(html)
         if looks_like_sitemap(doc):
-            return "", _canon_links(sitemap_locs(doc), base_url), False, False, None
+            return (
+                "",
+                _canon_links(sitemap_locs(doc), base_url),
+                False,
+                False,
+                None,
+                None,
+            )
     p = _parse(html)
     noindex, nofollow = meta_robots_flags(p.meta)
     return (
@@ -334,6 +387,7 @@ def extract_text_links_signals(
         noindex,
         nofollow,
         canonical_target(p.canonical_href, base_url),
+        meta_refresh_target(p.refresh_content, base_url),
     )
 
 
@@ -342,7 +396,7 @@ def extract_text_links_robots(
 ) -> tuple[str, list[str], bool, bool]:
     """(text, links, noindex, nofollow) — the meta-robots slice of
     ``extract_text_links_signals`` (same single parse)."""
-    text, links, noindex, nofollow, _ = extract_text_links_signals(
+    text, links, noindex, nofollow, _, _ = extract_text_links_signals(
         html, base_url, sitemap_aware
     )
     return text, links, noindex, nofollow

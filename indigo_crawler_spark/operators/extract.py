@@ -53,6 +53,7 @@ def extract_pages(
     sitemap_aware: bool = False,
     meta_robots: bool = False,
     rel_canonical: bool = False,
+    meta_refresh: bool = False,
 ) -> DataFrame:
     """(canon_url, depth, html) → (canon_url, depth, text, links).
 
@@ -63,9 +64,12 @@ def extract_pages(
     *meta_robots* (cfg.meta_robots_enabled) adds boolean ``noindex`` /
     ``nofollow`` columns from the page's REP meta-robots directives;
     *rel_canonical* (cfg.rel_canonical_enabled) adds a ``canonical_url``
-    string column (NULL = none declared/resolvable). All signals come from
-    the SAME parse, so text/links stay byte-identical and html still
-    crosses Arrow exactly once.
+    string column (NULL = none declared/resolvable); *meta_refresh*
+    (cfg.meta_refresh_enabled) APPENDS a valid foreign refresh target to
+    the page's out-links and adds a boolean ``redirect`` column (True =
+    delay-0 pure redirect — SEMANTICS.md §Meta refresh). All signals come
+    from the SAME parse, so text (and links, under the default flags) stay
+    byte-identical and html still crosses Arrow exactly once.
     """
     fields = list(_OUT_SCHEMA.fields)
     if meta_robots:
@@ -75,20 +79,28 @@ def extract_pages(
         ]
     if rel_canonical:
         fields.append(StructField("canonical_url", StringType()))
+    if meta_refresh:
+        fields.append(StructField("redirect", BooleanType()))
     schema = StructType(fields)
+    any_signal = meta_robots or rel_canonical or meta_refresh
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             texts, links = [], []
-            noidx, nofol, canon = [], [], []
+            noidx, nofol, canon, redir = [], [], [], []
             for html, base in zip(pdf["html"], pdf["canon_url"]):
-                if meta_robots or rel_canonical:
-                    t, ls, ni, nf, cu = extract_text_links_signals(
+                if any_signal:
+                    t, ls, ni, nf, cu, rf = extract_text_links_signals(
                         html, base, sitemap_aware
                     )
                     noidx.append(ni)
                     nofol.append(nf)
                     canon.append(cu)
+                    if meta_refresh and rf is not None:
+                        ls = ls + [rf[1]]
+                        redir.append(rf[0] == 0)
+                    else:
+                        redir.append(False)
                 else:
                     t, ls = extract_text_and_links(html, base, sitemap_aware)
                 texts.append(t)
@@ -104,6 +116,8 @@ def extract_pages(
                 out["nofollow"] = nofol
             if rel_canonical:
                 out["canonical_url"] = canon
+            if meta_refresh:
+                out["redirect"] = redir
             yield pd.DataFrame(out)
 
     return df.select("canon_url", "depth", "html").mapInPandas(run, schema)

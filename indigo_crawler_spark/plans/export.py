@@ -138,6 +138,7 @@ def _pk_rows(out_path: str, pk: int) -> int:
 _SIGNAL_COLS = (
     ("noindex", BooleanType(), "meta_robots_enabled"),
     ("canonical_url", StringType(), "rel_canonical_enabled"),
+    ("redirect", BooleanType(), "meta_refresh_enabled"),
 )
 
 
@@ -211,6 +212,10 @@ def _delta_union(
         cols.append(F.coalesce(F.col("noindex"), F.lit(False)).alias("noindex"))
     if "canonical_url" in signals:
         cols.append(F.col("canonical_url"))
+    if "redirect" in signals:
+        cols.append(
+            F.coalesce(F.col("redirect"), F.lit(False)).alias("redirect")
+        )
     return union.select(*cols), rounds
 
 
@@ -239,23 +244,24 @@ def _latest_per_url(df: DataFrame) -> DataFrame:
     )
 
 
-def _drop_noindex(df: DataFrame) -> tuple[DataFrame, Observation | None]:
-    """Honor REP noindex (SEMANTICS.md §Meta robots): rows whose LATEST
-    fetch declared it leave the corpus here — after the latest-per-url merge
-    (so a clean re-fetch restores the url), before annotation (dropped rows
-    are never annotated). The dropped count rides the caller's write via
-    Observation — zero extra jobs. No-op (None observation) when the corpus
-    carries no noindex column."""
-    if "noindex" not in df.columns:
+def _drop_flagged(
+    df: DataFrame, col: str, metric: str
+) -> tuple[DataFrame, Observation | None]:
+    """Drop rows whose LATEST fetch set boolean *col* (REP noindex —
+    SEMANTICS.md §Meta robots; delay-0 meta-refresh redirect — §Meta
+    refresh) — after the latest-per-url merge (so a clean re-fetch restores
+    the url), before annotation (dropped rows are never annotated). The
+    dropped count (*metric*) rides the caller's write via Observation —
+    zero extra jobs. No-op (None observation) when the corpus does not
+    carry the column."""
+    if col not in df.columns:
         return df, None
     obs = Observation()
     df = df.observe(
         obs,
-        F.coalesce(F.sum(F.col("noindex").cast("int")), F.lit(0)).alias(
-            "noindex_dropped"
-        ),
+        F.coalesce(F.sum(F.col(col).cast("int")), F.lit(0)).alias(metric),
     )
-    return df.where(~F.col("noindex")).drop("noindex"), obs
+    return df.where(~F.col(col)).drop(col), obs
 
 
 def _collapse_canonical(
@@ -460,7 +466,8 @@ def _export_full(
     delta, rounds = _delta_union(state, 0, last, num_buckets)
     obs = Observation()
     corpus = _latest_per_url(delta)
-    corpus, ni_obs = _drop_noindex(corpus)
+    corpus, ni_obs = _drop_flagged(corpus, "noindex", "noindex_dropped")
+    corpus, rd_obs = _drop_flagged(corpus, "redirect", "redirects_dropped")
     corpus, cc_obs = _collapse_canonical(corpus)
     if annotate:
         corpus = _annotate(corpus)
@@ -490,6 +497,8 @@ def _export_full(
     }
     if ni_obs is not None:
         payload["noindex_dropped"] = int(ni_obs.get["noindex_dropped"])
+    if rd_obs is not None:
+        payload["redirects_dropped"] = int(rd_obs.get["redirects_dropped"])
     if cc_obs is not None:
         payload["canonical_collapsed"] = int(cc_obs.get["canonical_collapsed"])
     _write_export_manifest(out_path, payload)
@@ -552,10 +561,15 @@ def _export_incremental(
                     prev_rows = prev_rows.withColumn(
                         "canonical_url", F.lit(None).cast("string")
                     )
+                if "redirect" in delta.columns:
+                    prev_rows = prev_rows.withColumn("redirect", F.lit(False))
                 merged = _latest_per_url(prev_rows.unionByName(delta))
             else:
                 merged = _latest_per_url(delta)
-            merged, _ni_obs = _drop_noindex(merged)
+            merged, _ni_obs = _drop_flagged(merged, "noindex", "noindex_dropped")
+            merged, _rd_obs = _drop_flagged(
+                merged, "redirect", "redirects_dropped"
+            )
             if "canonical_url" in merged.columns:
                 # canonical targets may live in buckets this extend never
                 # touches: presence = merged rows ∪ keys of the untouched

@@ -829,12 +829,21 @@ def run_round(
                     F.lit(0),
                 ).alias("canonical_variants")
             )
+        if cfg.meta_refresh_enabled:
+            # delay-0 pure redirects (SEMANTICS.md §Meta refresh) — the
+            # export-time drop set; the appended target already rides links
+            ext_metrics.append(
+                F.coalesce(
+                    F.sum(F.col("redirect").cast("int")), F.lit(0)
+                ).alias("refresh_redirects")
+            )
         extracted = (
             extract_pages(
                 fetched,
                 sitemap_aware=cfg.sitemaps_enabled,
                 meta_robots=cfg.meta_robots_enabled,
                 rel_canonical=cfg.rel_canonical_enabled,
+                meta_refresh=cfg.meta_refresh_enabled,
             )
             .observe(ext_obs, *ext_metrics)
             .cache()
@@ -858,6 +867,8 @@ def run_round(
                 text_cols.append("noindex")
             if cfg.rel_canonical_enabled:
                 text_cols.append("canonical_url")
+            if cfg.meta_refresh_enabled:
+                text_cols.append("redirect")
             io.write(
                 extracted.select(*text_cols),
                 f"fetched_text/round={round_no}",
@@ -1185,6 +1196,8 @@ def run_round(
         counters["nofollow_dropped"] = _obs_int(ext_obs, "nofollow_dropped")
     if cfg.rel_canonical_enabled:
         counters["canonical_variants"] = _obs_int(ext_obs, "canonical_variants")
+    if cfg.meta_refresh_enabled:
+        counters["refresh_redirects"] = _obs_int(ext_obs, "refresh_redirects")
     if tm is not None:
         import sys
 

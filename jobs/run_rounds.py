@@ -261,6 +261,12 @@ def main(argv: list[str] | None = None) -> int:
         "target is itself in the corpus (crawl unaffected)",
     )
     ap.add_argument(
+        "--meta-refresh", action="store_true",
+        help="follow meta http-equiv=refresh redirects: the resolved "
+        "foreign target joins the page's out-links (ordinary discovery); "
+        "delay-0 pure redirects are excluded from the corpus export",
+    )
+    ap.add_argument(
         "--pagerank-every", type=int, default=0,
         help="link-graph prioritization: every Nth round, re-score the "
         "outgoing frontier with integer PageRank over the accumulated "
@@ -334,6 +340,7 @@ def main(argv: list[str] | None = None) -> int:
         thin_host_min_words=args.thin_host_min_words,
         meta_robots_enabled=args.meta_robots,
         rel_canonical_enabled=args.rel_canonical,
+        meta_refresh_enabled=args.meta_refresh,
     )
     state = CrawlState(io=TableIO(spark, args.state_dir), cfg=cfg)
 

@@ -139,6 +139,9 @@ class OracleCrawl:
         # declared target differs from the url itself (SEMANTICS.md
         # §Canonical link) — the corpus-export collapse map
         self.canonical: dict[str, str] = {}
+        # urls whose LATEST fetch was a delay-0 meta-refresh pure redirect
+        # (SEMANTICS.md §Meta refresh) — the corpus-export exclusion set
+        self.redirects: set[str] = set()
 
     # ------------------------------------------------------------------
     def add_pages(self, pages) -> None:
@@ -244,6 +247,8 @@ class OracleCrawl:
             counters["nofollow_dropped"] = 0
         if cfg.rel_canonical_enabled:
             counters["canonical_variants"] = 0
+        if cfg.meta_refresh_enabled:
+            counters["refresh_redirects"] = 0
 
         # 1-2. gates
         eligible: list[FrontierRow] = []
@@ -348,8 +353,12 @@ class OracleCrawl:
             if page is None:
                 continue
             counters["fetched_pages"] += 1
-            if cfg.meta_robots_enabled or cfg.rel_canonical_enabled:
-                text, links, noindex, nofollow, canonical = (
+            if (
+                cfg.meta_robots_enabled
+                or cfg.rel_canonical_enabled
+                or cfg.meta_refresh_enabled
+            ):
+                text, links, noindex, nofollow, canonical, refresh = (
                     extract_text_links_signals(
                         page["html"], row.canon_url, cfg.sitemaps_enabled
                     )
@@ -369,6 +378,17 @@ class OracleCrawl:
                         counters["canonical_variants"] += 1
                     else:
                         self.canonical.pop(row.canon_url, None)
+                if cfg.meta_refresh_enabled:
+                    # the foreign refresh target joins the out-links BEFORE
+                    # links_extracted counts them (mirror of extract_pages);
+                    # latest fetch decides pure-redirect membership
+                    if refresh is not None:
+                        links = links + [refresh[1]]
+                    if refresh is not None and refresh[0] == 0:
+                        self.redirects.add(row.canon_url)
+                        counters["refresh_redirects"] += 1
+                    else:
+                        self.redirects.discard(row.canon_url)
             else:
                 text, links = extract_text_and_links(
                     page["html"], row.canon_url, cfg.sitemaps_enabled
