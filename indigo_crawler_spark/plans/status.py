@@ -21,6 +21,10 @@ _TOTALED = (
     "candidates", "emitted", "fetched_pages", "links_extracted", "links_new",
     "robots_denied", "trap_dropped", "budget_deferred", "domain_deferred",
     "cap_deferred", "banned", "backoff_skipped",
+    # flag-gated counters: absent manifests contribute 0, so lifetime totals
+    # are correct whether or not the knob was on for (part of) the crawl
+    "thin_hosts_demoted", "nofollow_dropped", "canonical_variants",
+    "refresh_redirects",
 )
 
 
