@@ -65,6 +65,7 @@ class _Extractor(HTMLParser):
         self.meta: dict[str, str] = {}
         self.canonical_href: str | None = None
         self.refresh_content: str | None = None
+        self.base_href: str | None = None
 
     def handle_starttag(self, tag, attrs):
         if self._in_title and tag != "title" and tag not in _TITLE_INLINE_TAGS:
@@ -109,6 +110,15 @@ class _Extractor(HTMLParser):
                 # first http-equiv=refresh in document order wins —
                 # SEMANTICS.md §Meta refresh
                 self.refresh_content = content
+        elif tag == "base" and self.base_href is None:
+            # HTML spec: only the FIRST <base> with an href is honored; it
+            # rebases every relative URL in the document (anchors, link
+            # rel=canonical, meta refresh) — SEMANTICS.md §Text + link
+            # extraction (base honor note)
+            for k, v in attrs:
+                if k == "href" and v is not None:
+                    self.base_href = v
+                    break
         elif tag == "link" and self.canonical_href is None:
             # first <link> whose rel token list (whitespace-separated,
             # case-insensitive) contains "canonical" AND that carries an
@@ -198,6 +208,21 @@ def _parse(html: bytes | str | None) -> _Extractor:
     return p
 
 
+def _effective_base(p: _Extractor, base_url: str | None) -> str | None:
+    """The document's base URL for resolving relative references: the first
+    ``<base href>`` (itself resolved against the page URL — the base element
+    may be relative, per spec) when present, else the page URL."""
+    if p.base_href is None:
+        return base_url
+    b = p.base_href.strip()
+    if not b:
+        return base_url
+    try:
+        return urljoin(base_url or "", b)
+    except ValueError:
+        return base_url
+
+
 def _canon_links(hrefs: list[str], base_url: str | None) -> list[str]:
     links: list[str] = []
     for href in hrefs:
@@ -241,7 +266,7 @@ def extract_text_and_links(
         if looks_like_sitemap(doc):
             return "", _canon_links(sitemap_locs(doc), base_url)
     p = _parse(html)
-    return p.text(), _canon_links(p.hrefs, base_url)
+    return p.text(), _canon_links(p.hrefs, _effective_base(p, base_url))
 
 
 def extract_all(
@@ -261,7 +286,13 @@ def extract_all(
         if looks_like_sitemap(doc):
             return "", _canon_links(sitemap_locs(doc), base_url), "", [], {}
     p = _parse(html)
-    return p.text(), _canon_links(p.hrefs, base_url), p.title(), p.headings, p.meta
+    return (
+        p.text(),
+        _canon_links(p.hrefs, _effective_base(p, base_url)),
+        p.title(),
+        p.headings,
+        p.meta,
+    )
 
 
 def extract_fields(
@@ -320,7 +351,7 @@ def canonical_target(href: str | None, base_url: str | None) -> str | None:
 
 
 def meta_refresh_target(
-    content: str | None, base_url: str | None
+    content: str | None, base_url: str | None, page_url: str | None = None
 ) -> tuple[int, str] | None:
     """(delay_seconds, resolved_target) from a meta http-equiv=refresh
     content string — SEMANTICS.md §Meta refresh (normative; the oracle
@@ -329,9 +360,12 @@ def meta_refresh_target(
     first ``;`` the ``url=`` key matches case-insensitively with optional
     surrounding whitespace; the target may be wrapped in one pair of
     matching single/double quotes. The target resolves like a canonical
-    href (urljoin + canonicalize); an absent, unresolvable, or
-    SELF-pointing target yields None — a page refreshing to itself is a
-    reload, not a redirect."""
+    href (urljoin + canonicalize) against *base_url* (the document's
+    effective base — a ``<base href>`` when present); an absent,
+    unresolvable, or SELF-pointing target yields None — a page refreshing
+    to itself is a reload, not a redirect. Self is judged against
+    *page_url* (the page's own canon_url; defaults to *base_url* for
+    base-less documents)."""
     if content is None:
         return None
     head, sep, rest = content.partition(";")
@@ -347,7 +381,7 @@ def meta_refresh_target(
     if len(t) >= 2 and t[0] == t[-1] and t[0] in ("'", '"'):
         t = t[1:-1].strip()
     target = canonical_target(t, base_url)
-    if target is None or target == base_url:
+    if target is None or target == (page_url if page_url is not None else base_url):
         return None
     return int(delay_s), target
 
@@ -381,13 +415,14 @@ def extract_text_links_signals(
             )
     p = _parse(html)
     noindex, nofollow = meta_robots_flags(p.meta)
+    eb = _effective_base(p, base_url)
     return (
         p.text(),
-        _canon_links(p.hrefs, base_url),
+        _canon_links(p.hrefs, eb),
         noindex,
         nofollow,
-        canonical_target(p.canonical_href, base_url),
-        meta_refresh_target(p.refresh_content, base_url),
+        canonical_target(p.canonical_href, eb),
+        meta_refresh_target(p.refresh_content, eb, page_url=base_url),
     )
 
 
