@@ -1136,6 +1136,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.size("links").cast("long").alias("n_links"),
         )
 
+    # ---- anchor-level rel=nofollow (SEMANTICS.md §Anchor nofollow) ----
+    def _anchor_nofollow_links(s, d):
+        """The REAL anchor-nofollow extraction (operators/extract.py →
+        kernels/textextract.anchor_rel_nofollow) over pages carrying one
+        plain anchor plus a variant anchor whose rel cycles through 6
+        cases by doc_id — no rel, nofollow, mixed-case token list,
+        noopener (kept), sponsored+ugc (kept — hints are not honored),
+        and a nofollow anchor with a junk-scheme href that counts NOWHERE
+        (not a link, not a drop). DuckDB re-derives the kept-link count
+        and the dropped count from the construction rule."""
+        from indigo_crawler_spark.operators.extract import extract_pages
+
+        docs = _t(s, d, "documents")
+        page_url = F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/d/"),
+            F.col("doc_id").cast("string"),
+        )
+        variant = F.element_at(
+            F.array(
+                F.lit('<a href="/v/1">plain</a>'),
+                F.lit('<a rel="nofollow" href="/v/1">nf</a>'),
+                F.lit('<a rel=" External NoFollow " href="/v/1">nf2</a>'),
+                F.lit('<a rel="noopener noreferrer" href="/v/1">kept</a>'),
+                F.lit('<a rel="sponsored ugc" href="/v/1">hints kept</a>'),
+                F.lit('<a rel="nofollow" href="ftp://junk/x">nowhere</a>'),
+            ),
+            (F.col("doc_id") % 6).cast("int") + 1,
+        )
+        html = F.encode(
+            F.concat(
+                F.lit('<html><body><a href="/k/1">k</a>'),
+                variant,
+                F.lit("<p>"), F.col("text"), F.lit("</p></body></html>"),
+            ),
+            "UTF-8",
+        )
+        pages = docs.select(
+            page_url.alias("canon_url"), F.lit(0).alias("depth"),
+            html.alias("html"),
+        )
+        out = extract_pages(pages, anchor_nofollow=True)
+        return out.select(
+            F.col("canon_url").alias("url"),
+            F.size("links").cast("long").alias("n_links"),
+            F.col("anchor_dropped").cast("long").alias("anchor_dropped"),
+        )
+
+    q["anchor_nofollow_links"] = _anchor_nofollow_links
     q["trap_flags"] = _trap_flags
     q["domain_topk"] = _domain_topk
     q["connected_components"] = _connected_components
@@ -1469,6 +1517,16 @@ SELECT 'https://' || source || '.example.com/d/' || CAST(doc_id AS VARCHAR)
 FROM documents
 """
 
+_ANCHOR_NOFOLLOW_SQL = """
+SELECT 'https://' || source || '.example.com/d/' || CAST(doc_id AS VARCHAR)
+         AS url,
+       CAST(CASE WHEN (doc_id % 6) IN (1, 2, 5) THEN 1 ELSE 2 END AS BIGINT)
+         AS n_links,
+       CAST(CASE WHEN (doc_id % 6) IN (1, 2) THEN 1 ELSE 0 END AS BIGINT)
+         AS anchor_dropped
+FROM documents
+"""
+
 _META_ROBOTS_SQL = """
 SELECT doc_id,
        (doc_id % 7) IN (1, 3, 4, 6) AS noindex,
@@ -1621,6 +1679,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_topk": _DOMAIN_TOPK_SQL,
         "connected_components": _CONNECTED_COMPONENTS_SQL,
         "sitemap_locs": _SITEMAP_LOCS_SQL,
+        "anchor_nofollow_links": _ANCHOR_NOFOLLOW_SQL,
         "meta_robots_flags": _META_ROBOTS_SQL,
         "canonical_targets": _CANONICAL_TARGETS_SQL,
         "meta_refresh_targets": _META_REFRESH_SQL,

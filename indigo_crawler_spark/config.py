@@ -120,6 +120,15 @@ class CrawlConfig:
     # Changes results ⇒ extension field in config_hash. False disables
     # (default).
     meta_refresh_enabled: bool = False
+    # anchor-level rel=nofollow honor (SEMANTICS.md §Anchor nofollow): when
+    # True, an <a> whose rel token list contains ``nofollow`` has THAT ONE
+    # link withheld from both the link graph and frontier discovery — the
+    # link-level half of REP, complementing meta_robots_enabled's
+    # page-level half; text extraction is byte-unchanged. sponsored/ugc
+    # rel hints are deliberately not honored (endorsement qualifiers, not
+    # crawl directives). Changes results ⇒ extension field in config_hash.
+    # False disables (default).
+    anchor_nofollow_enabled: bool = False
 
     # capacity is excluded from config_hash: it is pinned PER CRAWL by the
     # bootstrap manifest (bootstrap records the override or the A3-derived
@@ -153,6 +162,7 @@ class CrawlConfig:
         "meta_robots_enabled": False,
         "rel_canonical_enabled": False,
         "meta_refresh_enabled": False,
+        "anchor_nofollow_enabled": False,
     }
 
     # dependent extensions: inert unless their master knob is on. While the

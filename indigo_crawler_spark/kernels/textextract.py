@@ -56,6 +56,7 @@ class _Extractor(HTMLParser):
         self._skip_depth = 0
         self._chunks: list[str] = []
         self.hrefs: list[str] = []
+        self.href_rels: list[str | None] = []
         self._title_chunks: list[str] = []
         self._in_title = False
         self._title_done = False
@@ -86,10 +87,19 @@ class _Extractor(HTMLParser):
         if self._skip_depth:
             return
         if tag == "a":
+            # first non-None href wins (unchanged); the anchor's rel rides
+            # alongside so anchor-level REP nofollow (SEMANTICS.md §Anchor
+            # nofollow) comes from the SAME parse — collecting it never
+            # alters the href byte stream
+            href = rel = None
             for k, v in attrs:
-                if k == "href" and v is not None:
-                    self.hrefs.append(v)
-                    break
+                if k == "href" and href is None and v is not None:
+                    href = v
+                elif k == "rel" and rel is None and v is not None:
+                    rel = v
+            if href is not None:
+                self.hrefs.append(href)
+                self.href_rels.append(rel)
         elif tag == "meta":
             name = content = equiv = None
             for k, v in attrs:
@@ -237,6 +247,44 @@ def _canon_links(hrefs: list[str], base_url: str | None) -> list[str]:
         if c is not None:
             links.append(c)
     return links
+
+
+def anchor_rel_nofollow(rel: str | None) -> bool:
+    """True when an anchor's ``rel`` token list (whitespace-separated,
+    case-insensitive — the same tokenization as rel=canonical) contains
+    ``nofollow`` — SEMANTICS.md §Anchor nofollow. ``sponsored`` / ``ugc``
+    are deliberately NOT honored: they qualify endorsement, not crawling,
+    and honoring hints would make the crawl set depend on a policy choice
+    the oracle cannot pin."""
+    return rel is not None and "nofollow" in rel.lower().split()
+
+
+def _canon_links_rels(
+    hrefs: list[str], rels: list[str | None], base_url: str | None
+) -> tuple[list[str], int]:
+    """The anchor-nofollow variant of ``_canon_links``: returns
+    (kept links, dropped count). Dropped counts ONLY anchors that would
+    otherwise have produced a link (resolvable AND canonicalizable), so per
+    page ``len(kept) + dropped == len(flag-off links)`` — the partition
+    invariant the tests pin."""
+    links: list[str] = []
+    dropped = 0
+    for href, rel in zip(hrefs, rels):
+        h = href.strip()
+        if not h:
+            continue
+        try:
+            absu = urljoin(base_url or "", h)
+        except ValueError:
+            continue
+        c = canonicalize_url(absu)
+        if c is None:
+            continue
+        if anchor_rel_nofollow(rel):
+            dropped += 1
+            continue
+        links.append(c)
+    return links, dropped
 
 
 def extract_text_and_links(
@@ -387,15 +435,23 @@ def meta_refresh_target(
 
 
 def extract_text_links_signals(
-    html: bytes | str | None, base_url: str | None, sitemap_aware: bool = False
-) -> tuple[str, list[str], bool, bool, str | None, tuple[int, str] | None]:
+    html: bytes | str | None,
+    base_url: str | None,
+    sitemap_aware: bool = False,
+    anchor_nofollow: bool = False,
+) -> tuple[
+    str, list[str], bool, bool, str | None, tuple[int, str] | None, int
+]:
     """Parse *html* once; return (text, links, noindex, nofollow,
-    canonical, refresh) — the ``extract_text_and_links`` surface plus every
-    page-level signal from the SAME parse: REP meta-robots flags
-    (cfg.meta_robots_enabled), the rel=canonical target
+    canonical, refresh, anchor_dropped) — the ``extract_text_and_links``
+    surface plus every page-level signal from the SAME parse: REP
+    meta-robots flags (cfg.meta_robots_enabled), the rel=canonical target
     (cfg.rel_canonical_enabled), and the meta-refresh redirect
     (cfg.meta_refresh_enabled; ``refresh`` is (delay, target) or None).
-    text/links are byte-identical to ``extract_text_and_links``; sitemap
+    With *anchor_nofollow* (cfg.anchor_nofollow_enabled — SEMANTICS.md
+    §Anchor nofollow) each ``<a rel=... nofollow ...>`` link is withheld
+    from ``links`` and counted in ``anchor_dropped`` (0 when off, where
+    text/links are byte-identical to ``extract_text_and_links``); sitemap
     documents under *sitemap_aware* carry none of these signals."""
     if sitemap_aware:
         from indigo_crawler_spark.kernels.sitemap import (
@@ -412,17 +468,23 @@ def extract_text_links_signals(
                 False,
                 None,
                 None,
+                0,
             )
     p = _parse(html)
     noindex, nofollow = meta_robots_flags(p.meta)
     eb = _effective_base(p, base_url)
+    if anchor_nofollow:
+        links, anchor_dropped = _canon_links_rels(p.hrefs, p.href_rels, eb)
+    else:
+        links, anchor_dropped = _canon_links(p.hrefs, eb), 0
     return (
         p.text(),
-        _canon_links(p.hrefs, eb),
+        links,
         noindex,
         nofollow,
         canonical_target(p.canonical_href, eb),
         meta_refresh_target(p.refresh_content, eb, page_url=base_url),
+        anchor_dropped,
     )
 
 
@@ -431,7 +493,7 @@ def extract_text_links_robots(
 ) -> tuple[str, list[str], bool, bool]:
     """(text, links, noindex, nofollow) — the meta-robots slice of
     ``extract_text_links_signals`` (same single parse)."""
-    text, links, noindex, nofollow, _, _ = extract_text_links_signals(
+    text, links, noindex, nofollow, _, _, _ = extract_text_links_signals(
         html, base_url, sitemap_aware
     )
     return text, links, noindex, nofollow

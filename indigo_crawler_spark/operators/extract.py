@@ -54,6 +54,7 @@ def extract_pages(
     meta_robots: bool = False,
     rel_canonical: bool = False,
     meta_refresh: bool = False,
+    anchor_nofollow: bool = False,
 ) -> DataFrame:
     """(canon_url, depth, html) → (canon_url, depth, text, links).
 
@@ -67,9 +68,13 @@ def extract_pages(
     string column (NULL = none declared/resolvable); *meta_refresh*
     (cfg.meta_refresh_enabled) APPENDS a valid foreign refresh target to
     the page's out-links and adds a boolean ``redirect`` column (True =
-    delay-0 pure redirect — SEMANTICS.md §Meta refresh). All signals come
-    from the SAME parse, so text (and links, under the default flags) stay
-    byte-identical and html still crosses Arrow exactly once.
+    delay-0 pure redirect — SEMANTICS.md §Meta refresh); *anchor_nofollow*
+    (cfg.anchor_nofollow_enabled) withholds ``<a rel=nofollow>`` links
+    from the links column and adds an int ``anchor_dropped`` count
+    (SEMANTICS.md §Anchor nofollow — a metric column, never persisted).
+    All signals come from the SAME parse, so text (and links, under the
+    default flags) stay byte-identical and html still crosses Arrow
+    exactly once.
     """
     fields = list(_OUT_SCHEMA.fields)
     if meta_robots:
@@ -81,21 +86,24 @@ def extract_pages(
         fields.append(StructField("canonical_url", StringType()))
     if meta_refresh:
         fields.append(StructField("redirect", BooleanType()))
+    if anchor_nofollow:
+        fields.append(StructField("anchor_dropped", IntegerType()))
     schema = StructType(fields)
-    any_signal = meta_robots or rel_canonical or meta_refresh
+    any_signal = meta_robots or rel_canonical or meta_refresh or anchor_nofollow
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             texts, links = [], []
-            noidx, nofol, canon, redir = [], [], [], []
+            noidx, nofol, canon, redir, adrop = [], [], [], [], []
             for html, base in zip(pdf["html"], pdf["canon_url"]):
                 if any_signal:
-                    t, ls, ni, nf, cu, rf = extract_text_links_signals(
-                        html, base, sitemap_aware
+                    t, ls, ni, nf, cu, rf, ad = extract_text_links_signals(
+                        html, base, sitemap_aware, anchor_nofollow
                     )
                     noidx.append(ni)
                     nofol.append(nf)
                     canon.append(cu)
+                    adrop.append(ad)
                     if meta_refresh and rf is not None:
                         ls = ls + [rf[1]]
                         redir.append(rf[0] == 0)
@@ -118,6 +126,8 @@ def extract_pages(
                 out["canonical_url"] = canon
             if meta_refresh:
                 out["redirect"] = redir
+            if anchor_nofollow:
+                out["anchor_dropped"] = pd.array(adrop, dtype="int32")
             yield pd.DataFrame(out)
 
     return df.select("canon_url", "depth", "html").mapInPandas(run, schema)

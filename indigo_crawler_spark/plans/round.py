@@ -837,6 +837,15 @@ def run_round(
                     F.sum(F.col("redirect").cast("int")), F.lit(0)
                 ).alias("refresh_redirects")
             )
+        if cfg.anchor_nofollow_enabled:
+            # links withheld by anchor-level rel=nofollow (SEMANTICS.md
+            # §Anchor nofollow) — dropped at extraction, so links/
+            # links_extracted/discovery/link-graph all already exclude them
+            ext_metrics.append(
+                F.coalesce(F.sum("anchor_dropped"), F.lit(0)).alias(
+                    "anchor_nofollow_dropped"
+                )
+            )
         extracted = (
             extract_pages(
                 fetched,
@@ -844,6 +853,7 @@ def run_round(
                 meta_robots=cfg.meta_robots_enabled,
                 rel_canonical=cfg.rel_canonical_enabled,
                 meta_refresh=cfg.meta_refresh_enabled,
+                anchor_nofollow=cfg.anchor_nofollow_enabled,
             )
             .observe(ext_obs, *ext_metrics)
             .cache()
@@ -1198,6 +1208,10 @@ def run_round(
         counters["canonical_variants"] = _obs_int(ext_obs, "canonical_variants")
     if cfg.meta_refresh_enabled:
         counters["refresh_redirects"] = _obs_int(ext_obs, "refresh_redirects")
+    if cfg.anchor_nofollow_enabled:
+        counters["anchor_nofollow_dropped"] = _obs_int(
+            ext_obs, "anchor_nofollow_dropped"
+        )
     if tm is not None:
         import sys
 

@@ -267,6 +267,12 @@ def main(argv: list[str] | None = None) -> int:
         "delay-0 pure redirects are excluded from the corpus export",
     )
     ap.add_argument(
+        "--anchor-nofollow", action="store_true",
+        help="honor anchor-level rel=nofollow: an <a rel=nofollow> link is "
+        "withheld from discovery and the link graph (the link-level half "
+        "of REP; page text unchanged)",
+    )
+    ap.add_argument(
         "--pagerank-every", type=int, default=0,
         help="link-graph prioritization: every Nth round, re-score the "
         "outgoing frontier with integer PageRank over the accumulated "
@@ -341,6 +347,7 @@ def main(argv: list[str] | None = None) -> int:
         meta_robots_enabled=args.meta_robots,
         rel_canonical_enabled=args.rel_canonical,
         meta_refresh_enabled=args.meta_refresh,
+        anchor_nofollow_enabled=args.anchor_nofollow,
     )
     state = CrawlState(io=TableIO(spark, args.state_dir), cfg=cfg)
 

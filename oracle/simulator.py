@@ -249,6 +249,8 @@ class OracleCrawl:
             counters["canonical_variants"] = 0
         if cfg.meta_refresh_enabled:
             counters["refresh_redirects"] = 0
+        if cfg.anchor_nofollow_enabled:
+            counters["anchor_nofollow_dropped"] = 0
 
         # 1-2. gates
         eligible: list[FrontierRow] = []
@@ -357,12 +359,21 @@ class OracleCrawl:
                 cfg.meta_robots_enabled
                 or cfg.rel_canonical_enabled
                 or cfg.meta_refresh_enabled
+                or cfg.anchor_nofollow_enabled
             ):
-                text, links, noindex, nofollow, canonical, refresh = (
+                text, links, noindex, nofollow, canonical, refresh, adrop = (
                     extract_text_links_signals(
-                        page["html"], row.canon_url, cfg.sitemaps_enabled
+                        page["html"],
+                        row.canon_url,
+                        cfg.sitemaps_enabled,
+                        cfg.anchor_nofollow_enabled,
                     )
                 )
+                if cfg.anchor_nofollow_enabled:
+                    # anchor-level rel=nofollow (mirror of extract_pages —
+                    # SEMANTICS.md §Anchor nofollow): the links list already
+                    # excludes the withheld anchors; count them here
+                    counters["anchor_nofollow_dropped"] += adrop
                 if cfg.meta_robots_enabled:
                     # latest fetch wins: a recrawl without the directive
                     # clears it
