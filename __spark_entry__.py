@@ -1183,6 +1183,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("anchor_dropped").cast("long").alias("anchor_dropped"),
         )
 
+    # ---- tracking-parameter stripping (SEMANTICS.md §Tracking params) ----
+    def _strip_tracking(s, d):
+        """The REAL strip-tracking canonicalization (functions/udfs.
+        make_canonicalize_udf(True) → kernels/canonicalize.
+        strip_tracking_params) over urls whose query cycles through 6
+        cases by doc_id — tracked+real mix, tracked-only (the '?' must
+        drop), tracked between real survivors, no query, mixed-case
+        tracked key, and a %-escaped key that must SURVIVE (keys compare
+        raw bytes). DuckDB re-derives the strip independently with its
+        list functions over the same token grammar."""
+        from indigo_crawler_spark.functions.udfs import make_canonicalize_udf
+
+        docs = _t(s, d, "documents")
+        base = F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+        )
+        qs = F.element_at(
+            F.array(
+                F.concat(
+                    F.lit("utm_source=feed&page="),
+                    (F.col("doc_id") % 10).cast("string"),
+                ),
+                F.concat(F.lit("gclid=g"), F.col("doc_id").cast("string")),
+                F.lit("a=1&fbclid=x&b=2"),
+                F.lit(""),
+                F.concat(
+                    F.lit("UTM_Campaign=c&q="),
+                    (F.col("doc_id") % 5).cast("string"),
+                ),
+                F.lit("utm%5Fsource=e"),
+            ),
+            (F.col("doc_id") % 6).cast("int") + 1,
+        )
+        url = F.concat(
+            base,
+            F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)),
+        )
+        return docs.select(
+            url.alias("url"),
+            make_canonicalize_udf(True)(url).alias("stripped"),
+        )
+
+    q["strip_tracking"] = _strip_tracking
     q["anchor_nofollow_links"] = _anchor_nofollow_links
     q["trap_flags"] = _trap_flags
     q["domain_topk"] = _domain_topk
@@ -1517,6 +1561,42 @@ SELECT 'https://' || source || '.example.com/d/' || CAST(doc_id AS VARCHAR)
 FROM documents
 """
 
+# independent re-derivation of kernels/canonicalize.strip_tracking_params:
+# same token grammar (split on '&', key = bytes before the first '=', the
+# whole token when '=' is absent, lowercased key vs the pinned set), same
+# pinned TRACKING_PARAMS list, survivors keep bytes and order, a query
+# stripped empty drops its '?'
+_STRIP_TRACKING_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/p/'
+           || CAST(doc_id AS VARCHAR) AS base,
+         CASE CAST(doc_id % 6 AS INTEGER)
+           WHEN 0 THEN 'utm_source=feed&page=' || CAST(doc_id % 10 AS VARCHAR)
+           WHEN 1 THEN 'gclid=g' || CAST(doc_id AS VARCHAR)
+           WHEN 2 THEN 'a=1&fbclid=x&b=2'
+           WHEN 3 THEN ''
+           WHEN 4 THEN 'UTM_Campaign=c&q=' || CAST(doc_id % 5 AS VARCHAR)
+           WHEN 5 THEN 'utm%5Fsource=e'
+         END AS qs
+  FROM documents
+),
+s AS (
+  SELECT base, qs,
+         -- array_to_string of an EMPTY list is NULL in DuckDB, not ''
+         COALESCE(array_to_string(list_filter(string_split(qs, '&'),
+           x -> NOT list_contains(
+             ['utm_source','utm_medium','utm_campaign','utm_term',
+              'utm_content','utm_id','gclid','dclid','fbclid','msclkid',
+              'yclid','twclid','igshid','mc_cid','mc_eid'],
+             lower(split_part(x, '=', 1)))), '&'), '') AS kept
+  FROM u
+)
+SELECT base || CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS url,
+       base || CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS stripped
+FROM s
+"""
+
 _ANCHOR_NOFOLLOW_SQL = """
 SELECT 'https://' || source || '.example.com/d/' || CAST(doc_id AS VARCHAR)
          AS url,
@@ -1680,6 +1760,7 @@ def oracle_sql() -> dict[str, str]:
         "connected_components": _CONNECTED_COMPONENTS_SQL,
         "sitemap_locs": _SITEMAP_LOCS_SQL,
         "anchor_nofollow_links": _ANCHOR_NOFOLLOW_SQL,
+        "strip_tracking": _STRIP_TRACKING_SQL,
         "meta_robots_flags": _META_ROBOTS_SQL,
         "canonical_targets": _CANONICAL_TARGETS_SQL,
         "meta_refresh_targets": _META_REFRESH_SQL,

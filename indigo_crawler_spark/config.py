@@ -129,6 +129,18 @@ class CrawlConfig:
     # crawl directives). Changes results ⇒ extension field in config_hash.
     # False disables (default).
     anchor_nofollow_enabled: bool = False
+    # tracking-parameter stripping (SEMANTICS.md §Tracking parameters): when
+    # True, canonicalization EVERYWHERE (seeds, page store, discovered
+    # links, rel=canonical targets, meta-refresh targets, inject/retire,
+    # streaming ingest) drops query parameters whose key is in the pinned
+    # kernels/canonicalize.TRACKING_PARAMS set, so ``?utm_source=…``
+    # variants of one resource share one canon_url — one seen-set key, one
+    # frontier row, one politeness slot. At 10^10-URL scale tracked-link
+    # echoes mint unbounded per-resource URL families; collapsing them at
+    # the key is the difference between crawling a corpus and crawling a
+    # marketing graph. Changes results ⇒ extension field in config_hash.
+    # False disables (default — keys byte-identical to pre-knob crawls).
+    strip_tracking_enabled: bool = False
 
     # capacity is excluded from config_hash: it is pinned PER CRAWL by the
     # bootstrap manifest (bootstrap records the override or the A3-derived
@@ -163,6 +175,7 @@ class CrawlConfig:
         "rel_canonical_enabled": False,
         "meta_refresh_enabled": False,
         "anchor_nofollow_enabled": False,
+        "strip_tracking_enabled": False,
     }
 
     # dependent extensions: inert unless their master knob is on. While the

@@ -31,6 +31,23 @@ def canonicalize_udf(urls: pd.Series) -> pd.Series:
     return urls.map(lambda u: canonicalize_url(u) if isinstance(u, str) else None)
 
 
+def make_canonicalize_udf(strip_tracking: bool = False):
+    """pandas_udf canonicalizing with cfg.strip_tracking_enabled threaded —
+    SEMANTICS.md §Tracking parameters. Flag-off returns the module-level
+    ``canonicalize_udf`` instance itself, so default-path plans are
+    object-identical to pre-knob plans (no new UDF registration)."""
+    if not strip_tracking:
+        return canonicalize_udf
+
+    @F.pandas_udf(StringType())
+    def _canonicalize_strip(urls: pd.Series) -> pd.Series:
+        return urls.map(
+            lambda u: canonicalize_url(u, True) if isinstance(u, str) else None
+        )
+
+    return _canonicalize_strip
+
+
 def make_robots_allowed_udf(user_agent: str):
     """pandas_udf gating on *user_agent* — built per config so a non-default
     agent actually reaches the parser (the oracle passes cfg.user_agent; the

@@ -81,12 +81,66 @@ def _remove_dot_segments(path: str) -> str:
     return "".join(out)
 
 
-def canonicalize_url(url: str | None) -> str | None:
+# Tracking-parameter keys stripped under cfg.strip_tracking_enabled —
+# SEMANTICS.md §Tracking parameters. Pinned, closed set (adding a key is a
+# semantic change: it alters seen-set keys, so it must ride a config-hash
+# change via a new engine release, never a runtime knob). Keys compare
+# case-insensitively against the RAW bytes before the first ``=`` of each
+# ``&``-separated query token; surviving tokens keep their original bytes
+# and relative order, and a query stripped empty drops its ``?``.
+TRACKING_PARAMS = frozenset(
+    {
+        "utm_source",
+        "utm_medium",
+        "utm_campaign",
+        "utm_term",
+        "utm_content",
+        "utm_id",
+        "gclid",
+        "dclid",
+        "fbclid",
+        "msclkid",
+        "yclid",
+        "twclid",
+        "igshid",
+        "mc_cid",
+        "mc_eid",
+    }
+)
+
+
+def strip_tracking_params(query: str) -> str:
+    """Drop tracking parameters from a canonical-form query string.
+
+    Token grammar mirrors what servers actually key on: split on ``&``, a
+    token's key is everything before its first ``=`` (the whole token when
+    ``=`` is absent), compared lowercased against TRACKING_PARAMS. No
+    percent-decoding of keys (a %-escaped ``utm_source`` is a different
+    byte key and survives — deterministic beats clever here).
+    """
+    if not query:
+        return query
+    kept = [
+        tok
+        for tok in query.split("&")
+        if tok.partition("=")[0].lower() not in TRACKING_PARAMS
+    ]
+    return "&".join(kept)
+
+
+def canonicalize_url(url: str | None, strip_tracking: bool = False) -> str | None:
     """Return the canonical form of *url*, or None if rejected (quarantine).
 
     Rules pinned in SEMANTICS.md: lowercase scheme/host, strip fragment and
     default port, percent-normalize then dot-collapse the path, empty path →
     "/", query preserved byte-for-byte (lone "?" dropped), no IDN transform.
+
+    With *strip_tracking* (cfg.strip_tracking_enabled — SEMANTICS.md
+    §Tracking parameters) the canonical query additionally drops
+    TRACKING_PARAMS tokens, so ``?utm_source=…`` variants of one resource
+    share one canon_url (one seen-set key, one frontier row, one politeness
+    slot). Default off: flag-off output is byte-identical to every crawl
+    committed before the knob existed.
     """
     if url is None:
         return None
@@ -123,6 +177,8 @@ def canonicalize_url(url: str | None) -> str | None:
         path = "/"
 
     query = parts.query  # byte-for-byte; urlsplit gives '' for both absent and lone '?'
+    if strip_tracking and query:
+        query = strip_tracking_params(query)
     if query:
         return f"{scheme}://{netloc}{path}?{query}"
     return f"{scheme}://{netloc}{path}"

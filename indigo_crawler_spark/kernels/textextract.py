@@ -233,7 +233,9 @@ def _effective_base(p: _Extractor, base_url: str | None) -> str | None:
         return base_url
 
 
-def _canon_links(hrefs: list[str], base_url: str | None) -> list[str]:
+def _canon_links(
+    hrefs: list[str], base_url: str | None, strip_tracking: bool = False
+) -> list[str]:
     links: list[str] = []
     for href in hrefs:
         h = href.strip()
@@ -243,7 +245,7 @@ def _canon_links(hrefs: list[str], base_url: str | None) -> list[str]:
             absu = urljoin(base_url or "", h)
         except ValueError:
             continue
-        c = canonicalize_url(absu)
+        c = canonicalize_url(absu, strip_tracking)
         if c is not None:
             links.append(c)
     return links
@@ -260,7 +262,10 @@ def anchor_rel_nofollow(rel: str | None) -> bool:
 
 
 def _canon_links_rels(
-    hrefs: list[str], rels: list[str | None], base_url: str | None
+    hrefs: list[str],
+    rels: list[str | None],
+    base_url: str | None,
+    strip_tracking: bool = False,
 ) -> tuple[list[str], int]:
     """The anchor-nofollow variant of ``_canon_links``: returns
     (kept links, dropped count). Dropped counts ONLY anchors that would
@@ -277,7 +282,7 @@ def _canon_links_rels(
             absu = urljoin(base_url or "", h)
         except ValueError:
             continue
-        c = canonicalize_url(absu)
+        c = canonicalize_url(absu, strip_tracking)
         if c is None:
             continue
         if anchor_rel_nofollow(rel):
@@ -288,7 +293,10 @@ def _canon_links_rels(
 
 
 def extract_text_and_links(
-    html: bytes | str | None, base_url: str | None, sitemap_aware: bool = False
+    html: bytes | str | None,
+    base_url: str | None,
+    sitemap_aware: bool = False,
+    strip_tracking: bool = False,
 ) -> tuple[str, list[str]]:
     """Parse *html* once; return (visible_text, canonical out-links in order).
 
@@ -312,13 +320,18 @@ def extract_text_and_links(
 
         doc = _decode(html)
         if looks_like_sitemap(doc):
-            return "", _canon_links(sitemap_locs(doc), base_url)
+            return "", _canon_links(sitemap_locs(doc), base_url, strip_tracking)
     p = _parse(html)
-    return p.text(), _canon_links(p.hrefs, _effective_base(p, base_url))
+    return p.text(), _canon_links(
+        p.hrefs, _effective_base(p, base_url), strip_tracking
+    )
 
 
 def extract_all(
-    html: bytes | str | None, base_url: str | None, sitemap_aware: bool = False
+    html: bytes | str | None,
+    base_url: str | None,
+    sitemap_aware: bool = False,
+    strip_tracking: bool = False,
 ) -> tuple[str, list[str], str, list[str], dict[str, str]]:
     """Parse *html* once; return (text, links, title, headings, meta) — the
     structured-record extraction surface. text/links are byte-identical to
@@ -332,11 +345,17 @@ def extract_all(
 
         doc = _decode(html)
         if looks_like_sitemap(doc):
-            return "", _canon_links(sitemap_locs(doc), base_url), "", [], {}
+            return (
+                "",
+                _canon_links(sitemap_locs(doc), base_url, strip_tracking),
+                "",
+                [],
+                {},
+            )
     p = _parse(html)
     return (
         p.text(),
-        _canon_links(p.hrefs, _effective_base(p, base_url)),
+        _canon_links(p.hrefs, _effective_base(p, base_url), strip_tracking),
         p.title(),
         p.headings,
         p.meta,
@@ -380,7 +399,9 @@ def meta_robots_flags(meta: dict[str, str]) -> tuple[bool, bool]:
     return noindex, nofollow
 
 
-def canonical_target(href: str | None, base_url: str | None) -> str | None:
+def canonical_target(
+    href: str | None, base_url: str | None, strip_tracking: bool = False
+) -> str | None:
     """Resolve a ``<link rel="canonical">`` href to a canonical URL —
     SEMANTICS.md §Canonical link: ``urljoin(base, href)`` then
     ``canonicalize_url``; an unresolvable or rejected href (junk scheme,
@@ -395,11 +416,14 @@ def canonical_target(href: str | None, base_url: str | None) -> str | None:
         absu = urljoin(base_url or "", h)
     except ValueError:
         return None
-    return canonicalize_url(absu)
+    return canonicalize_url(absu, strip_tracking)
 
 
 def meta_refresh_target(
-    content: str | None, base_url: str | None, page_url: str | None = None
+    content: str | None,
+    base_url: str | None,
+    page_url: str | None = None,
+    strip_tracking: bool = False,
 ) -> tuple[int, str] | None:
     """(delay_seconds, resolved_target) from a meta http-equiv=refresh
     content string — SEMANTICS.md §Meta refresh (normative; the oracle
@@ -428,7 +452,7 @@ def meta_refresh_target(
     t = r[4:].strip()
     if len(t) >= 2 and t[0] == t[-1] and t[0] in ("'", '"'):
         t = t[1:-1].strip()
-    target = canonical_target(t, base_url)
+    target = canonical_target(t, base_url, strip_tracking)
     if target is None or target == (page_url if page_url is not None else base_url):
         return None
     return int(delay_s), target
@@ -439,6 +463,7 @@ def extract_text_links_signals(
     base_url: str | None,
     sitemap_aware: bool = False,
     anchor_nofollow: bool = False,
+    strip_tracking: bool = False,
 ) -> tuple[
     str, list[str], bool, bool, str | None, tuple[int, str] | None, int
 ]:
@@ -463,7 +488,7 @@ def extract_text_links_signals(
         if looks_like_sitemap(doc):
             return (
                 "",
-                _canon_links(sitemap_locs(doc), base_url),
+                _canon_links(sitemap_locs(doc), base_url, strip_tracking),
                 False,
                 False,
                 None,
@@ -474,26 +499,33 @@ def extract_text_links_signals(
     noindex, nofollow = meta_robots_flags(p.meta)
     eb = _effective_base(p, base_url)
     if anchor_nofollow:
-        links, anchor_dropped = _canon_links_rels(p.hrefs, p.href_rels, eb)
+        links, anchor_dropped = _canon_links_rels(
+            p.hrefs, p.href_rels, eb, strip_tracking
+        )
     else:
-        links, anchor_dropped = _canon_links(p.hrefs, eb), 0
+        links, anchor_dropped = _canon_links(p.hrefs, eb, strip_tracking), 0
     return (
         p.text(),
         links,
         noindex,
         nofollow,
-        canonical_target(p.canonical_href, eb),
-        meta_refresh_target(p.refresh_content, eb, page_url=base_url),
+        canonical_target(p.canonical_href, eb, strip_tracking),
+        meta_refresh_target(
+            p.refresh_content, eb, page_url=base_url, strip_tracking=strip_tracking
+        ),
         anchor_dropped,
     )
 
 
 def extract_text_links_robots(
-    html: bytes | str | None, base_url: str | None, sitemap_aware: bool = False
+    html: bytes | str | None,
+    base_url: str | None,
+    sitemap_aware: bool = False,
+    strip_tracking: bool = False,
 ) -> tuple[str, list[str], bool, bool]:
     """(text, links, noindex, nofollow) — the meta-robots slice of
     ``extract_text_links_signals`` (same single parse)."""
     text, links, noindex, nofollow, _, _, _ = extract_text_links_signals(
-        html, base_url, sitemap_aware
+        html, base_url, sitemap_aware, strip_tracking=strip_tracking
     )
     return text, links, noindex, nofollow

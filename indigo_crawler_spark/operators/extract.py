@@ -55,6 +55,7 @@ def extract_pages(
     rel_canonical: bool = False,
     meta_refresh: bool = False,
     anchor_nofollow: bool = False,
+    strip_tracking: bool = False,
 ) -> DataFrame:
     """(canon_url, depth, html) → (canon_url, depth, text, links).
 
@@ -98,7 +99,7 @@ def extract_pages(
             for html, base in zip(pdf["html"], pdf["canon_url"]):
                 if any_signal:
                     t, ls, ni, nf, cu, rf, ad = extract_text_links_signals(
-                        html, base, sitemap_aware, anchor_nofollow
+                        html, base, sitemap_aware, anchor_nofollow, strip_tracking
                     )
                     noidx.append(ni)
                     nofol.append(nf)
@@ -110,7 +111,9 @@ def extract_pages(
                     else:
                         redir.append(False)
                 else:
-                    t, ls = extract_text_and_links(html, base, sitemap_aware)
+                    t, ls = extract_text_and_links(
+                        html, base, sitemap_aware, strip_tracking
+                    )
                 texts.append(t)
                 links.append(ls)
             out = {
@@ -133,7 +136,9 @@ def extract_pages(
     return df.select("canon_url", "depth", "html").mapInPandas(run, schema)
 
 
-def extract_pages_with_fields(df: DataFrame, sitemap_aware: bool = False) -> DataFrame:
+def extract_pages_with_fields(
+    df: DataFrame, sitemap_aware: bool = False, strip_tracking: bool = False
+) -> DataFrame:
     """(canon_url, depth, html) → (…, text, links, title, headings, meta) —
     the structured-record extraction the reference's listing-page parser
     produced ([P], SURVEY.md §1.1): title, h1-h3 headings in document order,
@@ -145,7 +150,9 @@ def extract_pages_with_fields(df: DataFrame, sitemap_aware: bool = False) -> Dat
         for pdf in batches:
             texts, links, titles, heads, metas = [], [], [], [], []
             for html, base in zip(pdf["html"], pdf["canon_url"]):
-                t, ls, ti, hs, me = extract_all(html, base, sitemap_aware)
+                t, ls, ti, hs, me = extract_all(
+                    html, base, sitemap_aware, strip_tracking
+                )
                 texts.append(t)
                 links.append(ls)
                 titles.append(ti)

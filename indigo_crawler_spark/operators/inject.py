@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 
 from indigo_crawler_spark.functions.keys import host_expr, host_hash_expr, pk_expr
 from indigo_crawler_spark.functions.scoring import priority_expr
-from indigo_crawler_spark.functions.udfs import canonicalize_udf
+from indigo_crawler_spark.functions.udfs import make_canonicalize_udf
 from indigo_crawler_spark.operators.dedup import dedup_min_by
 from indigo_crawler_spark.plans import schemas
 
@@ -66,7 +66,9 @@ def inject_seeds(state, urls: DataFrame, seed_rank: int = 0) -> int:
         )
 
     ranked = urls.select(
-        canonicalize_udf(F.col("url")).alias("canon_url"),
+        make_canonicalize_udf(cfg.strip_tracking_enabled)(F.col("url")).alias(
+            "canon_url"
+        ),
         (
             F.col("seed_rank").cast("int")
             if "seed_rank" in urls.columns

@@ -38,7 +38,7 @@ from indigo_crawler_spark.functions.keys import (
     pk_expr,
     url_hash_expr,
 )
-from indigo_crawler_spark.functions.udfs import canonicalize_udf
+from indigo_crawler_spark.functions.udfs import make_canonicalize_udf
 from indigo_crawler_spark.plans import schemas
 
 
@@ -58,7 +58,11 @@ def retire_urls(state, urls: DataFrame) -> int:
     done = last_complete_round(state)
     live_seen = state.seen_through((done + 1) if done is not None else 0)
     keyed = (
-        urls.select(canonicalize_udf(F.col("url")).alias("canon_url"))
+        urls.select(
+            make_canonicalize_udf(cfg.strip_tracking_enabled)(F.col("url")).alias(
+                "canon_url"
+            )
+        )
         .where(F.col("canon_url").isNotNull())
         .distinct()
         .join(live_seen.select("canon_url"), on="canon_url", how="left_semi")

@@ -41,7 +41,7 @@ from indigo_crawler_spark.functions.keys import (
     url_hash_expr,
 )
 from indigo_crawler_spark.functions.scoring import priority_expr
-from indigo_crawler_spark.functions.udfs import canonicalize_udf
+from indigo_crawler_spark.functions.udfs import make_canonicalize_udf
 from indigo_crawler_spark.operators.dedup import dedup_min_by
 from indigo_crawler_spark.operators.extract import extract_pages
 from indigo_crawler_spark.operators.gates import gate_frontier
@@ -395,8 +395,12 @@ class CrawlState:
         ]
 
 
-def _canonicalized(df: DataFrame, url_col: str = "url") -> DataFrame:
-    return df.withColumn("canon_url", canonicalize_udf(F.col(url_col)))
+def _canonicalized(
+    df: DataFrame, url_col: str = "url", strip_tracking: bool = False
+) -> DataFrame:
+    return df.withColumn(
+        "canon_url", make_canonicalize_udf(strip_tracking)(F.col(url_col))
+    )
 
 
 def derived_filter_capacity(distinct_urls_est: int, cfg: CrawlConfig) -> int:
@@ -442,7 +446,7 @@ def bootstrap(
     del with_counters
     pages_obs = Observation()
     pc = (
-        _canonicalized(pages)
+        _canonicalized(pages, strip_tracking=cfg.strip_tracking_enabled)
         .drop("text")
         .observe(
             pages_obs,
@@ -509,7 +513,9 @@ def bootstrap(
 
         # round-0 frontier from seeds: dedup per canon_url keep min seed_rank
         seeds_obs = Observation()
-        sc = _canonicalized(seeds).observe(
+        sc = _canonicalized(
+            seeds, strip_tracking=cfg.strip_tracking_enabled
+        ).observe(
             seeds_obs, _sum0(F.col("canon_url").isNull()).alias("quarantined")
         )
         sc = sc.where(F.col("canon_url").isNotNull()).select(
@@ -530,7 +536,11 @@ def bootstrap(
                 robots.select(
                     F.explode(robots_sitemaps_udf(F.col("robots_txt"))).alias("url")
                 )
-                .select(canonicalize_udf(F.col("url")).alias("canon_url"))
+                .select(
+                    make_canonicalize_udf(cfg.strip_tracking_enabled)(
+                        F.col("url")
+                    ).alias("canon_url")
+                )
                 .where(F.col("canon_url").isNotNull())
                 .observe(sitemap_obs, F.count(F.lit(1)).alias("sitemap_seed_urls"))
                 .select("canon_url", F.lit(None).cast("int").alias("seed_rank"))
@@ -854,6 +864,7 @@ def run_round(
                 rel_canonical=cfg.rel_canonical_enabled,
                 meta_refresh=cfg.meta_refresh_enabled,
                 anchor_nofollow=cfg.anchor_nofollow_enabled,
+                strip_tracking=cfg.strip_tracking_enabled,
             )
             .observe(ext_obs, *ext_metrics)
             .cache()

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from indigo_crawler_spark.functions.keys import host_expr, host_hash_expr, pk_expr
-from indigo_crawler_spark.functions.udfs import canonicalize_udf
+from indigo_crawler_spark.functions.udfs import make_canonicalize_udf
 from indigo_crawler_spark.operators.dedup import dedup_min_by
 from indigo_crawler_spark.plans.round import CrawlState, last_complete_round, run_round
 
@@ -42,7 +42,10 @@ def ingest_pages(batch_df: DataFrame, state: CrawlState) -> None:
     fetch time by ``CrawlState.fetchable_store`` with the same tie-break."""
     cfg = state.cfg
     pc = (
-        batch_df.withColumn("canon_url", canonicalize_udf(F.col("url")))
+        batch_df.withColumn(
+            "canon_url",
+            make_canonicalize_udf(cfg.strip_tracking_enabled)(F.col("url")),
+        )
         .where(F.col("canon_url").isNotNull())
         .withColumn("host", host_expr("canon_url"))
     )

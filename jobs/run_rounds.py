@@ -273,6 +273,12 @@ def main(argv: list[str] | None = None) -> int:
         "of REP; page text unchanged)",
     )
     ap.add_argument(
+        "--strip-tracking", action="store_true",
+        help="strip tracking query parameters (utm_*, gclid, fbclid, …) at "
+        "canonicalization everywhere, so tracked-link variants of one "
+        "resource share one canon_url / seen-set key / politeness slot",
+    )
+    ap.add_argument(
         "--pagerank-every", type=int, default=0,
         help="link-graph prioritization: every Nth round, re-score the "
         "outgoing frontier with integer PageRank over the accumulated "
@@ -348,6 +354,7 @@ def main(argv: list[str] | None = None) -> int:
         rel_canonical_enabled=args.rel_canonical,
         meta_refresh_enabled=args.meta_refresh,
         anchor_nofollow_enabled=args.anchor_nofollow,
+        strip_tracking_enabled=args.strip_tracking,
     )
     state = CrawlState(io=TableIO(spark, args.state_dir), cfg=cfg)
 

@@ -67,11 +67,15 @@ class OracleCrawl:
 
     def __init__(self, pages, seeds, robots, host_budgets, cfg: CrawlConfig | None = None):
         self.cfg = cfg or CrawlConfig()
+        # cfg.strip_tracking_enabled threads into EVERY canonicalization —
+        # SEMANTICS.md §Tracking parameters (mirror of the engine, where
+        # make_canonicalize_udf / the extract kernels carry the same flag)
+        st = self.cfg.strip_tracking_enabled
         # --- page store: canonicalize, dedup per canon_url keep min (warc_ts, url)
         self.store: dict[str, dict] = {}
         quarantined = 0
         for row in pages:
-            c = canonicalize_url(row["url"])
+            c = canonicalize_url(row["url"], st)
             if c is None:
                 quarantined += 1
                 continue
@@ -95,7 +99,7 @@ class OracleCrawl:
         best: dict[str, int | None] = {}
         self.quarantined_seeds = 0
         for s in seeds:
-            c = canonicalize_url(s["url"])
+            c = canonicalize_url(s["url"], st)
             if c is None:
                 self.quarantined_seeds += 1
                 continue
@@ -108,7 +112,7 @@ class OracleCrawl:
         if self.cfg.sitemaps_enabled and self.cfg.robots_enabled:
             for txt in self.robots.values():
                 for u in robots_sitemaps(txt):
-                    c = canonicalize_url(u)
+                    c = canonicalize_url(u, st)
                     if c is None:
                         continue
                     self.sitemap_seed_urls += 1
@@ -150,7 +154,7 @@ class OracleCrawl:
         host_count (the priority input) intentionally stays frozen at its
         bootstrap value — see streaming/skin.py docstring."""
         for row in pages:
-            c = canonicalize_url(row["url"])
+            c = canonicalize_url(row["url"], self.cfg.strip_tracking_enabled)
             if c is None:
                 continue
             cur = self.store.get(c)
@@ -164,7 +168,7 @@ class OracleCrawl:
         set (re-crawlable on rediscovery); unknown urls are no-ops."""
         n = 0
         for u in urls:
-            c = canonicalize_url(u)
+            c = canonicalize_url(u, self.cfg.strip_tracking_enabled)
             if c is not None and c in self.seen:
                 del self.seen[c]
                 n += 1
@@ -179,7 +183,7 @@ class OracleCrawl:
         (unknown host -> 0)."""
         best: dict[str, int] = {}
         for u in urls:
-            c = canonicalize_url(u)
+            c = canonicalize_url(u, self.cfg.strip_tracking_enabled)
             if c is None:
                 continue
             if c not in best or seed_rank < best[c]:
@@ -367,6 +371,7 @@ class OracleCrawl:
                         row.canon_url,
                         cfg.sitemaps_enabled,
                         cfg.anchor_nofollow_enabled,
+                        cfg.strip_tracking_enabled,
                     )
                 )
                 if cfg.anchor_nofollow_enabled:
@@ -402,7 +407,10 @@ class OracleCrawl:
                         self.redirects.discard(row.canon_url)
             else:
                 text, links = extract_text_and_links(
-                    page["html"], row.canon_url, cfg.sitemaps_enabled
+                    page["html"],
+                    row.canon_url,
+                    cfg.sitemaps_enabled,
+                    cfg.strip_tracking_enabled,
                 )
                 nofollow = False
             res.texts[row.canon_url] = text
