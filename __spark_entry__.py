@@ -1226,6 +1226,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             make_canonicalize_udf(True)(url).alias("stripped"),
         )
 
+    # ---- exclude-pattern gate (SEMANTICS.md §Exclude patterns) ----
+    def _exclude_gate(s, d):
+        """The REAL functions/traps.exclude_expr (OR-fold of rlike over
+        cfg.exclude_patterns — kernels/traps.matches_exclude semantics)
+        over urls whose path cycles through 6 shapes by doc_id: a logout
+        link, a cart path, a facet query (?sort=), a binary (.exe tail),
+        a plain article, and a page with 'sort' as a PATH segment (must
+        NOT match the [?&]sort= pattern — anchoring matters). DuckDB
+        re-derives the flag with regexp_matches over the same patterns."""
+        from indigo_crawler_spark.config import CrawlConfig
+        from indigo_crawler_spark.functions.traps import exclude_expr
+
+        cfg = CrawlConfig(
+            exclude_patterns=("/logout", "/cart/", r"[?&]sort=", r"\.exe$")
+        )
+        docs = _t(s, d, "documents")
+        tail = F.element_at(
+            F.array(
+                F.lit("account/logout"),
+                F.concat(F.lit("cart/item"), (F.col("doc_id") % 7).cast("string")),
+                F.concat(
+                    F.lit("list?page="), (F.col("doc_id") % 9).cast("string"),
+                    F.lit("&sort=price"),
+                ),
+                F.concat(F.lit("dl/setup"), (F.col("doc_id") % 5).cast("string"), F.lit(".exe")),
+                F.concat(F.lit("article/"), (F.col("doc_id") % 13).cast("string")),
+                F.concat(F.lit("sort/guide"), (F.col("doc_id") % 3).cast("string")),
+            ),
+            (F.col("doc_id") % 6).cast("int") + 1,
+        )
+        url = F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/"), tail
+        )
+        return docs.select(
+            "doc_id",
+            url.alias("url"),
+            exclude_expr(url, cfg).alias("excluded"),
+        )
+
+    q["exclude_gate"] = _exclude_gate
     q["strip_tracking"] = _strip_tracking
     q["anchor_nofollow_links"] = _anchor_nofollow_links
     q["trap_flags"] = _trap_flags
@@ -1561,6 +1601,31 @@ SELECT 'https://' || source || '.example.com/d/' || CAST(doc_id AS VARCHAR)
 FROM documents
 """
 
+# independent re-derivation of functions/traps.exclude_expr: the same 4
+# patterns under RE2 regexp_matches (partial match, same as rlike/re.search
+# on the pinned common dialect subset — SEMANTICS.md §Exclude patterns)
+_EXCLUDE_GATE_SQL = r"""
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/' ||
+         CASE CAST(doc_id % 6 AS INTEGER)
+           WHEN 0 THEN 'account/logout'
+           WHEN 1 THEN 'cart/item' || CAST(doc_id % 7 AS VARCHAR)
+           WHEN 2 THEN 'list?page=' || CAST(doc_id % 9 AS VARCHAR)
+                       || '&sort=price'
+           WHEN 3 THEN 'dl/setup' || CAST(doc_id % 5 AS VARCHAR) || '.exe'
+           WHEN 4 THEN 'article/' || CAST(doc_id % 13 AS VARCHAR)
+           WHEN 5 THEN 'sort/guide' || CAST(doc_id % 3 AS VARCHAR)
+         END AS url
+  FROM documents
+)
+SELECT doc_id, url,
+       (regexp_matches(url, '/logout') OR regexp_matches(url, '/cart/')
+        OR regexp_matches(url, '[?&]sort=')
+        OR regexp_matches(url, '\.exe$')) AS excluded
+FROM u
+"""
+
 # independent re-derivation of kernels/canonicalize.strip_tracking_params:
 # same token grammar (split on '&', key = bytes before the first '=', the
 # whole token when '=' is absent, lowercased key vs the pinned set), same
@@ -1761,6 +1826,7 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_locs": _SITEMAP_LOCS_SQL,
         "anchor_nofollow_links": _ANCHOR_NOFOLLOW_SQL,
         "strip_tracking": _STRIP_TRACKING_SQL,
+        "exclude_gate": _EXCLUDE_GATE_SQL,
         "meta_robots_flags": _META_ROBOTS_SQL,
         "canonical_targets": _CANONICAL_TARGETS_SQL,
         "meta_refresh_targets": _META_REFRESH_SQL,

@@ -141,6 +141,16 @@ class CrawlConfig:
     # marketing graph. Changes results ⇒ extension field in config_hash.
     # False disables (default — keys byte-identical to pre-knob crawls).
     strip_tracking_enabled: bool = False
+    # exclude-pattern gate (SEMANTICS.md §Exclude patterns;
+    # kernels/traps.py::matches_exclude is normative): frontier rows whose
+    # canon_url matches ANY of these regexes (unanchored contains-match,
+    # common Java/Python/RE2 dialect subset) leave the crawl at the gate —
+    # permanently, like robots-denied — and matching children never enter
+    # the frontier at discovery; counted ``pattern_excluded``. The operator
+    # deny-list the structural trap limits can't express: logout/cart
+    # links, infinite facet parameters, binary mirrors. Changes results ⇒
+    # extension field in config_hash. Empty disables (default).
+    exclude_patterns: tuple[str, ...] = ()
 
     # capacity is excluded from config_hash: it is pinned PER CRAWL by the
     # bootstrap manifest (bootstrap records the override or the A3-derived
@@ -176,6 +186,7 @@ class CrawlConfig:
         "meta_refresh_enabled": False,
         "anchor_nofollow_enabled": False,
         "strip_tracking_enabled": False,
+        "exclude_patterns": (),
     }
 
     # dependent extensions: inert unless their master knob is on. While the

@@ -71,3 +71,20 @@ def trap_expr(canon_url: Column, cfg: CrawlConfig) -> Column:
     for c in checks[1:]:
         out = out | c
     return out
+
+def exclude_expr(canon_url: Column, cfg: CrawlConfig) -> Column:
+    """Boolean: does *canon_url* match any ``cfg.exclude_patterns`` regex
+    (kernel semantics: unanchored contains-match, kernels/traps.py::
+    matches_exclude)? ``rlike`` is Java ``find()`` — identical to the
+    kernel's ``re.search`` on the pinned common dialect subset
+    (SEMANTICS.md §Exclude patterns). Folds to ``lit(False)`` with the
+    empty default — the gate costs nothing unless configured, and the
+    enabled cost is one codegen'd regex projection per pattern, never a
+    Python round-trip.
+    """
+    if not cfg.exclude_patterns:
+        return F.lit(False)
+    out = canon_url.rlike(cfg.exclude_patterns[0])
+    for p in cfg.exclude_patterns[1:]:
+        out = out | canon_url.rlike(p)
+    return out

@@ -78,3 +78,37 @@ def is_trap_url(
                 if counts[s] > max_repeat:
                     return True
     return False
+
+
+# ---------------------------------------------------------------------------
+# Exclude-pattern gate — SEMANTICS.md §Exclude patterns. Operators running
+# 10^10-URL crawls always carry deny rules the structural trap limits can't
+# express: logout/cart/session links, infinite facet parameters, binary
+# mirrors. A pattern list is the standard escape hatch; URLs matching any
+# pattern leave the crawl at the gate (and never enter the frontier at
+# discovery), exactly the trap gate's two enforcement sites.
+#
+# Regex dialect: patterns are evaluated with Python `re.search` here, Spark
+# `rlike` (Java find()) in the engine, and RE2 in the DuckDB driver oracle —
+# all three are UNANCHORED contains-match. Patterns must therefore stay in
+# the common dialect subset (literals, char classes, anchors, ., *, +, ?,
+# |, (), \d \w \s, {m,n}); no backreferences or lookaround. The identity of
+# the Python kernel and the Spark expression is pinned by a pytest battery.
+# ---------------------------------------------------------------------------
+
+_EXCLUDE_CACHE: dict[tuple[str, ...], list[re.Pattern[str]]] = {}
+
+
+def matches_exclude(canon_url: str, patterns: tuple[str, ...]) -> bool:
+    """True iff *canon_url* matches ANY exclude pattern (unanchored search).
+
+    Empty *patterns* (the default) never matches. Compiled patterns are
+    cached per tuple — the oracle calls this per URL per round.
+    """
+    if not patterns:
+        return False
+    compiled = _EXCLUDE_CACHE.get(patterns)
+    if compiled is None:
+        compiled = [re.compile(p) for p in patterns]
+        _EXCLUDE_CACHE[patterns] = compiled
+    return any(p.search(canon_url) for p in compiled)

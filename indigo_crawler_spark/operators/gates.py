@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from indigo_crawler_spark.config import CrawlConfig
-from indigo_crawler_spark.functions.traps import trap_expr
+from indigo_crawler_spark.functions.traps import exclude_expr, trap_expr
 from indigo_crawler_spark.functions.udfs import (
     make_crawl_delay_udf,
     make_robots_allowed_udf,
@@ -36,9 +36,11 @@ def gate_frontier(
     once per row per round; allowed/denied/eligible are cheap filters on the
     cached result.
 
-    Extension gates (all default-off; SEMANTICS.md §Traps / §Politeness):
-    ``_trap`` flags structurally trappy URLs (pure codegen exprs — folds to
-    ``lit(False)`` when disabled); with ``cfg.round_seconds`` > 0 the budget
+    Extension gates (all default-off; SEMANTICS.md §Traps / §Exclude
+    patterns / §Politeness): ``_trap`` flags structurally trappy URLs and
+    ``_excluded`` flags operator deny-list matches (pure codegen exprs —
+    both fold to ``lit(False)`` when disabled); with ``cfg.round_seconds``
+    > 0 the budget
     column is additionally capped by the host's robots crawl-delay
     (max(1, floor(round_seconds / delay))) — evaluated inside the SAME
     joined pass so robots_txt still crosses into Python once per row.
@@ -66,6 +68,9 @@ def gate_frontier(
     else:
         df = frontier.withColumn("_allowed", F.lit(True))
     df = df.withColumn("_trap", trap_expr(F.col("canon_url"), cfg))
+    # exclude-pattern gate (SEMANTICS.md §Exclude patterns): like _trap, a
+    # codegen'd projection that folds to lit(False) at the empty default
+    df = df.withColumn("_excluded", exclude_expr(F.col("canon_url"), cfg))
     b = F.broadcast(budgets.select("host", "budget", "backoff_until_round"))
     out = (
         df.join(b, on="host", how="left")

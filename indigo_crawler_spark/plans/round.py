@@ -653,9 +653,10 @@ def run_round(
     # 1-2. gates — one cached pass; counters observed, not re-counted
     from indigo_crawler_spark.operators.skew import politeness_topk_skew_aware
 
-    # gate precedence (SEMANTICS.md): robots → trap → backoff. Trap rows
-    # leave the frontier permanently (like denied); _trap folds to
-    # lit(False) with the default-off limits, keeping the plan unchanged.
+    # gate precedence (SEMANTICS.md): robots → trap → exclude → backoff.
+    # Trap and pattern-excluded rows leave the frontier permanently (like
+    # denied); _trap and _excluded fold to lit(False) with the default-off
+    # knobs, keeping the plan unchanged.
     gate_obs = Observation()
     gated = (
         gate_frontier(frontier, robots, budgets, cfg, round_no)
@@ -665,16 +666,22 @@ def run_round(
             _sum0(~F.col("_allowed")).alias("robots_denied"),
             _sum0(F.col("_allowed") & F.col("_trap")).alias("trap_dropped"),
             _sum0(
-                F.col("_allowed") & ~F.col("_trap") & F.col("_backoff")
+                F.col("_allowed") & ~F.col("_trap") & F.col("_excluded")
+            ).alias("pattern_excluded"),
+            _sum0(
+                F.col("_allowed") & ~F.col("_trap") & ~F.col("_excluded")
+                & F.col("_backoff")
             ).alias("backoff_skipped"),
             _sum0(
-                F.col("_allowed") & ~F.col("_trap") & ~F.col("_backoff")
+                F.col("_allowed") & ~F.col("_trap") & ~F.col("_excluded")
+                & ~F.col("_backoff")
             ).alias("eligible"),
         )
         .cache()
     )
     eligible = gated.where(
-        F.col("_allowed") & ~F.col("_trap") & ~F.col("_backoff")
+        F.col("_allowed") & ~F.col("_trap") & ~F.col("_excluded")
+        & ~F.col("_backoff")
     )
 
     # frontier-skew fold: per-host candidate counts over THIS round's gate
@@ -1018,12 +1025,16 @@ def run_round(
             F.explode("links").alias("canon_url"),
             (F.col("depth") + 1).cast("int").alias("depth"),
         )
-        # trap children never enter the frontier (SEMANTICS.md §Traps) —
-        # dropping an unbounded URL family at discovery beats re-gating it
-        # every round; trap_expr folds to lit(False) when the gate is off
-        from indigo_crawler_spark.functions.traps import trap_expr
+        # trap / pattern-excluded children never enter the frontier
+        # (SEMANTICS.md §Traps / §Exclude patterns) — dropping an unbounded
+        # URL family at discovery beats re-gating it every round; both
+        # exprs fold to lit(False) when their gate is off
+        from indigo_crawler_spark.functions.traps import exclude_expr, trap_expr
 
-        children = children.where(~trap_expr(F.col("canon_url"), cfg))
+        children = children.where(
+            ~trap_expr(F.col("canon_url"), cfg)
+            & ~exclude_expr(F.col("canon_url"), cfg)
+        )
         children = dedup_min_by(children, "canon_url", ["depth"]).withColumn(
             "host", host_expr("canon_url")
         )
@@ -1071,7 +1082,9 @@ def run_round(
         # rows by one bounded-side join. Join strategy (10^10 scale): emitted
         # is bounded by K → broadcast; frontier/seen/host_counts are
         # frontier-scale → SHUFFLE_HASH (broadcast builds would serialize).
-        allowed_rows = gated.where(F.col("_allowed") & ~F.col("_trap"))
+        allowed_rows = gated.where(
+            F.col("_allowed") & ~F.col("_trap") & ~F.col("_excluded")
+        )
         emitted_urls = emitted.select("canon_url")
         if not small_round:
             emitted_urls = emitted_urls.hint("SHUFFLE_HASH")
@@ -1223,6 +1236,8 @@ def run_round(
         counters["anchor_nofollow_dropped"] = _obs_int(
             ext_obs, "anchor_nofollow_dropped"
         )
+    if cfg.exclude_patterns:
+        counters["pattern_excluded"] = _obs_int(gate_obs, "pattern_excluded")
     if tm is not None:
         import sys
 

@@ -24,7 +24,7 @@ _TOTALED = (
     # flag-gated counters: absent manifests contribute 0, so lifetime totals
     # are correct whether or not the knob was on for (part of) the crawl
     "thin_hosts_demoted", "nofollow_dropped", "canonical_variants",
-    "refresh_redirects",
+    "refresh_redirects", "anchor_nofollow_dropped", "pattern_excluded",
 )
 
 

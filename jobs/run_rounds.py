@@ -279,6 +279,12 @@ def main(argv: list[str] | None = None) -> int:
         "resource share one canon_url / seen-set key / politeness slot",
     )
     ap.add_argument(
+        "--exclude-pattern", action="append", default=[], metavar="REGEX",
+        help="drop frontier URLs matching this regex at the gate (repeatable; "
+        "unanchored contains-match, common Java/Python/RE2 dialect subset) — "
+        "matching children never enter the frontier; counted pattern_excluded",
+    )
+    ap.add_argument(
         "--pagerank-every", type=int, default=0,
         help="link-graph prioritization: every Nth round, re-score the "
         "outgoing frontier with integer PageRank over the accumulated "
@@ -355,6 +361,7 @@ def main(argv: list[str] | None = None) -> int:
         meta_refresh_enabled=args.meta_refresh,
         anchor_nofollow_enabled=args.anchor_nofollow,
         strip_tracking_enabled=args.strip_tracking,
+        exclude_patterns=tuple(args.exclude_pattern),
     )
     state = CrawlState(io=TableIO(spark, args.state_dir), cfg=cfg)
 

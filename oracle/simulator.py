@@ -28,7 +28,7 @@ from indigo_crawler_spark.kernels.textextract import (
     extract_text_and_links,
     extract_text_links_signals,
 )
-from indigo_crawler_spark.kernels.traps import is_trap_url
+from indigo_crawler_spark.kernels.traps import is_trap_url, matches_exclude
 from indigo_crawler_spark.kernels.xxh64 import xxhash64
 
 
@@ -255,12 +255,15 @@ class OracleCrawl:
             counters["refresh_redirects"] = 0
         if cfg.anchor_nofollow_enabled:
             counters["anchor_nofollow_dropped"] = 0
+        if cfg.exclude_patterns:
+            counters["pattern_excluded"] = 0
 
         # 1-2. gates
         eligible: list[FrontierRow] = []
         denied: set[str] = set()
-        # gate precedence (mirror of plans/round.py): robots → trap → backoff;
-        # trap rows leave the frontier permanently like denied ones
+        # gate precedence (mirror of plans/round.py): robots → trap →
+        # exclude → backoff; trap and pattern-excluded rows leave the
+        # frontier permanently like denied ones
         for row in self.frontier.values():
             if cfg.robots_enabled:
                 rtxt = self.robots.get(row.host)
@@ -276,6 +279,12 @@ class OracleCrawl:
             ):
                 denied.add(row.canon_url)
                 counters["trap_dropped"] += 1
+                continue
+            if cfg.exclude_patterns and matches_exclude(
+                row.canon_url, cfg.exclude_patterns
+            ):
+                denied.add(row.canon_url)
+                counters["pattern_excluded"] += 1
                 continue
             if self.backoff.get(row.host, 0) > r:
                 counters["backoff_skipped"] += 1
@@ -430,13 +439,18 @@ class OracleCrawl:
             if d > cfg.max_depth:
                 continue
             for child in links:
-                # trap children never enter the frontier (SEMANTICS.md
-                # §Traps; mirror of the engine's discovery-side filter)
+                # trap / pattern-excluded children never enter the frontier
+                # (SEMANTICS.md §Traps / §Exclude patterns; mirror of the
+                # engine's discovery-side filter)
                 if is_trap_url(
                     child,
                     cfg.trap_max_depth,
                     cfg.trap_max_repeat,
                     cfg.trap_max_url_len,
+                ):
+                    continue
+                if cfg.exclude_patterns and matches_exclude(
+                    child, cfg.exclude_patterns
                 ):
                     continue
                 prev = children.get(child)
