@@ -1265,6 +1265,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             exclude_expr(url, cfg).alias("excluded"),
         )
 
+    def _adaptive_revisit(s, d):
+        """The REAL operators/recrawl.revisit_interval_expr (adaptive-recrawl
+        interval derivation — SEMANTICS.md §Adaptive recrawl) over a
+        synthetic two-fetch history on documents: fetch-1 digest =
+        sha256(text); the refetch keeps the text for doc_id % 3 == 0 and
+        appends ' [edited]' otherwise; doc_id % 7 == 0 rows have NO prior
+        fetch (NULL prev digest — the first-fetch branch). Expected:
+        first fetch → A=2; unchanged → prev_interval doubled then capped at
+        8; changed → reset to 2. DuckDB re-derives digests with sha256()
+        and the branch fold with CASE/LEAST."""
+        from indigo_crawler_spark.operators.recrawl import (
+            revisit_interval_expr,
+        )
+
+        docs = _t(s, d, "documents")
+        d1 = F.sha2(F.col("text"), 256)
+        refetch = F.when((F.col("doc_id") % 3) == 0, F.col("text")).otherwise(
+            F.concat(F.col("text"), F.lit(" [edited]"))
+        )
+        d2 = F.sha2(refetch, 256)
+        prev_digest = F.when((F.col("doc_id") % 7) == 0, F.lit(None)).otherwise(d1)
+        prev_iv = ((F.col("doc_id") % 5) + 1).cast("int")
+        return docs.select(
+            "doc_id",
+            (prev_digest.isNotNull() & (prev_digest != d2)).alias("changed"),
+            revisit_interval_expr(d2, prev_iv, prev_digest, 2, 8).alias(
+                "next_interval"
+            ),
+        )
+
+    q["adaptive_revisit"] = _adaptive_revisit
     q["exclude_gate"] = _exclude_gate
     q["strip_tracking"] = _strip_tracking
     q["anchor_nofollow_links"] = _anchor_nofollow_links
@@ -1604,6 +1635,31 @@ FROM documents
 # independent re-derivation of functions/traps.exclude_expr: the same 4
 # patterns under RE2 regexp_matches (partial match, same as rlike/re.search
 # on the pinned common dialect subset — SEMANTICS.md §Exclude patterns)
+# independent re-derivation of operators/recrawl.revisit_interval_expr over
+# the same synthetic two-fetch history: sha256 digests compare byte-for-byte
+# (both engines hash UTF-8 and print lowercase hex), the branch fold is
+# CASE + LEAST with the 2^30 hard cap then the config cap 8, A = 2
+_ADAPTIVE_REVISIT_SQL = """
+WITH f AS (
+  SELECT doc_id,
+         sha256(text) AS d1,
+         sha256(CASE WHEN doc_id % 3 = 0 THEN text
+                     ELSE text || ' [edited]' END) AS d2
+  FROM documents
+), p AS (
+  SELECT doc_id, d2,
+         CASE WHEN doc_id % 7 = 0 THEN NULL ELSE d1 END AS pd,
+         CAST(doc_id % 5 + 1 AS INTEGER) AS prev_iv
+  FROM f
+)
+SELECT doc_id,
+       (pd IS NOT NULL AND pd <> d2) AS changed,
+       CAST(LEAST(CASE WHEN pd IS NULL THEN 2
+                       WHEN pd = d2 THEN LEAST(CAST(prev_iv AS BIGINT) * 2, 1073741824)
+                       ELSE 2 END, 8) AS INTEGER) AS next_interval
+FROM p
+"""
+
 _EXCLUDE_GATE_SQL = r"""
 WITH u AS (
   SELECT doc_id,
@@ -1827,6 +1883,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_nofollow_links": _ANCHOR_NOFOLLOW_SQL,
         "strip_tracking": _STRIP_TRACKING_SQL,
         "exclude_gate": _EXCLUDE_GATE_SQL,
+        "adaptive_revisit": _ADAPTIVE_REVISIT_SQL,
         "meta_robots_flags": _META_ROBOTS_SQL,
         "canonical_targets": _CANONICAL_TARGETS_SQL,
         "meta_refresh_targets": _META_REFRESH_SQL,

@@ -68,6 +68,33 @@ class CrawlConfig:
     # back into round R's frontier (seed_rank = RECRAWL_SEED_RANK, so a
     # refresh never outranks a real seed). 0 disables (default).
     recrawl_after: int = 0
+    # change-rate-adaptive recrawl (SEMANTICS.md §Adaptive recrawl): with
+    # recrawl_after = A > 0 and this flag on, the fixed-age tick is replaced
+    # by a per-url freshness schedule: every fetched page records
+    # (fetched_round, interval, sha256-of-extracted-text) in a versioned
+    # ``revisit`` state; a refetch whose text digest is UNCHANGED doubles
+    # the url's interval (starting at A), a CHANGED digest resets it to A,
+    # and a url is re-opened (retire + inject, like the base tick) once
+    # fetched_round + interval <= current round. Pages that change often
+    # are refreshed often; static pages back off exponentially — the
+    # classic freshness-scheduling result, and at 10^10 urls the reason a
+    # crawler's refresh budget is spent where content actually moves.
+    # Dependent extension: inert while recrawl_after = 0.
+    recrawl_adaptive: bool = False
+    # absolute cap on the adaptive interval in rounds (0 = uncapped up to
+    # the engine's 2^30 overflow guard): bounds how stale a static page can
+    # get. Dependent extension: inert while recrawl_after = 0.
+    recrawl_max_interval: int = 0
+    # per-host lifetime emit cap (SEMANTICS.md §Host page cap): when > 0,
+    # at most this many urls are EVER emitted per host across the whole
+    # crawl — the "max pages per site" knob every production crawl carries
+    # against unbounded giants. Enforced exactly: a host's per-round budget
+    # is clipped to its remaining headroom (cap - lifetime emitted so far),
+    # and once a host REACHES the cap its frontier rows leave permanently
+    # at the gate (counted ``host_capped``) and its newly discovered
+    # children never enter the frontier. 0 disables (default). Changes
+    # results ⇒ extension field in config_hash.
+    host_page_cap: int = 0
     # sitemap discovery (SEMANTICS.md §Sitemaps): robots.txt ``Sitemap:``
     # URLs join the round-0 frontier (seed-style rows, seed_rank NULL,
     # seeds win ties), and fetched sitemap/sitemap-index documents yield
@@ -177,6 +204,9 @@ class CrawlConfig:
         "domain_budget": 0,
         "sitemaps_enabled": False,
         "recrawl_after": 0,
+        "recrawl_adaptive": False,
+        "recrawl_max_interval": 0,
+        "host_page_cap": 0,
         "pagerank_every": 0,
         "pagerank_iters": 5,
         "pagerank_weight": 1.0,
@@ -198,6 +228,8 @@ class CrawlConfig:
     _HASH_DEPENDENT = {
         "pagerank_iters": "pagerank_every",
         "pagerank_weight": "pagerank_every",
+        "recrawl_adaptive": "recrawl_after",
+        "recrawl_max_interval": "recrawl_after",
     }
 
     def _hash_dict(self) -> dict:

@@ -19,12 +19,29 @@ from indigo_crawler_spark.functions.udfs import (
 )
 
 
+def host_cap_exprs(budget, emitted_total, cap: int):
+    """Per-host lifetime emit cap (SEMANTICS.md §Host page cap), shared by
+    ``gate_frontier`` and the SQL-checked driver query: a host whose
+    lifetime emitted count has REACHED *cap* is capped (its rows leave the
+    crawl permanently); an uncapped host's budget is clipped to its
+    remaining headroom ``cap - emitted_total`` so the lifetime total can
+    never overshoot. Returns ``(capped, clipped_budget)`` columns; a host
+    with no totals row (NULL) has emitted 0."""
+    total = F.coalesce(emitted_total, F.lit(0)).cast("long")
+    capped = total >= F.lit(int(cap))
+    clipped = F.least(
+        budget.cast("long"), F.lit(int(cap)) - total
+    ).cast("int")
+    return capped, F.when(capped, F.lit(0)).otherwise(clipped)
+
+
 def gate_frontier(
     frontier: DataFrame,
     robots: DataFrame,
     budgets: DataFrame,
     cfg: CrawlConfig,
     round_no: int,
+    emitted_totals: DataFrame | None = None,
 ) -> DataFrame:
     """ONE gate pass: frontier + ``_allowed`` (robots) + ``budget`` +
     ``_backoff`` flags, as a single frame the round caches once.
@@ -96,6 +113,27 @@ def gate_frontier(
                 F.least(F.col("budget"), cap),
             ).otherwise(F.col("budget")),
         ).drop("_delay")
+    # per-host lifetime emit cap (SEMANTICS.md §Host page cap): hosts at the
+    # cap are flagged for permanent removal; uncapped hosts' budgets clip to
+    # their remaining headroom. Totals are a per-host dimension joined with
+    # the same SHUFFLE_HASH discipline as robots (host-scale, never
+    # broadcast-built); lit(False)/no-join when the knob is off.
+    if cfg.host_page_cap and emitted_totals is not None:
+        out = out.join(
+            emitted_totals.select("host", "emitted_total").hint("SHUFFLE_HASH"),
+            on="host",
+            how="left",
+        )
+        capped, clipped = host_cap_exprs(
+            F.col("budget"), F.col("emitted_total"), cfg.host_page_cap
+        )
+        out = (
+            out.withColumn("_capped", capped)
+            .withColumn("budget", clipped)
+            .drop("emitted_total")
+        )
+    else:
+        out = out.withColumn("_capped", F.lit(False))
     return out
 
 

@@ -280,6 +280,14 @@ class CrawlState:
             return self.io.read(f"host_budgets/round={r}", schemas.HOST_BUDGETS)
         return self.io.read("host_budgets", schemas.HOST_BUDGETS)
 
+    def host_emitted(self, r: int) -> DataFrame:
+        """Per-host lifetime emitted totals ENTERING round r (SEMANTICS.md
+        §Host page cap): the versioned table round r-1's fold wrote, else
+        empty (round 0, or pre-knob state dirs — all hosts at 0)."""
+        if r > 0 and self.io.exists(f"host_emitted/round={r}"):
+            return self.io.read(f"host_emitted/round={r}", schemas.HOST_EMITTED)
+        return self.io.spark.createDataFrame([], schemas.HOST_EMITTED)
+
     def heavy_hosts(self, round_no: int = 0) -> DataFrame | None:
         """Skew dimension for round *round_no* (operators/skew.py) — None when
         no host crosses the salt threshold. Two sources, both action-free at
@@ -377,6 +385,63 @@ class CrawlState:
                 how="left_anti",
             )
         return out
+
+    def revisit_through(self, r: int) -> DataFrame:
+        """Adaptive-recrawl freshness state ENTERING round r (SEMANTICS.md
+        §Adaptive recrawl): the latest ``revisit`` row per canon_url over
+        rounds < r — newest compacted snapshot + the delta dirs after it,
+        reduced with the same deterministic min_by aggregation every other
+        dedup uses (max fetched_round per url; a url appears at most once
+        per round, so the order is total). Same chain discipline as
+        seen_through: without compaction the union lists one dir per round
+        forever; with it the read is one snapshot + ≤cadence deltas."""
+        base = None
+        start = 0
+        for upto in sorted(self._revisit_compact_uptos(), reverse=True):
+            if upto < r:
+                base = self.io.read(
+                    f"revisit_compact/upto={upto}", schemas.REVISIT
+                )
+                start = upto + 1
+                break
+        dfs = ([base] if base is not None else []) + [
+            self.io.read(f"revisit/round={i}", schemas.REVISIT)
+            for i in range(start, r)
+            if self.io.exists(f"revisit/round={i}")
+        ]
+        if not dfs:
+            return self.io.spark.createDataFrame([], schemas.REVISIT)
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return dedup_min_by(
+            out.withColumn("_neg_round", -F.col("fetched_round")),
+            "canon_url",
+            ["_neg_round"],
+        ).drop("_neg_round")
+
+    def has_revisit_state(self, r: int) -> bool:
+        """Driver-side existence probe: any revisit delta/snapshot covering
+        rounds < r? Lets the adaptive tick skip all Spark work on the early
+        rounds before the first fetch wrote freshness state."""
+        if any(u < r for u in self._revisit_compact_uptos()):
+            return True
+        return any(
+            self.io.exists(f"revisit/round={i}") for i in range(r)
+        )
+
+    def _revisit_compact_uptos(self) -> list[int]:
+        import os
+
+        d = self.io.path("revisit_compact")
+        if not os.path.isdir(d):
+            return []
+        return [
+            int(name.split("=")[1])
+            for name in os.listdir(d)
+            if name.startswith("upto=")
+            and self.io.is_complete(f"revisit_compact/{name}")
+        ]
 
     def _compact_uptos(self) -> list[int]:
         import os
@@ -653,13 +718,18 @@ def run_round(
     # 1-2. gates — one cached pass; counters observed, not re-counted
     from indigo_crawler_spark.operators.skew import politeness_topk_skew_aware
 
-    # gate precedence (SEMANTICS.md): robots → trap → exclude → backoff.
-    # Trap and pattern-excluded rows leave the frontier permanently (like
-    # denied); _trap and _excluded fold to lit(False) with the default-off
-    # knobs, keeping the plan unchanged.
+    # gate precedence (SEMANTICS.md): robots → trap → exclude → cap →
+    # backoff. Trap, pattern-excluded and host-capped rows leave the
+    # frontier permanently (like denied); _trap/_excluded/_capped fold to
+    # lit(False) with the default-off knobs, keeping the plan unchanged.
+    emitted_totals = (
+        state.host_emitted(round_no) if cfg.host_page_cap else None
+    )
     gate_obs = Observation()
     gated = (
-        gate_frontier(frontier, robots, budgets, cfg, round_no)
+        gate_frontier(
+            frontier, robots, budgets, cfg, round_no, emitted_totals
+        )
         .observe(
             gate_obs,
             F.count(F.lit(1)).alias("candidates"),
@@ -670,18 +740,22 @@ def run_round(
             ).alias("pattern_excluded"),
             _sum0(
                 F.col("_allowed") & ~F.col("_trap") & ~F.col("_excluded")
-                & F.col("_backoff")
+                & F.col("_capped")
+            ).alias("host_capped"),
+            _sum0(
+                F.col("_allowed") & ~F.col("_trap") & ~F.col("_excluded")
+                & ~F.col("_capped") & F.col("_backoff")
             ).alias("backoff_skipped"),
             _sum0(
                 F.col("_allowed") & ~F.col("_trap") & ~F.col("_excluded")
-                & ~F.col("_backoff")
+                & ~F.col("_capped") & ~F.col("_backoff")
             ).alias("eligible"),
         )
         .cache()
     )
     eligible = gated.where(
         F.col("_allowed") & ~F.col("_trap") & ~F.col("_excluded")
-        & ~F.col("_backoff")
+        & ~F.col("_capped") & ~F.col("_backoff")
     )
 
     # frontier-skew fold: per-host candidate counts over THIS round's gate
@@ -953,6 +1027,68 @@ def run_round(
                 io.write, budgets_next, f"host_budgets/round={round_no + 1}"
             )
 
+        # lifetime emit-totals fold (SEMANTICS.md §Host page cap): previous
+        # totals ∪ this round's per-host emitted counts, ONE hash agg over
+        # (host-scale dimension + ≤K cached rows), versioned like the
+        # budgets fold — next round's gate clips against it. Deterministic
+        # ⇒ replay-safe; pooled off the critical path.
+        f_emitcap = None
+        if cfg.host_page_cap:
+            per_host = emitted.groupBy("host").agg(
+                F.count("*").cast("long").alias("emitted_total")
+            )
+            totals_next = (
+                emitted_totals.unionByName(per_host)
+                .groupBy("host")
+                .agg(F.sum("emitted_total").alias("emitted_total"))
+            )
+            f_emitcap = pool.submit(
+                io.write, totals_next, f"host_emitted/round={round_no + 1}"
+            )
+
+        # adaptive-recrawl freshness fold (SEMANTICS.md §Adaptive recrawl):
+        # digest the ≤K fetched texts, derive next intervals against the
+        # committed revisit state (< round_no — the concurrent writes below
+        # never touch it), append revisit/round=R. Counters ride the write's
+        # Observation (zero extra jobs); compaction chains INSIDE the same
+        # pooled task because the snapshot read includes the delta just
+        # written. Same replay story as every versioned table: deterministic
+        # content, overwritten bit-exactly on an uncommitted-round re-run.
+        f_revisit, rv_obs = None, None
+        if cfg.recrawl_after and cfg.recrawl_adaptive:
+            from indigo_crawler_spark.operators.recrawl import revisit_delta
+
+            rv_obs = Observation()
+            rv_rows = (
+                revisit_delta(state, extracted, round_no)
+                .observe(
+                    rv_obs,
+                    _sum0(F.col("_prev_seen") & ~F.col("_changed")).alias(
+                        "unchanged"
+                    ),
+                    _sum0(F.col("_changed")).alias("changed"),
+                )
+                .drop("_prev_seen", "_changed")
+            )
+
+            def _w_revisit() -> None:
+                with _timed(tm, "revisit_write"):
+                    io.write(rv_rows, f"revisit/round={round_no}")
+                if (
+                    cfg.seen_compact_every
+                    and (round_no + 1) % cfg.seen_compact_every == 0
+                    and not io.is_complete(f"revisit_compact/upto={round_no}")
+                ):
+                    with _timed(tm, "revisit_compact"):
+                        io.write(
+                            state.revisit_through(round_no + 1).repartition(
+                                cfg.num_buckets, "pk"
+                            ),
+                            f"revisit_compact/upto={round_no}",
+                        )
+
+            f_revisit = pool.submit(_w_revisit)
+
         f_seen.result()
         # A4/A6: fold this round's seen delta into the cumulative membership
         # filter (bloom: pure bitwise OR; cuckoo: fingerprint re-insert — the
@@ -1038,6 +1174,19 @@ def run_round(
         children = dedup_min_by(children, "canon_url", ["depth"]).withColumn(
             "host", host_expr("canon_url")
         )
+        # host-capped children never enter the frontier (SEMANTICS.md §Host
+        # page cap): the capped set is derived from the SAME totals table
+        # the gate used (entering this round), so a host crossing the cap
+        # DURING this round still admits this round's children — they leave
+        # permanently at the next gate. One host-keyed anti-join, knob-off
+        # free.
+        if cfg.host_page_cap:
+            capped_hosts = emitted_totals.where(
+                F.col("emitted_total") >= F.lit(int(cfg.host_page_cap))
+            ).select("host")
+            children = children.join(
+                capped_hosts.hint("SHUFFLE_HASH"), on="host", how="left_anti"
+            )
         children = children.withColumn(
             "pk", pk_expr(host_hash_expr(F.col("host")), cfg.num_buckets)
         ).withColumn("url_hash", url_hash_expr(F.col("canon_url")))
@@ -1084,6 +1233,7 @@ def run_round(
         # frontier-scale → SHUFFLE_HASH (broadcast builds would serialize).
         allowed_rows = gated.where(
             F.col("_allowed") & ~F.col("_trap") & ~F.col("_excluded")
+            & ~F.col("_capped")
         )
         emitted_urls = emitted.select("canon_url")
         if not small_round:
@@ -1201,6 +1351,10 @@ def run_round(
             f_budgets.result()
         if f_links is not None:
             f_links.result()
+        if f_revisit is not None:
+            f_revisit.result()
+        if f_emitcap is not None:
+            f_emitcap.result()
         f_metrics.result()
         digests = f_digest.result()
         max_host_cand, n_heavy_next = f_skew.result()
@@ -1238,6 +1392,11 @@ def run_round(
         )
     if cfg.exclude_patterns:
         counters["pattern_excluded"] = _obs_int(gate_obs, "pattern_excluded")
+    if rv_obs is not None:
+        counters["recrawl_unchanged"] = _obs_int(rv_obs, "unchanged")
+        counters["recrawl_changed"] = _obs_int(rv_obs, "changed")
+    if cfg.host_page_cap:
+        counters["host_capped"] = _obs_int(gate_obs, "host_capped")
     if tm is not None:
         import sys
 
@@ -1255,6 +1414,11 @@ def run_round(
         (f"fetch_batches/round={round_no}", n_emitted),
         (f"fetched_text/round={round_no}", counters["fetched_pages"]),
     ]
+    if rv_obs is not None:
+        # one freshness row per fetched page (SEMANTICS.md §Adaptive recrawl)
+        cross_checks.append(
+            (f"revisit/round={round_no}", counters["fetched_pages"])
+        )
     if cfg.pagerank_every:
         # exploded edge rows == the links_extracted sum riding the extract,
         # minus any links withheld by REP nofollow (meta_robots_enabled)
@@ -1420,9 +1584,17 @@ def run_rounds(
         # uncommitted round — idempotently (retire no-ops on unseen urls,
         # inject skips pending rows).
         if state.cfg.recrawl_after:
-            from indigo_crawler_spark.operators.recrawl import recrawl_tick
+            if state.cfg.recrawl_adaptive:
+                # change-rate-adaptive variant (SEMANTICS.md §Adaptive
+                # recrawl): due = latest revisit row says
+                # fetched_round + interval <= r
+                from indigo_crawler_spark.operators.recrawl import adaptive_tick
 
-            recrawl_tick(state, r)
+                adaptive_tick(state, r)
+            else:
+                from indigo_crawler_spark.operators.recrawl import recrawl_tick
+
+                recrawl_tick(state, r)
         out.append(run_round(spark, state, r, with_counters=with_counters))
         if gc_every and (r + 1) % gc_every == 0 and r + 1 < n_rounds:
             from indigo_crawler_spark.plans.state_gc import gc_state

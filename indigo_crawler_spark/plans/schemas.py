@@ -163,6 +163,33 @@ LINKS = StructType(
     ]
 )
 
+# per-host lifetime emitted-url totals (SEMANTICS.md §Host page cap):
+# versioned like host_budgets — ``host_emitted/round=R`` holds the counts
+# ENTERING round R; the gate clips budgets to the remaining headroom and
+# drops hosts at the cap permanently
+HOST_EMITTED = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("emitted_total", LongType()),
+    ]
+)
+
+# adaptive-recrawl freshness state (SEMANTICS.md §Adaptive recrawl): one row
+# per url FETCHED at ``fetched_round`` with the sha256 hex digest of its
+# extracted text and the revisit interval derived from the digest-compare
+# against the url's previous fetch (unchanged → doubled, changed → reset).
+# Written per round as ``revisit/round=R`` deltas; latest row per url wins
+# (CrawlState.revisit_through), compacted at the seen cadence.
+REVISIT = StructType(
+    [
+        StructField("canon_url", StringType()),
+        StructField("pk", IntegerType()),
+        StructField("fetched_round", IntegerType()),
+        StructField("interval", IntegerType()),
+        StructField("digest", StringType()),
+    ]
+)
+
 # fixed-point PageRank over the accumulated link graph at a tick round
 # (kernels/pagerank.py is normative; rank_int is rank · PR_SCALE floored)
 PAGERANK = StructType(

@@ -25,6 +25,7 @@ _TOTALED = (
     # are correct whether or not the knob was on for (part of) the crawl
     "thin_hosts_demoted", "nofollow_dropped", "canonical_variants",
     "refresh_redirects", "anchor_nofollow_dropped", "pattern_excluded",
+    "recrawl_unchanged", "recrawl_changed", "host_capped",
 )
 
 

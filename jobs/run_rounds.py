@@ -189,6 +189,27 @@ def main(argv: list[str] | None = None) -> int:
         "enters config_hash",
     )
     ap.add_argument(
+        "--recrawl-adaptive", action="store_true",
+        help="change-rate-adaptive refresh (requires --recrawl-after N): "
+        "per-url revisit intervals start at N rounds, DOUBLE when a "
+        "refetch's extracted text is unchanged (sha256 compare) and RESET "
+        "to N when it changed — the refresh budget follows where content "
+        "actually moves. Semantic knob — enters config_hash",
+    )
+    ap.add_argument(
+        "--recrawl-max-interval", type=int, default=0,
+        help="absolute cap in rounds on the adaptive revisit interval "
+        "(0=uncapped): bounds how stale a never-changing page can get",
+    )
+    ap.add_argument(
+        "--host-page-cap", type=int, default=0,
+        help="per-host LIFETIME emit cap (0=off): at most N urls are ever "
+        "emitted per host across the whole crawl — budgets clip to the "
+        "remaining headroom, hosts at the cap leave the frontier "
+        "permanently and their children stop entering it. Semantic knob — "
+        "enters config_hash",
+    )
+    ap.add_argument(
         "--gc-every", type=int, default=0,
         help="reclaim superseded state after every Nth committed round "
         "(0=off) — keeps a months-long crawl's storage tracking the live "
@@ -346,6 +367,9 @@ def main(argv: list[str] | None = None) -> int:
         ban_every=args.ban_every,
         backoff_rounds=args.backoff_rounds,
         recrawl_after=args.recrawl_after,
+        recrawl_adaptive=args.recrawl_adaptive,
+        recrawl_max_interval=args.recrawl_max_interval,
+        host_page_cap=args.host_page_cap,
         sitemaps_enabled=args.sitemaps,
         trap_max_depth=args.trap_max_depth,
         trap_max_repeat=args.trap_max_repeat,

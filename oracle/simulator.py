@@ -146,6 +146,17 @@ class OracleCrawl:
         # urls whose LATEST fetch was a delay-0 meta-refresh pure redirect
         # (SEMANTICS.md §Meta refresh) — the corpus-export exclusion set
         self.redirects: set[str] = set()
+        # per-host lifetime emitted totals (SEMANTICS.md §Host page cap;
+        # mirror of the engine's host_emitted/round=R chain). Updated at
+        # the END of each step, so during a step it is the ENTERING state —
+        # the same snapshot the engine's gate and discovery filter join.
+        self.emitted_total: dict[str, int] = {}
+        # adaptive-recrawl freshness state (SEMANTICS.md §Adaptive recrawl;
+        # mirror of the engine's revisit/round=R chain, latest row per url):
+        # canon_url -> (fetched_round, interval, sha256-hex of extracted
+        # text). Maintained only when the flag is on, like the engine only
+        # writes the table then.
+        self.revisit: dict[str, tuple[int, int, str]] = {}
 
     # ------------------------------------------------------------------
     def add_pages(self, pages) -> None:
@@ -217,6 +228,11 @@ class OracleCrawl:
             d = crawl_delay(self.robots.get(host), cfg.user_agent)
             if d is not None and d > 0:
                 b = min(b, max(1, int(math.floor(float(cfg.round_seconds) / d))))
+        # lifetime emit cap: clip to the host's remaining headroom (mirror
+        # of host_cap_exprs — hosts AT the cap never reach here, the gate
+        # dropped them; SEMANTICS.md §Host page cap)
+        if cfg.host_page_cap:
+            b = min(b, cfg.host_page_cap - self.emitted_total.get(host, 0))
         return b
 
     # ------------------------------------------------------------------
@@ -257,6 +273,11 @@ class OracleCrawl:
             counters["anchor_nofollow_dropped"] = 0
         if cfg.exclude_patterns:
             counters["pattern_excluded"] = 0
+        if cfg.recrawl_after and cfg.recrawl_adaptive:
+            counters["recrawl_unchanged"] = 0
+            counters["recrawl_changed"] = 0
+        if cfg.host_page_cap:
+            counters["host_capped"] = 0
 
         # 1-2. gates
         eligible: list[FrontierRow] = []
@@ -285,6 +306,16 @@ class OracleCrawl:
             ):
                 denied.add(row.canon_url)
                 counters["pattern_excluded"] += 1
+                continue
+            # per-host lifetime emit cap (SEMANTICS.md §Host page cap;
+            # mirror of gate_frontier's _capped): rows of a host AT the
+            # cap leave permanently, like denied
+            if (
+                cfg.host_page_cap
+                and self.emitted_total.get(row.host, 0) >= cfg.host_page_cap
+            ):
+                denied.add(row.canon_url)
+                counters["host_capped"] += 1
                 continue
             if self.backoff.get(row.host, 0) > r:
                 counters["backoff_skipped"] += 1
@@ -423,6 +454,30 @@ class OracleCrawl:
                 )
                 nofollow = False
             res.texts[row.canon_url] = text
+            # adaptive-recrawl freshness fold (mirror of revisit_delta —
+            # SEMANTICS.md §Adaptive recrawl): first fetch → interval A,
+            # unchanged digest → doubled (hard cap 2^30, then the config
+            # cap), changed → reset to A; op-for-op with the engine expr
+            if cfg.recrawl_after and cfg.recrawl_adaptive:
+                import hashlib
+
+                from indigo_crawler_spark.operators.recrawl import (
+                    REVISIT_HARD_CAP,
+                )
+
+                digest = hashlib.sha256(text.encode("utf-8")).hexdigest()
+                prev = self.revisit.get(row.canon_url)
+                if prev is None:
+                    iv = cfg.recrawl_after
+                elif prev[2] == digest:
+                    counters["recrawl_unchanged"] += 1
+                    iv = min(prev[1] * 2, REVISIT_HARD_CAP)
+                else:
+                    counters["recrawl_changed"] += 1
+                    iv = cfg.recrawl_after
+                if cfg.recrawl_max_interval:
+                    iv = min(iv, cfg.recrawl_max_interval)
+                self.revisit[row.canon_url] = (r, iv, digest)
             counters["links_extracted"] += len(links)
             # REP nofollow withholds this page's out-links from BOTH the
             # link graph and discovery (mirror of the engine's `followable`
@@ -451,6 +506,15 @@ class OracleCrawl:
                     continue
                 if cfg.exclude_patterns and matches_exclude(
                     child, cfg.exclude_patterns
+                ):
+                    continue
+                # host-capped children never enter the frontier — capped
+                # set from the ENTERING totals, same snapshot the gate used
+                # (mirror of the engine's discovery-side anti-join)
+                if (
+                    cfg.host_page_cap
+                    and self.emitted_total.get(_host_of(child), 0)
+                    >= cfg.host_page_cap
                 ):
                     continue
                 prev = children.get(child)
@@ -494,6 +558,12 @@ class OracleCrawl:
                     1, self.budget.get(h, cfg.default_budget) // 2
                 )
             counters["thin_hosts_demoted"] = len(thin)
+        # lifetime emit totals advance LAST (entering-state snapshot above)
+        if cfg.host_page_cap:
+            for e in res.emitted:
+                self.emitted_total[e["host"]] = (
+                    self.emitted_total.get(e["host"], 0) + 1
+                )
         for u in emitted_urls:
             self.seen[u] = r
             self.frontier.pop(u, None)
@@ -548,18 +618,35 @@ class OracleCrawl:
             # age-based refresh (SEMANTICS.md §Recrawl; mirror of
             # run_rounds → operators/recrawl.recrawl_tick): re-open round
             # r-A's emitted urls as refresh seeds before round r runs
-            if self.cfg.recrawl_after:
-                src = r - self.cfg.recrawl_after
-                if 0 <= src < len(out):
-                    from indigo_crawler_spark.operators.recrawl import (
-                        RECRAWL_SEED_RANK,
-                    )
-
-                    urls = [e["canon_url"] for e in out[src].emitted]
-                    self.retire(urls)
-                    self.inject(urls, seed_rank=RECRAWL_SEED_RANK)
+            self.recrawl_tick(r, out)
             out.append(self.step(r))
         return out
+
+    def recrawl_tick(self, r: int, out: list[RoundResult]) -> None:
+        """Refresh tick before round *r* (mirror of run_rounds →
+        operators/recrawl): the change-rate-adaptive variant re-opens
+        whatever the freshness schedule says is due (SEMANTICS.md §Adaptive
+        recrawl; a due url not emitted this round stays due — inject skips
+        pending rows); the fixed-age variant re-opens round r-A's emitted
+        urls. Exposed as a method so stepwise tests (streamed-page
+        interleavings) drive the same tick run() does."""
+        if not self.cfg.recrawl_after:
+            return
+        from indigo_crawler_spark.operators.recrawl import RECRAWL_SEED_RANK
+
+        if self.cfg.recrawl_adaptive:
+            due = sorted(
+                u for u, (fr, iv, _d) in self.revisit.items() if fr + iv <= r
+            )
+            if due:
+                self.retire(due)
+                self.inject(due, seed_rank=RECRAWL_SEED_RANK)
+        else:
+            src = r - self.cfg.recrawl_after
+            if 0 <= src < len(out):
+                urls = [e["canon_url"] for e in out[src].emitted]
+                self.retire(urls)
+                self.inject(urls, seed_rank=RECRAWL_SEED_RANK)
 
     # --- comparison views -------------------------------------------------
     def ordering(self, results: list[RoundResult]) -> list[str]:
