@@ -1295,6 +1295,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
         )
 
+    def _host_cap_budget(s, d):
+        """The REAL operators/gates.host_cap_exprs (per-host lifetime emit
+        cap — SEMANTICS.md §Host page cap) over a synthetic totals history
+        on documents: per row, budget cycles 1..8 by doc_id and the host's
+        lifetime emitted total cycles 0..11 (doc_id % 12, NULL — no totals
+        row yet — when doc_id % 11 == 0); cap C=8. Expected: capped ⇔
+        total ≥ 8; budget = 0 when capped else min(budget, 8 - total).
+        DuckDB re-derives the fold with CASE/LEAST."""
+        from indigo_crawler_spark.operators.gates import host_cap_exprs
+
+        docs = _t(s, d, "documents")
+        budget = ((F.col("doc_id") % 8) + 1).cast("int")
+        total = F.when(
+            (F.col("doc_id") % 11) == 0, F.lit(None).cast("long")
+        ).otherwise((F.col("doc_id") % 12).cast("long"))
+        capped, clipped = host_cap_exprs(budget, total, 8)
+        return docs.select(
+            "doc_id",
+            capped.alias("capped"),
+            clipped.alias("eff_budget"),
+        )
+
+    q["host_cap_budget"] = _host_cap_budget
     q["adaptive_revisit"] = _adaptive_revisit
     q["exclude_gate"] = _exclude_gate
     q["strip_tracking"] = _strip_tracking
@@ -1635,6 +1658,26 @@ FROM documents
 # independent re-derivation of functions/traps.exclude_expr: the same 4
 # patterns under RE2 regexp_matches (partial match, same as rlike/re.search
 # on the pinned common dialect subset — SEMANTICS.md §Exclude patterns)
+# independent re-derivation of operators/gates.host_cap_exprs over the same
+# synthetic per-host totals history: NULL totals = 0, capped at total >= 8,
+# else budget clipped to the remaining headroom
+_HOST_CAP_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         CAST(doc_id % 8 + 1 AS INTEGER) AS budget,
+         CASE WHEN doc_id % 11 = 0 THEN NULL
+              ELSE CAST(doc_id % 12 AS BIGINT) END AS total
+  FROM documents
+)
+SELECT doc_id,
+       COALESCE(total, 0) >= 8 AS capped,
+       CASE WHEN COALESCE(total, 0) >= 8 THEN 0
+            ELSE CAST(LEAST(CAST(budget AS BIGINT),
+                            8 - COALESCE(total, 0)) AS INTEGER)
+       END AS eff_budget
+FROM p
+"""
+
 # independent re-derivation of operators/recrawl.revisit_interval_expr over
 # the same synthetic two-fetch history: sha256 digests compare byte-for-byte
 # (both engines hash UTF-8 and print lowercase hex), the branch fold is
@@ -1884,6 +1927,7 @@ def oracle_sql() -> dict[str, str]:
         "strip_tracking": _STRIP_TRACKING_SQL,
         "exclude_gate": _EXCLUDE_GATE_SQL,
         "adaptive_revisit": _ADAPTIVE_REVISIT_SQL,
+        "host_cap_budget": _HOST_CAP_SQL,
         "meta_robots_flags": _META_ROBOTS_SQL,
         "canonical_targets": _CANONICAL_TARGETS_SQL,
         "meta_refresh_targets": _META_REFRESH_SQL,
