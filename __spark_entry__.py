@@ -1317,6 +1317,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             clipped.alias("eff_budget"),
         )
 
+    def _collapse_www(s, d):
+        """The REAL canonicalization UDF with collapse_www on
+        (kernels/canonicalize.collapse_www_host — SEMANTICS.md §WWW
+        collapse) over urls whose host cycles through 6 shapes by doc_id:
+        plain www., no www., double www.www. (collapses ALL labels — the
+        fixed-point rule), `www.org` (remainder has no dot — SURVIVES),
+        `www.www.org` (drops exactly ONE label, then stops — the case a
+        naive `^(www\\.)+` regex gets wrong), and a non-leading `.www.`
+        (untouched). Inputs are already canonical-form, so the only change
+        is the host-label drop; DuckDB re-derives it with a recursive CTE
+        applying the same one-label-while-remainder-has-a-dot step."""
+        from indigo_crawler_spark.functions.udfs import make_canonicalize_udf
+
+        docs = _t(s, d, "documents")
+        k = (F.col("doc_id") % 13).cast("string")
+        host = F.element_at(
+            F.array(
+                F.concat(F.lit("www.h"), k, F.lit(".example.org")),
+                F.concat(F.lit("h"), k, F.lit(".example.org")),
+                F.concat(F.lit("www.www.a"), k, F.lit(".example.org")),
+                F.lit("www.org"),
+                F.lit("www.www.org"),
+                F.concat(F.lit("sub"), k, F.lit(".www.example.org")),
+            ),
+            (F.col("doc_id") % 6).cast("int") + 1,
+        )
+        url = F.concat(
+            F.lit("https://"), host, F.lit("/p/"), F.col("doc_id").cast("string")
+        )
+        return docs.select(
+            "doc_id",
+            url.alias("url"),
+            make_canonicalize_udf(False, True)(url).alias("collapsed"),
+        )
+
+    q["collapse_www"] = _collapse_www
     q["host_cap_budget"] = _host_cap_budget
     q["adaptive_revisit"] = _adaptive_revisit
     q["exclude_gate"] = _exclude_gate
@@ -1658,6 +1694,38 @@ FROM documents
 # independent re-derivation of functions/traps.exclude_expr: the same 4
 # patterns under RE2 regexp_matches (partial match, same as rlike/re.search
 # on the pinned common dialect subset — SEMANTICS.md §Exclude patterns)
+# independent re-derivation of kernels/canonicalize.collapse_www_host over
+# the same 6 host shapes: a recursive CTE applies the EXACT kernel step —
+# drop one leading 'www.' while the remainder still contains a dot — so the
+# terminal (shortest) host per doc_id is the collapsed one; a naive
+# '^(www\.)+' strip would over-collapse www.www.org
+_COLLAPSE_WWW_SQL = """
+WITH RECURSIVE p AS (
+  SELECT doc_id,
+         CASE doc_id % 6
+           WHEN 0 THEN 'www.h' || (doc_id % 13) || '.example.org'
+           WHEN 1 THEN 'h' || (doc_id % 13) || '.example.org'
+           WHEN 2 THEN 'www.www.a' || (doc_id % 13) || '.example.org'
+           WHEN 3 THEN 'www.org'
+           WHEN 4 THEN 'www.www.org'
+           ELSE 'sub' || (doc_id % 13) || '.www.example.org'
+         END AS host
+  FROM documents
+), steps AS (
+  SELECT doc_id, host FROM p
+  UNION ALL
+  SELECT doc_id, substr(host, 5) FROM steps
+  WHERE host LIKE 'www.%' AND strpos(substr(host, 5), '.') > 0
+), final AS (
+  SELECT doc_id, arg_min(host, length(host)) AS chost
+  FROM steps GROUP BY doc_id
+)
+SELECT p.doc_id,
+       'https://' || p.host || '/p/' || p.doc_id AS url,
+       'https://' || f.chost || '/p/' || p.doc_id AS collapsed
+FROM p JOIN final f USING (doc_id)
+"""
+
 # independent re-derivation of operators/gates.host_cap_exprs over the same
 # synthetic per-host totals history: NULL totals = 0, capped at total >= 8,
 # else budget clipped to the remaining headroom
@@ -1928,6 +1996,7 @@ def oracle_sql() -> dict[str, str]:
         "exclude_gate": _EXCLUDE_GATE_SQL,
         "adaptive_revisit": _ADAPTIVE_REVISIT_SQL,
         "host_cap_budget": _HOST_CAP_SQL,
+        "collapse_www": _COLLAPSE_WWW_SQL,
         "meta_robots_flags": _META_ROBOTS_SQL,
         "canonical_targets": _CANONICAL_TARGETS_SQL,
         "meta_refresh_targets": _META_REFRESH_SQL,

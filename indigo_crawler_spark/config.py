@@ -168,6 +168,17 @@ class CrawlConfig:
     # marketing graph. Changes results ⇒ extension field in config_hash.
     # False disables (default — keys byte-identical to pre-knob crawls).
     strip_tracking_enabled: bool = False
+    # www-host collapse (SEMANTICS.md §WWW collapse): when True,
+    # canonicalization EVERYWHERE additionally drops leading ``www.``
+    # labels from the host while the remainder still contains a dot
+    # (kernels/canonicalize.collapse_www_host — all labels, so the result
+    # is a fixed point of canonicalization), so www/non-www aliases of one
+    # host share one canon_url key space: one seen-set key, one frontier
+    # row, one politeness slot, one link-graph node. The other canonical
+    # URL-alias rule next to strip_tracking_enabled; when on, robots/budget
+    # dimension rows should be keyed by the COLLAPSED host. Changes results
+    # ⇒ extension field in config_hash. False disables (default).
+    collapse_www_enabled: bool = False
     # exclude-pattern gate (SEMANTICS.md §Exclude patterns;
     # kernels/traps.py::matches_exclude is normative): frontier rows whose
     # canon_url matches ANY of these regexes (unanchored contains-match,
@@ -216,6 +227,7 @@ class CrawlConfig:
         "meta_refresh_enabled": False,
         "anchor_nofollow_enabled": False,
         "strip_tracking_enabled": False,
+        "collapse_www_enabled": False,
         "exclude_patterns": (),
     }
 

@@ -31,21 +31,24 @@ def canonicalize_udf(urls: pd.Series) -> pd.Series:
     return urls.map(lambda u: canonicalize_url(u) if isinstance(u, str) else None)
 
 
-def make_canonicalize_udf(strip_tracking: bool = False):
-    """pandas_udf canonicalizing with cfg.strip_tracking_enabled threaded —
-    SEMANTICS.md §Tracking parameters. Flag-off returns the module-level
-    ``canonicalize_udf`` instance itself, so default-path plans are
-    object-identical to pre-knob plans (no new UDF registration)."""
-    if not strip_tracking:
+def make_canonicalize_udf(strip_tracking: bool = False, collapse_www: bool = False):
+    """pandas_udf canonicalizing with cfg.strip_tracking_enabled /
+    cfg.collapse_www_enabled threaded — SEMANTICS.md §Tracking parameters /
+    §WWW collapse. Flags-off returns the module-level ``canonicalize_udf``
+    instance itself, so default-path plans are object-identical to pre-knob
+    plans (no new UDF registration)."""
+    if not strip_tracking and not collapse_www:
         return canonicalize_udf
 
     @F.pandas_udf(StringType())
-    def _canonicalize_strip(urls: pd.Series) -> pd.Series:
+    def _canonicalize_flags(urls: pd.Series) -> pd.Series:
         return urls.map(
-            lambda u: canonicalize_url(u, True) if isinstance(u, str) else None
+            lambda u: canonicalize_url(u, strip_tracking, collapse_www)
+            if isinstance(u, str)
+            else None
         )
 
-    return _canonicalize_strip
+    return _canonicalize_flags
 
 
 def make_robots_allowed_udf(user_agent: str):

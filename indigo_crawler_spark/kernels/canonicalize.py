@@ -128,7 +128,28 @@ def strip_tracking_params(query: str) -> str:
     return "&".join(kept)
 
 
-def canonicalize_url(url: str | None, strip_tracking: bool = False) -> str | None:
+def collapse_www_host(host: str) -> str:
+    """Drop every leading ``www.`` label while the remainder is still a
+    plausible registrable host (contains a dot): ``www.example.org`` →
+    ``example.org``, ``www.www.x.y`` → ``x.y``, but ``www.org`` (the
+    remainder ``org`` has no dot) and bare ``www`` stay, and IPv6 literals
+    are never touched (they can't start with ``www.``). SEMANTICS.md §WWW
+    collapse: the other canonical URL-alias rule next to §Tracking
+    parameters — the same resource served at www/non-www must share one
+    seen-set key, frontier row, and politeness slot. ALL leading labels
+    (not just one) so the output is a FIXED POINT of canonicalization —
+    retire/inject/recrawl re-canonicalize already-canonical urls and must
+    land on the same bytes."""
+    while host.startswith("www.") and "." in host[4:]:
+        host = host[4:]
+    return host
+
+
+def canonicalize_url(
+    url: str | None,
+    strip_tracking: bool = False,
+    collapse_www: bool = False,
+) -> str | None:
     """Return the canonical form of *url*, or None if rejected (quarantine).
 
     Rules pinned in SEMANTICS.md: lowercase scheme/host, strip fragment and
@@ -139,8 +160,11 @@ def canonicalize_url(url: str | None, strip_tracking: bool = False) -> str | Non
     §Tracking parameters) the canonical query additionally drops
     TRACKING_PARAMS tokens, so ``?utm_source=…`` variants of one resource
     share one canon_url (one seen-set key, one frontier row, one politeness
-    slot). Default off: flag-off output is byte-identical to every crawl
-    committed before the knob existed.
+    slot). With *collapse_www* (cfg.collapse_www_enabled — SEMANTICS.md
+    §WWW collapse) the canonical host additionally drops leading ``www.``
+    labels (``collapse_www_host``), so www/non-www aliases of one host
+    share one key space the same way. Both default off: flag-off output is
+    byte-identical to every crawl committed before the knobs existed.
     """
     if url is None:
         return None
@@ -161,6 +185,8 @@ def canonicalize_url(url: str | None, strip_tracking: bool = False) -> str | Non
         return None
     if not host:
         return None
+    if collapse_www:
+        host = collapse_www_host(host)
     if ":" in host:  # IPv6 literal — re-bracket
         host = "[" + host + "]"
 

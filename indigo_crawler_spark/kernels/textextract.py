@@ -234,7 +234,10 @@ def _effective_base(p: _Extractor, base_url: str | None) -> str | None:
 
 
 def _canon_links(
-    hrefs: list[str], base_url: str | None, strip_tracking: bool = False
+    hrefs: list[str],
+    base_url: str | None,
+    strip_tracking: bool = False,
+    collapse_www: bool = False,
 ) -> list[str]:
     links: list[str] = []
     for href in hrefs:
@@ -245,7 +248,7 @@ def _canon_links(
             absu = urljoin(base_url or "", h)
         except ValueError:
             continue
-        c = canonicalize_url(absu, strip_tracking)
+        c = canonicalize_url(absu, strip_tracking, collapse_www)
         if c is not None:
             links.append(c)
     return links
@@ -266,6 +269,7 @@ def _canon_links_rels(
     rels: list[str | None],
     base_url: str | None,
     strip_tracking: bool = False,
+    collapse_www: bool = False,
 ) -> tuple[list[str], int]:
     """The anchor-nofollow variant of ``_canon_links``: returns
     (kept links, dropped count). Dropped counts ONLY anchors that would
@@ -282,7 +286,7 @@ def _canon_links_rels(
             absu = urljoin(base_url or "", h)
         except ValueError:
             continue
-        c = canonicalize_url(absu, strip_tracking)
+        c = canonicalize_url(absu, strip_tracking, collapse_www)
         if c is None:
             continue
         if anchor_rel_nofollow(rel):
@@ -297,6 +301,7 @@ def extract_text_and_links(
     base_url: str | None,
     sitemap_aware: bool = False,
     strip_tracking: bool = False,
+    collapse_www: bool = False,
 ) -> tuple[str, list[str]]:
     """Parse *html* once; return (visible_text, canonical out-links in order).
 
@@ -320,10 +325,12 @@ def extract_text_and_links(
 
         doc = _decode(html)
         if looks_like_sitemap(doc):
-            return "", _canon_links(sitemap_locs(doc), base_url, strip_tracking)
+            return "", _canon_links(
+                sitemap_locs(doc), base_url, strip_tracking, collapse_www
+            )
     p = _parse(html)
     return p.text(), _canon_links(
-        p.hrefs, _effective_base(p, base_url), strip_tracking
+        p.hrefs, _effective_base(p, base_url), strip_tracking, collapse_www
     )
 
 
@@ -332,6 +339,7 @@ def extract_all(
     base_url: str | None,
     sitemap_aware: bool = False,
     strip_tracking: bool = False,
+    collapse_www: bool = False,
 ) -> tuple[str, list[str], str, list[str], dict[str, str]]:
     """Parse *html* once; return (text, links, title, headings, meta) — the
     structured-record extraction surface. text/links are byte-identical to
@@ -347,7 +355,9 @@ def extract_all(
         if looks_like_sitemap(doc):
             return (
                 "",
-                _canon_links(sitemap_locs(doc), base_url, strip_tracking),
+                _canon_links(
+                    sitemap_locs(doc), base_url, strip_tracking, collapse_www
+                ),
                 "",
                 [],
                 {},
@@ -355,7 +365,9 @@ def extract_all(
     p = _parse(html)
     return (
         p.text(),
-        _canon_links(p.hrefs, _effective_base(p, base_url), strip_tracking),
+        _canon_links(
+            p.hrefs, _effective_base(p, base_url), strip_tracking, collapse_www
+        ),
         p.title(),
         p.headings,
         p.meta,
@@ -400,7 +412,10 @@ def meta_robots_flags(meta: dict[str, str]) -> tuple[bool, bool]:
 
 
 def canonical_target(
-    href: str | None, base_url: str | None, strip_tracking: bool = False
+    href: str | None,
+    base_url: str | None,
+    strip_tracking: bool = False,
+    collapse_www: bool = False,
 ) -> str | None:
     """Resolve a ``<link rel="canonical">`` href to a canonical URL —
     SEMANTICS.md §Canonical link: ``urljoin(base, href)`` then
@@ -416,7 +431,7 @@ def canonical_target(
         absu = urljoin(base_url or "", h)
     except ValueError:
         return None
-    return canonicalize_url(absu, strip_tracking)
+    return canonicalize_url(absu, strip_tracking, collapse_www)
 
 
 def meta_refresh_target(
@@ -424,6 +439,7 @@ def meta_refresh_target(
     base_url: str | None,
     page_url: str | None = None,
     strip_tracking: bool = False,
+    collapse_www: bool = False,
 ) -> tuple[int, str] | None:
     """(delay_seconds, resolved_target) from a meta http-equiv=refresh
     content string — SEMANTICS.md §Meta refresh (normative; the oracle
@@ -452,7 +468,7 @@ def meta_refresh_target(
     t = r[4:].strip()
     if len(t) >= 2 and t[0] == t[-1] and t[0] in ("'", '"'):
         t = t[1:-1].strip()
-    target = canonical_target(t, base_url, strip_tracking)
+    target = canonical_target(t, base_url, strip_tracking, collapse_www)
     if target is None or target == (page_url if page_url is not None else base_url):
         return None
     return int(delay_s), target
@@ -464,6 +480,7 @@ def extract_text_links_signals(
     sitemap_aware: bool = False,
     anchor_nofollow: bool = False,
     strip_tracking: bool = False,
+    collapse_www: bool = False,
 ) -> tuple[
     str, list[str], bool, bool, str | None, tuple[int, str] | None, int
 ]:
@@ -488,7 +505,9 @@ def extract_text_links_signals(
         if looks_like_sitemap(doc):
             return (
                 "",
-                _canon_links(sitemap_locs(doc), base_url, strip_tracking),
+                _canon_links(
+                    sitemap_locs(doc), base_url, strip_tracking, collapse_www
+                ),
                 False,
                 False,
                 None,
@@ -500,18 +519,25 @@ def extract_text_links_signals(
     eb = _effective_base(p, base_url)
     if anchor_nofollow:
         links, anchor_dropped = _canon_links_rels(
-            p.hrefs, p.href_rels, eb, strip_tracking
+            p.hrefs, p.href_rels, eb, strip_tracking, collapse_www
         )
     else:
-        links, anchor_dropped = _canon_links(p.hrefs, eb, strip_tracking), 0
+        links, anchor_dropped = (
+            _canon_links(p.hrefs, eb, strip_tracking, collapse_www),
+            0,
+        )
     return (
         p.text(),
         links,
         noindex,
         nofollow,
-        canonical_target(p.canonical_href, eb, strip_tracking),
+        canonical_target(p.canonical_href, eb, strip_tracking, collapse_www),
         meta_refresh_target(
-            p.refresh_content, eb, page_url=base_url, strip_tracking=strip_tracking
+            p.refresh_content,
+            eb,
+            page_url=base_url,
+            strip_tracking=strip_tracking,
+            collapse_www=collapse_www,
         ),
         anchor_dropped,
     )
@@ -522,10 +548,15 @@ def extract_text_links_robots(
     base_url: str | None,
     sitemap_aware: bool = False,
     strip_tracking: bool = False,
+    collapse_www: bool = False,
 ) -> tuple[str, list[str], bool, bool]:
     """(text, links, noindex, nofollow) — the meta-robots slice of
     ``extract_text_links_signals`` (same single parse)."""
     text, links, noindex, nofollow, _, _, _ = extract_text_links_signals(
-        html, base_url, sitemap_aware, strip_tracking=strip_tracking
+        html,
+        base_url,
+        sitemap_aware,
+        strip_tracking=strip_tracking,
+        collapse_www=collapse_www,
     )
     return text, links, noindex, nofollow

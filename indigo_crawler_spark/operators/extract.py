@@ -56,6 +56,7 @@ def extract_pages(
     meta_refresh: bool = False,
     anchor_nofollow: bool = False,
     strip_tracking: bool = False,
+    collapse_www: bool = False,
 ) -> DataFrame:
     """(canon_url, depth, html) → (canon_url, depth, text, links).
 
@@ -99,7 +100,12 @@ def extract_pages(
             for html, base in zip(pdf["html"], pdf["canon_url"]):
                 if any_signal:
                     t, ls, ni, nf, cu, rf, ad = extract_text_links_signals(
-                        html, base, sitemap_aware, anchor_nofollow, strip_tracking
+                        html,
+                        base,
+                        sitemap_aware,
+                        anchor_nofollow,
+                        strip_tracking,
+                        collapse_www,
                     )
                     noidx.append(ni)
                     nofol.append(nf)
@@ -112,7 +118,7 @@ def extract_pages(
                         redir.append(False)
                 else:
                     t, ls = extract_text_and_links(
-                        html, base, sitemap_aware, strip_tracking
+                        html, base, sitemap_aware, strip_tracking, collapse_www
                     )
                 texts.append(t)
                 links.append(ls)
@@ -137,7 +143,10 @@ def extract_pages(
 
 
 def extract_pages_with_fields(
-    df: DataFrame, sitemap_aware: bool = False, strip_tracking: bool = False
+    df: DataFrame,
+    sitemap_aware: bool = False,
+    strip_tracking: bool = False,
+    collapse_www: bool = False,
 ) -> DataFrame:
     """(canon_url, depth, html) → (…, text, links, title, headings, meta) —
     the structured-record extraction the reference's listing-page parser
@@ -151,7 +160,7 @@ def extract_pages_with_fields(
             texts, links, titles, heads, metas = [], [], [], [], []
             for html, base in zip(pdf["html"], pdf["canon_url"]):
                 t, ls, ti, hs, me = extract_all(
-                    html, base, sitemap_aware, strip_tracking
+                    html, base, sitemap_aware, strip_tracking, collapse_www
                 )
                 texts.append(t)
                 links.append(ls)

@@ -59,7 +59,9 @@ def retire_urls(state, urls: DataFrame) -> int:
     live_seen = state.seen_through((done + 1) if done is not None else 0)
     keyed = (
         urls.select(
-            make_canonicalize_udf(cfg.strip_tracking_enabled)(F.col("url")).alias(
+            make_canonicalize_udf(
+                cfg.strip_tracking_enabled, cfg.collapse_www_enabled
+            )(F.col("url")).alias(
                 "canon_url"
             )
         )

@@ -461,10 +461,14 @@ class CrawlState:
 
 
 def _canonicalized(
-    df: DataFrame, url_col: str = "url", strip_tracking: bool = False
+    df: DataFrame,
+    url_col: str = "url",
+    strip_tracking: bool = False,
+    collapse_www: bool = False,
 ) -> DataFrame:
     return df.withColumn(
-        "canon_url", make_canonicalize_udf(strip_tracking)(F.col(url_col))
+        "canon_url",
+        make_canonicalize_udf(strip_tracking, collapse_www)(F.col(url_col)),
     )
 
 
@@ -511,7 +515,11 @@ def bootstrap(
     del with_counters
     pages_obs = Observation()
     pc = (
-        _canonicalized(pages, strip_tracking=cfg.strip_tracking_enabled)
+        _canonicalized(
+            pages,
+            strip_tracking=cfg.strip_tracking_enabled,
+            collapse_www=cfg.collapse_www_enabled,
+        )
         .drop("text")
         .observe(
             pages_obs,
@@ -579,7 +587,9 @@ def bootstrap(
         # round-0 frontier from seeds: dedup per canon_url keep min seed_rank
         seeds_obs = Observation()
         sc = _canonicalized(
-            seeds, strip_tracking=cfg.strip_tracking_enabled
+            seeds,
+            strip_tracking=cfg.strip_tracking_enabled,
+            collapse_www=cfg.collapse_www_enabled,
         ).observe(
             seeds_obs, _sum0(F.col("canon_url").isNull()).alias("quarantined")
         )
@@ -602,7 +612,9 @@ def bootstrap(
                     F.explode(robots_sitemaps_udf(F.col("robots_txt"))).alias("url")
                 )
                 .select(
-                    make_canonicalize_udf(cfg.strip_tracking_enabled)(
+                    make_canonicalize_udf(
+                        cfg.strip_tracking_enabled, cfg.collapse_www_enabled
+                    )(
                         F.col("url")
                     ).alias("canon_url")
                 )
@@ -946,6 +958,7 @@ def run_round(
                 meta_refresh=cfg.meta_refresh_enabled,
                 anchor_nofollow=cfg.anchor_nofollow_enabled,
                 strip_tracking=cfg.strip_tracking_enabled,
+                collapse_www=cfg.collapse_www_enabled,
             )
             .observe(ext_obs, *ext_metrics)
             .cache()

@@ -44,7 +44,9 @@ def ingest_pages(batch_df: DataFrame, state: CrawlState) -> None:
     pc = (
         batch_df.withColumn(
             "canon_url",
-            make_canonicalize_udf(cfg.strip_tracking_enabled)(F.col("url")),
+            make_canonicalize_udf(
+                cfg.strip_tracking_enabled, cfg.collapse_www_enabled
+            )(F.col("url")),
         )
         .where(F.col("canon_url").isNotNull())
         .withColumn("host", host_expr("canon_url"))

@@ -202,6 +202,13 @@ def main(argv: list[str] | None = None) -> int:
         "(0=uncapped): bounds how stale a never-changing page can get",
     )
     ap.add_argument(
+        "--collapse-www", action="store_true",
+        help="collapse www/non-www host aliases: canonicalization drops "
+        "leading 'www.' labels (while the remainder keeps a dot), so both "
+        "spellings of one host share one seen-set key, frontier row and "
+        "politeness slot. Semantic knob — enters config_hash",
+    )
+    ap.add_argument(
         "--host-page-cap", type=int, default=0,
         help="per-host LIFETIME emit cap (0=off): at most N urls are ever "
         "emitted per host across the whole crawl — budgets clip to the "
@@ -370,6 +377,7 @@ def main(argv: list[str] | None = None) -> int:
         recrawl_adaptive=args.recrawl_adaptive,
         recrawl_max_interval=args.recrawl_max_interval,
         host_page_cap=args.host_page_cap,
+        collapse_www_enabled=args.collapse_www,
         sitemaps_enabled=args.sitemaps,
         trap_max_depth=args.trap_max_depth,
         trap_max_repeat=args.trap_max_repeat,

@@ -67,15 +67,17 @@ class OracleCrawl:
 
     def __init__(self, pages, seeds, robots, host_budgets, cfg: CrawlConfig | None = None):
         self.cfg = cfg or CrawlConfig()
-        # cfg.strip_tracking_enabled threads into EVERY canonicalization —
-        # SEMANTICS.md §Tracking parameters (mirror of the engine, where
-        # make_canonicalize_udf / the extract kernels carry the same flag)
+        # cfg.strip_tracking_enabled / cfg.collapse_www_enabled thread into
+        # EVERY canonicalization — SEMANTICS.md §Tracking parameters /
+        # §WWW collapse (mirror of the engine, where make_canonicalize_udf
+        # / the extract kernels carry the same flags)
         st = self.cfg.strip_tracking_enabled
+        cw = self.cfg.collapse_www_enabled
         # --- page store: canonicalize, dedup per canon_url keep min (warc_ts, url)
         self.store: dict[str, dict] = {}
         quarantined = 0
         for row in pages:
-            c = canonicalize_url(row["url"], st)
+            c = canonicalize_url(row["url"], st, cw)
             if c is None:
                 quarantined += 1
                 continue
@@ -99,7 +101,7 @@ class OracleCrawl:
         best: dict[str, int | None] = {}
         self.quarantined_seeds = 0
         for s in seeds:
-            c = canonicalize_url(s["url"], st)
+            c = canonicalize_url(s["url"], st, cw)
             if c is None:
                 self.quarantined_seeds += 1
                 continue
@@ -112,7 +114,7 @@ class OracleCrawl:
         if self.cfg.sitemaps_enabled and self.cfg.robots_enabled:
             for txt in self.robots.values():
                 for u in robots_sitemaps(txt):
-                    c = canonicalize_url(u, st)
+                    c = canonicalize_url(u, st, cw)
                     if c is None:
                         continue
                     self.sitemap_seed_urls += 1
@@ -165,7 +167,11 @@ class OracleCrawl:
         host_count (the priority input) intentionally stays frozen at its
         bootstrap value — see streaming/skin.py docstring."""
         for row in pages:
-            c = canonicalize_url(row["url"], self.cfg.strip_tracking_enabled)
+            c = canonicalize_url(
+            row["url"],
+            self.cfg.strip_tracking_enabled,
+            self.cfg.collapse_www_enabled,
+        )
             if c is None:
                 continue
             cur = self.store.get(c)
@@ -179,7 +185,11 @@ class OracleCrawl:
         set (re-crawlable on rediscovery); unknown urls are no-ops."""
         n = 0
         for u in urls:
-            c = canonicalize_url(u, self.cfg.strip_tracking_enabled)
+            c = canonicalize_url(
+                u,
+                self.cfg.strip_tracking_enabled,
+                self.cfg.collapse_www_enabled,
+            )
             if c is not None and c in self.seen:
                 del self.seen[c]
                 n += 1
@@ -194,7 +204,11 @@ class OracleCrawl:
         (unknown host -> 0)."""
         best: dict[str, int] = {}
         for u in urls:
-            c = canonicalize_url(u, self.cfg.strip_tracking_enabled)
+            c = canonicalize_url(
+                u,
+                self.cfg.strip_tracking_enabled,
+                self.cfg.collapse_www_enabled,
+            )
             if c is None:
                 continue
             if c not in best or seed_rank < best[c]:
@@ -412,6 +426,7 @@ class OracleCrawl:
                         cfg.sitemaps_enabled,
                         cfg.anchor_nofollow_enabled,
                         cfg.strip_tracking_enabled,
+                        cfg.collapse_www_enabled,
                     )
                 )
                 if cfg.anchor_nofollow_enabled:
@@ -451,6 +466,7 @@ class OracleCrawl:
                     row.canon_url,
                     cfg.sitemaps_enabled,
                     cfg.strip_tracking_enabled,
+                    cfg.collapse_www_enabled,
                 )
                 nofollow = False
             res.texts[row.canon_url] = text
