@@ -1352,6 +1352,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             make_canonicalize_udf(False, True)(url).alias("collapsed"),
         )
 
+    def _sort_query(s, d):
+        """The REAL canonicalization UDF with sort_query on
+        (kernels/canonicalize.sort_query_params — SEMANTICS.md §Sorted
+        query) over urls whose query cycles through 7 shapes by doc_id:
+        reversed two-param, already-sorted two-param, single param, no
+        query at all, duplicate keys (order by full token bytes), an
+        '='-less flag token, and an empty token (sorts first, survives).
+        Inputs are already canonical-form, so the only change is the query
+        token order; DuckDB re-derives it with
+        array_to_string(list_sort(string_split(...)))."""
+        from indigo_crawler_spark.functions.udfs import make_canonicalize_udf
+
+        docs = _t(s, d, "documents")
+        k = (F.col("doc_id") % 13).cast("string")
+        query = F.element_at(
+            F.array(
+                F.concat(F.lit("b=2&a="), k),
+                F.concat(F.lit("a=1&b="), k),
+                F.concat(F.lit("a="), k),
+                F.lit(""),
+                F.lit("a=2&a=1"),
+                F.concat(F.lit("flag&a="), k),
+                F.concat(F.lit("a="), k, F.lit("&&b=1")),
+            ),
+            (F.col("doc_id") % 7).cast("int") + 1,
+        )
+        url = F.concat(
+            F.lit("https://h"),
+            k,
+            F.lit(".example.org/p/"),
+            F.col("doc_id").cast("string"),
+            F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query)),
+        )
+        return docs.select(
+            "doc_id",
+            url.alias("url"),
+            make_canonicalize_udf(False, False, True)(url).alias("sorted_url"),
+        )
+
+    q["sort_query"] = _sort_query
     q["collapse_www"] = _collapse_www
     q["host_cap_budget"] = _host_cap_budget
     q["adaptive_revisit"] = _adaptive_revisit
@@ -1726,6 +1766,33 @@ SELECT p.doc_id,
 FROM p JOIN final f USING (doc_id)
 """
 
+# independent re-derivation of kernels/canonicalize.sort_query_params over
+# the same 7 query shapes: split on '&', list_sort (DuckDB binary/code-point
+# order == Python byte order for these ASCII tokens), re-join — whole raw
+# tokens, no decoding, exactly the SEMANTICS.md §Sorted query grammar
+_SORT_QUERY_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         'https://h' || (doc_id % 13) || '.example.org/p/' || doc_id AS base,
+         CASE doc_id % 7
+           WHEN 0 THEN 'b=2&a=' || (doc_id % 13)
+           WHEN 1 THEN 'a=1&b=' || (doc_id % 13)
+           WHEN 2 THEN 'a=' || (doc_id % 13)
+           WHEN 3 THEN ''
+           WHEN 4 THEN 'a=2&a=1'
+           WHEN 5 THEN 'flag&a=' || (doc_id % 13)
+           ELSE 'a=' || (doc_id % 13) || '&&b=1'
+         END AS q
+  FROM documents
+)
+SELECT doc_id,
+       base || CASE WHEN q = '' THEN '' ELSE '?' || q END AS url,
+       base || CASE WHEN q = '' THEN ''
+               ELSE '?' || array_to_string(list_sort(string_split(q, '&')), '&')
+               END AS sorted_url
+FROM p
+"""
+
 # independent re-derivation of operators/gates.host_cap_exprs over the same
 # synthetic per-host totals history: NULL totals = 0, capped at total >= 8,
 # else budget clipped to the remaining headroom
@@ -1997,6 +2064,7 @@ def oracle_sql() -> dict[str, str]:
         "adaptive_revisit": _ADAPTIVE_REVISIT_SQL,
         "host_cap_budget": _HOST_CAP_SQL,
         "collapse_www": _COLLAPSE_WWW_SQL,
+        "sort_query": _SORT_QUERY_SQL,
         "meta_robots_flags": _META_ROBOTS_SQL,
         "canonical_targets": _CANONICAL_TARGETS_SQL,
         "meta_refresh_targets": _META_REFRESH_SQL,

@@ -179,6 +179,19 @@ class CrawlConfig:
     # dimension rows should be keyed by the COLLAPSED host. Changes results
     # ⇒ extension field in config_hash. False disables (default).
     collapse_www_enabled: bool = False
+    # sorted-query canonicalization (SEMANTICS.md §Sorted query): when True,
+    # canonicalization EVERYWHERE additionally sorts the canonical query's
+    # ``&``-separated tokens by raw token bytes
+    # (kernels/canonicalize.sort_query_params — whole key=value tokens, no
+    # decoding, so the result is a fixed point of canonicalization), so
+    # parameter-order spellings of one resource (``?a=1&b=2`` vs
+    # ``?b=2&a=1``) share one canon_url key space: one seen-set key, one
+    # frontier row, one politeness slot, one link-graph node. The third
+    # canonical URL-alias rule next to strip_tracking_enabled and
+    # collapse_www_enabled; applied AFTER tracking-param stripping.
+    # Changes results ⇒ extension field in config_hash. False disables
+    # (default).
+    sort_query_enabled: bool = False
     # exclude-pattern gate (SEMANTICS.md §Exclude patterns;
     # kernels/traps.py::matches_exclude is normative): frontier rows whose
     # canon_url matches ANY of these regexes (unanchored contains-match,
@@ -228,6 +241,7 @@ class CrawlConfig:
         "anchor_nofollow_enabled": False,
         "strip_tracking_enabled": False,
         "collapse_www_enabled": False,
+        "sort_query_enabled": False,
         "exclude_patterns": (),
     }
 

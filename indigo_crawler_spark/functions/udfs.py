@@ -31,19 +31,24 @@ def canonicalize_udf(urls: pd.Series) -> pd.Series:
     return urls.map(lambda u: canonicalize_url(u) if isinstance(u, str) else None)
 
 
-def make_canonicalize_udf(strip_tracking: bool = False, collapse_www: bool = False):
+def make_canonicalize_udf(
+    strip_tracking: bool = False,
+    collapse_www: bool = False,
+    sort_query: bool = False,
+):
     """pandas_udf canonicalizing with cfg.strip_tracking_enabled /
-    cfg.collapse_www_enabled threaded — SEMANTICS.md §Tracking parameters /
-    §WWW collapse. Flags-off returns the module-level ``canonicalize_udf``
-    instance itself, so default-path plans are object-identical to pre-knob
-    plans (no new UDF registration)."""
-    if not strip_tracking and not collapse_www:
+    cfg.collapse_www_enabled / cfg.sort_query_enabled threaded —
+    SEMANTICS.md §Tracking parameters / §WWW collapse / §Sorted query.
+    Flags-off returns the module-level ``canonicalize_udf`` instance
+    itself, so default-path plans are object-identical to pre-knob plans
+    (no new UDF registration)."""
+    if not strip_tracking and not collapse_www and not sort_query:
         return canonicalize_udf
 
     @F.pandas_udf(StringType())
     def _canonicalize_flags(urls: pd.Series) -> pd.Series:
         return urls.map(
-            lambda u: canonicalize_url(u, strip_tracking, collapse_www)
+            lambda u: canonicalize_url(u, strip_tracking, collapse_www, sort_query)
             if isinstance(u, str)
             else None
         )

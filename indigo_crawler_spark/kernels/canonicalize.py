@@ -128,6 +128,27 @@ def strip_tracking_params(query: str) -> str:
     return "&".join(kept)
 
 
+def sort_query_params(query: str) -> str:
+    """Stable canonical ordering for a canonical-form query string.
+
+    Splits on ``&`` and sorts the WHOLE raw tokens (key=value bytes) by
+    byte order — no percent-decoding, no key/value parsing beyond the
+    token split, so the rule is total, deterministic, and idempotent
+    (sorted stays sorted: the output is a FIXED POINT, the property
+    retire/inject/adaptive-recrawl rely on when they re-canonicalize
+    already-canonical urls). Duplicate keys order by their full token
+    bytes (``a=1&a=2`` regardless of arrival order); empty tokens
+    (``a&&b``) sort first and survive byte-for-byte. SEMANTICS.md
+    §Sorted query — the third canonical URL-alias rule next to
+    §Tracking parameters and §WWW collapse: servers overwhelmingly
+    treat ``?a=1&b=2`` and ``?b=2&a=1`` as the same resource, so both
+    spellings must share one seen-set key, frontier row, and politeness
+    slot."""
+    if not query:
+        return query
+    return "&".join(sorted(query.split("&")))
+
+
 def collapse_www_host(host: str) -> str:
     """Drop every leading ``www.`` label while the remainder is still a
     plausible registrable host (contains a dot): ``www.example.org`` →
@@ -149,6 +170,7 @@ def canonicalize_url(
     url: str | None,
     strip_tracking: bool = False,
     collapse_www: bool = False,
+    sort_query: bool = False,
 ) -> str | None:
     """Return the canonical form of *url*, or None if rejected (quarantine).
 
@@ -163,8 +185,14 @@ def canonicalize_url(
     slot). With *collapse_www* (cfg.collapse_www_enabled — SEMANTICS.md
     §WWW collapse) the canonical host additionally drops leading ``www.``
     labels (``collapse_www_host``), so www/non-www aliases of one host
-    share one key space the same way. Both default off: flag-off output is
-    byte-identical to every crawl committed before the knobs existed.
+    share one key space the same way. With *sort_query*
+    (cfg.sort_query_enabled — SEMANTICS.md §Sorted query) the canonical
+    query's ``&``-separated tokens additionally sort by raw token bytes
+    (``sort_query_params``), so parameter-order spellings of one resource
+    share one key space too; applied AFTER tracking-param stripping, so
+    the composed form is strip-then-sort. All default off: flag-off
+    output is byte-identical to every crawl committed before the knobs
+    existed.
     """
     if url is None:
         return None
@@ -205,6 +233,8 @@ def canonicalize_url(
     query = parts.query  # byte-for-byte; urlsplit gives '' for both absent and lone '?'
     if strip_tracking and query:
         query = strip_tracking_params(query)
+    if sort_query and query:
+        query = sort_query_params(query)
     if query:
         return f"{scheme}://{netloc}{path}?{query}"
     return f"{scheme}://{netloc}{path}"

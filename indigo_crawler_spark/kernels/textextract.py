@@ -238,6 +238,7 @@ def _canon_links(
     base_url: str | None,
     strip_tracking: bool = False,
     collapse_www: bool = False,
+    sort_query: bool = False,
 ) -> list[str]:
     links: list[str] = []
     for href in hrefs:
@@ -248,7 +249,7 @@ def _canon_links(
             absu = urljoin(base_url or "", h)
         except ValueError:
             continue
-        c = canonicalize_url(absu, strip_tracking, collapse_www)
+        c = canonicalize_url(absu, strip_tracking, collapse_www, sort_query)
         if c is not None:
             links.append(c)
     return links
@@ -270,6 +271,7 @@ def _canon_links_rels(
     base_url: str | None,
     strip_tracking: bool = False,
     collapse_www: bool = False,
+    sort_query: bool = False,
 ) -> tuple[list[str], int]:
     """The anchor-nofollow variant of ``_canon_links``: returns
     (kept links, dropped count). Dropped counts ONLY anchors that would
@@ -286,7 +288,7 @@ def _canon_links_rels(
             absu = urljoin(base_url or "", h)
         except ValueError:
             continue
-        c = canonicalize_url(absu, strip_tracking, collapse_www)
+        c = canonicalize_url(absu, strip_tracking, collapse_www, sort_query)
         if c is None:
             continue
         if anchor_rel_nofollow(rel):
@@ -302,6 +304,7 @@ def extract_text_and_links(
     sitemap_aware: bool = False,
     strip_tracking: bool = False,
     collapse_www: bool = False,
+    sort_query: bool = False,
 ) -> tuple[str, list[str]]:
     """Parse *html* once; return (visible_text, canonical out-links in order).
 
@@ -326,11 +329,11 @@ def extract_text_and_links(
         doc = _decode(html)
         if looks_like_sitemap(doc):
             return "", _canon_links(
-                sitemap_locs(doc), base_url, strip_tracking, collapse_www
+                sitemap_locs(doc), base_url, strip_tracking, collapse_www, sort_query
             )
     p = _parse(html)
     return p.text(), _canon_links(
-        p.hrefs, _effective_base(p, base_url), strip_tracking, collapse_www
+        p.hrefs, _effective_base(p, base_url), strip_tracking, collapse_www, sort_query
     )
 
 
@@ -340,6 +343,7 @@ def extract_all(
     sitemap_aware: bool = False,
     strip_tracking: bool = False,
     collapse_www: bool = False,
+    sort_query: bool = False,
 ) -> tuple[str, list[str], str, list[str], dict[str, str]]:
     """Parse *html* once; return (text, links, title, headings, meta) — the
     structured-record extraction surface. text/links are byte-identical to
@@ -356,7 +360,7 @@ def extract_all(
             return (
                 "",
                 _canon_links(
-                    sitemap_locs(doc), base_url, strip_tracking, collapse_www
+                    sitemap_locs(doc), base_url, strip_tracking, collapse_www, sort_query
                 ),
                 "",
                 [],
@@ -366,7 +370,7 @@ def extract_all(
     return (
         p.text(),
         _canon_links(
-            p.hrefs, _effective_base(p, base_url), strip_tracking, collapse_www
+            p.hrefs, _effective_base(p, base_url), strip_tracking, collapse_www, sort_query
         ),
         p.title(),
         p.headings,
@@ -416,6 +420,7 @@ def canonical_target(
     base_url: str | None,
     strip_tracking: bool = False,
     collapse_www: bool = False,
+    sort_query: bool = False,
 ) -> str | None:
     """Resolve a ``<link rel="canonical">`` href to a canonical URL —
     SEMANTICS.md §Canonical link: ``urljoin(base, href)`` then
@@ -431,7 +436,7 @@ def canonical_target(
         absu = urljoin(base_url or "", h)
     except ValueError:
         return None
-    return canonicalize_url(absu, strip_tracking, collapse_www)
+    return canonicalize_url(absu, strip_tracking, collapse_www, sort_query)
 
 
 def meta_refresh_target(
@@ -440,6 +445,7 @@ def meta_refresh_target(
     page_url: str | None = None,
     strip_tracking: bool = False,
     collapse_www: bool = False,
+    sort_query: bool = False,
 ) -> tuple[int, str] | None:
     """(delay_seconds, resolved_target) from a meta http-equiv=refresh
     content string — SEMANTICS.md §Meta refresh (normative; the oracle
@@ -468,7 +474,7 @@ def meta_refresh_target(
     t = r[4:].strip()
     if len(t) >= 2 and t[0] == t[-1] and t[0] in ("'", '"'):
         t = t[1:-1].strip()
-    target = canonical_target(t, base_url, strip_tracking, collapse_www)
+    target = canonical_target(t, base_url, strip_tracking, collapse_www, sort_query)
     if target is None or target == (page_url if page_url is not None else base_url):
         return None
     return int(delay_s), target
@@ -481,6 +487,7 @@ def extract_text_links_signals(
     anchor_nofollow: bool = False,
     strip_tracking: bool = False,
     collapse_www: bool = False,
+    sort_query: bool = False,
 ) -> tuple[
     str, list[str], bool, bool, str | None, tuple[int, str] | None, int
 ]:
@@ -506,7 +513,7 @@ def extract_text_links_signals(
             return (
                 "",
                 _canon_links(
-                    sitemap_locs(doc), base_url, strip_tracking, collapse_www
+                    sitemap_locs(doc), base_url, strip_tracking, collapse_www, sort_query
                 ),
                 False,
                 False,
@@ -519,11 +526,11 @@ def extract_text_links_signals(
     eb = _effective_base(p, base_url)
     if anchor_nofollow:
         links, anchor_dropped = _canon_links_rels(
-            p.hrefs, p.href_rels, eb, strip_tracking, collapse_www
+            p.hrefs, p.href_rels, eb, strip_tracking, collapse_www, sort_query
         )
     else:
         links, anchor_dropped = (
-            _canon_links(p.hrefs, eb, strip_tracking, collapse_www),
+            _canon_links(p.hrefs, eb, strip_tracking, collapse_www, sort_query),
             0,
         )
     return (
@@ -531,13 +538,14 @@ def extract_text_links_signals(
         links,
         noindex,
         nofollow,
-        canonical_target(p.canonical_href, eb, strip_tracking, collapse_www),
+        canonical_target(p.canonical_href, eb, strip_tracking, collapse_www, sort_query),
         meta_refresh_target(
             p.refresh_content,
             eb,
             page_url=base_url,
             strip_tracking=strip_tracking,
             collapse_www=collapse_www,
+            sort_query=sort_query,
         ),
         anchor_dropped,
     )
@@ -549,6 +557,7 @@ def extract_text_links_robots(
     sitemap_aware: bool = False,
     strip_tracking: bool = False,
     collapse_www: bool = False,
+    sort_query: bool = False,
 ) -> tuple[str, list[str], bool, bool]:
     """(text, links, noindex, nofollow) — the meta-robots slice of
     ``extract_text_links_signals`` (same single parse)."""
@@ -558,5 +567,6 @@ def extract_text_links_robots(
         sitemap_aware,
         strip_tracking=strip_tracking,
         collapse_www=collapse_www,
+        sort_query=sort_query,
     )
     return text, links, noindex, nofollow

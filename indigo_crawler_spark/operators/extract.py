@@ -57,6 +57,7 @@ def extract_pages(
     anchor_nofollow: bool = False,
     strip_tracking: bool = False,
     collapse_www: bool = False,
+    sort_query: bool = False,
 ) -> DataFrame:
     """(canon_url, depth, html) → (canon_url, depth, text, links).
 
@@ -106,6 +107,7 @@ def extract_pages(
                         anchor_nofollow,
                         strip_tracking,
                         collapse_www,
+                        sort_query,
                     )
                     noidx.append(ni)
                     nofol.append(nf)
@@ -118,7 +120,8 @@ def extract_pages(
                         redir.append(False)
                 else:
                     t, ls = extract_text_and_links(
-                        html, base, sitemap_aware, strip_tracking, collapse_www
+                        html, base, sitemap_aware, strip_tracking,
+                        collapse_www, sort_query,
                     )
                 texts.append(t)
                 links.append(ls)
@@ -147,6 +150,7 @@ def extract_pages_with_fields(
     sitemap_aware: bool = False,
     strip_tracking: bool = False,
     collapse_www: bool = False,
+    sort_query: bool = False,
 ) -> DataFrame:
     """(canon_url, depth, html) → (…, text, links, title, headings, meta) —
     the structured-record extraction the reference's listing-page parser
@@ -160,7 +164,8 @@ def extract_pages_with_fields(
             texts, links, titles, heads, metas = [], [], [], [], []
             for html, base in zip(pdf["html"], pdf["canon_url"]):
                 t, ls, ti, hs, me = extract_all(
-                    html, base, sitemap_aware, strip_tracking, collapse_www
+                    html, base, sitemap_aware, strip_tracking,
+                    collapse_www, sort_query,
                 )
                 texts.append(t)
                 links.append(ls)

@@ -67,7 +67,9 @@ def inject_seeds(state, urls: DataFrame, seed_rank: int = 0) -> int:
 
     ranked = urls.select(
         make_canonicalize_udf(
-            cfg.strip_tracking_enabled, cfg.collapse_www_enabled
+            cfg.strip_tracking_enabled,
+            cfg.collapse_www_enabled,
+            cfg.sort_query_enabled,
         )(F.col("url")).alias(
             "canon_url"
         ),

@@ -60,7 +60,9 @@ def retire_urls(state, urls: DataFrame) -> int:
     keyed = (
         urls.select(
             make_canonicalize_udf(
-                cfg.strip_tracking_enabled, cfg.collapse_www_enabled
+                cfg.strip_tracking_enabled,
+                cfg.collapse_www_enabled,
+                cfg.sort_query_enabled,
             )(F.col("url")).alias(
                 "canon_url"
             )

@@ -465,10 +465,11 @@ def _canonicalized(
     url_col: str = "url",
     strip_tracking: bool = False,
     collapse_www: bool = False,
+    sort_query: bool = False,
 ) -> DataFrame:
     return df.withColumn(
         "canon_url",
-        make_canonicalize_udf(strip_tracking, collapse_www)(F.col(url_col)),
+        make_canonicalize_udf(strip_tracking, collapse_www, sort_query)(F.col(url_col)),
     )
 
 
@@ -519,6 +520,7 @@ def bootstrap(
             pages,
             strip_tracking=cfg.strip_tracking_enabled,
             collapse_www=cfg.collapse_www_enabled,
+            sort_query=cfg.sort_query_enabled,
         )
         .drop("text")
         .observe(
@@ -590,6 +592,7 @@ def bootstrap(
             seeds,
             strip_tracking=cfg.strip_tracking_enabled,
             collapse_www=cfg.collapse_www_enabled,
+            sort_query=cfg.sort_query_enabled,
         ).observe(
             seeds_obs, _sum0(F.col("canon_url").isNull()).alias("quarantined")
         )
@@ -613,7 +616,9 @@ def bootstrap(
                 )
                 .select(
                     make_canonicalize_udf(
-                        cfg.strip_tracking_enabled, cfg.collapse_www_enabled
+                        cfg.strip_tracking_enabled,
+                        cfg.collapse_www_enabled,
+                        cfg.sort_query_enabled,
                     )(
                         F.col("url")
                     ).alias("canon_url")
@@ -959,6 +964,7 @@ def run_round(
                 anchor_nofollow=cfg.anchor_nofollow_enabled,
                 strip_tracking=cfg.strip_tracking_enabled,
                 collapse_www=cfg.collapse_www_enabled,
+                sort_query=cfg.sort_query_enabled,
             )
             .observe(ext_obs, *ext_metrics)
             .cache()

@@ -45,7 +45,9 @@ def ingest_pages(batch_df: DataFrame, state: CrawlState) -> None:
         batch_df.withColumn(
             "canon_url",
             make_canonicalize_udf(
-                cfg.strip_tracking_enabled, cfg.collapse_www_enabled
+                cfg.strip_tracking_enabled,
+                cfg.collapse_www_enabled,
+                cfg.sort_query_enabled,
             )(F.col("url")),
         )
         .where(F.col("canon_url").isNotNull())

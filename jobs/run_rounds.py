@@ -209,6 +209,14 @@ def main(argv: list[str] | None = None) -> int:
         "politeness slot. Semantic knob — enters config_hash",
     )
     ap.add_argument(
+        "--sort-query", action="store_true",
+        help="sort canonical query parameters: canonicalization orders the "
+        "query's &-separated tokens by raw bytes (after tracking-param "
+        "stripping), so parameter-order spellings of one resource share "
+        "one seen-set key, frontier row and politeness slot. Semantic "
+        "knob — enters config_hash",
+    )
+    ap.add_argument(
         "--host-page-cap", type=int, default=0,
         help="per-host LIFETIME emit cap (0=off): at most N urls are ever "
         "emitted per host across the whole crawl — budgets clip to the "
@@ -378,6 +386,7 @@ def main(argv: list[str] | None = None) -> int:
         recrawl_max_interval=args.recrawl_max_interval,
         host_page_cap=args.host_page_cap,
         collapse_www_enabled=args.collapse_www,
+        sort_query_enabled=args.sort_query,
         sitemaps_enabled=args.sitemaps,
         trap_max_depth=args.trap_max_depth,
         trap_max_repeat=args.trap_max_repeat,

@@ -67,17 +67,19 @@ class OracleCrawl:
 
     def __init__(self, pages, seeds, robots, host_budgets, cfg: CrawlConfig | None = None):
         self.cfg = cfg or CrawlConfig()
-        # cfg.strip_tracking_enabled / cfg.collapse_www_enabled thread into
-        # EVERY canonicalization — SEMANTICS.md §Tracking parameters /
-        # §WWW collapse (mirror of the engine, where make_canonicalize_udf
-        # / the extract kernels carry the same flags)
+        # cfg.strip_tracking_enabled / cfg.collapse_www_enabled /
+        # cfg.sort_query_enabled thread into EVERY canonicalization —
+        # SEMANTICS.md §Tracking parameters / §WWW collapse / §Sorted query
+        # (mirror of the engine, where make_canonicalize_udf / the extract
+        # kernels carry the same flags)
         st = self.cfg.strip_tracking_enabled
         cw = self.cfg.collapse_www_enabled
+        sq = self.cfg.sort_query_enabled
         # --- page store: canonicalize, dedup per canon_url keep min (warc_ts, url)
         self.store: dict[str, dict] = {}
         quarantined = 0
         for row in pages:
-            c = canonicalize_url(row["url"], st, cw)
+            c = canonicalize_url(row["url"], st, cw, sq)
             if c is None:
                 quarantined += 1
                 continue
@@ -101,7 +103,7 @@ class OracleCrawl:
         best: dict[str, int | None] = {}
         self.quarantined_seeds = 0
         for s in seeds:
-            c = canonicalize_url(s["url"], st, cw)
+            c = canonicalize_url(s["url"], st, cw, sq)
             if c is None:
                 self.quarantined_seeds += 1
                 continue
@@ -114,7 +116,7 @@ class OracleCrawl:
         if self.cfg.sitemaps_enabled and self.cfg.robots_enabled:
             for txt in self.robots.values():
                 for u in robots_sitemaps(txt):
-                    c = canonicalize_url(u, st, cw)
+                    c = canonicalize_url(u, st, cw, sq)
                     if c is None:
                         continue
                     self.sitemap_seed_urls += 1
@@ -171,6 +173,7 @@ class OracleCrawl:
             row["url"],
             self.cfg.strip_tracking_enabled,
             self.cfg.collapse_www_enabled,
+            self.cfg.sort_query_enabled,
         )
             if c is None:
                 continue
@@ -189,6 +192,7 @@ class OracleCrawl:
                 u,
                 self.cfg.strip_tracking_enabled,
                 self.cfg.collapse_www_enabled,
+                self.cfg.sort_query_enabled,
             )
             if c is not None and c in self.seen:
                 del self.seen[c]
@@ -208,6 +212,7 @@ class OracleCrawl:
                 u,
                 self.cfg.strip_tracking_enabled,
                 self.cfg.collapse_www_enabled,
+                self.cfg.sort_query_enabled,
             )
             if c is None:
                 continue
@@ -427,6 +432,7 @@ class OracleCrawl:
                         cfg.anchor_nofollow_enabled,
                         cfg.strip_tracking_enabled,
                         cfg.collapse_www_enabled,
+                        cfg.sort_query_enabled,
                     )
                 )
                 if cfg.anchor_nofollow_enabled:
@@ -467,6 +473,7 @@ class OracleCrawl:
                     cfg.sitemaps_enabled,
                     cfg.strip_tracking_enabled,
                     cfg.collapse_www_enabled,
+                    cfg.sort_query_enabled,
                 )
                 nofollow = False
             res.texts[row.canon_url] = text
