@@ -1391,6 +1391,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             make_canonicalize_udf(False, False, True)(url).alias("sorted_url"),
         )
 
+    def _strip_session(s, d):
+        """The REAL canonicalization UDF with strip_session on
+        (kernels/canonicalize.strip_session_params / strip_session_path —
+        SEMANTICS.md §Session identifiers) over urls cycling through 6
+        shapes by doc_id: PHPSESSID query token (case-insensitive),
+        sid-between-survivors, ASPSESSIONID<random> prefix rule,
+        ;jsessionid path param mid-path with survivors, a non-session
+        matrix param (SURVIVES — only jsessionid drops path-side), and a
+        clean url (byte-identical). DuckDB re-derives both carriers with
+        list/regexp functions over the same token grammars."""
+        from indigo_crawler_spark.functions.udfs import make_canonicalize_udf
+
+        docs = _t(s, d, "documents")
+        k = (F.col("doc_id") % 13).cast("string")
+        tail = F.element_at(
+            F.array(
+                F.concat(F.lit("/p?PHPSESSID=x"), k, F.lit("&id=1")),
+                F.concat(F.lit("/p?a=1&sid="), k, F.lit("&b=2")),
+                F.concat(F.lit("/p?ASPSESSIONIDQQRST"), k, F.lit("=Z&a=2")),
+                F.concat(F.lit("/cart;x=1;jsessionid=A"), k, F.lit(";y=2/view")),
+                F.concat(F.lit("/a;matrix="), k, F.lit("/b?id=3")),
+                F.concat(F.lit("/plain/"), k),
+            ),
+            (F.col("doc_id") % 6).cast("int") + 1,
+        )
+        url = F.concat(F.lit("https://h"), k, F.lit(".example.org"), tail)
+        return docs.select(
+            "doc_id",
+            url.alias("url"),
+            make_canonicalize_udf(False, False, False, True)(url).alias(
+                "stripped_url"
+            ),
+        )
+
+    q["strip_session"] = _strip_session
     q["sort_query"] = _sort_query
     q["collapse_www"] = _collapse_www
     q["host_cap_budget"] = _host_cap_budget
@@ -1766,6 +1801,61 @@ SELECT p.doc_id,
 FROM p JOIN final f USING (doc_id)
 """
 
+# independent re-derivation of kernels/canonicalize.strip_session_params +
+# strip_session_path over the same 6 url shapes: query tokens filter on the
+# pinned key set + aspsessionid% prefix (split_part = bytes before the first
+# '=', lowercased, never decoded), path segments keep their base + every
+# ;-param whose key is not 'jsessionid' — both carriers in plain DuckDB
+# list/lambda functions, no UDF
+_STRIP_SESSION_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         'https://h' || (doc_id % 13) || '.example.org' AS origin,
+         CASE doc_id % 6
+           WHEN 0 THEN '/p'
+           WHEN 1 THEN '/p'
+           WHEN 2 THEN '/p'
+           WHEN 3 THEN '/cart;x=1;jsessionid=A' || (doc_id % 13) || ';y=2/view'
+           WHEN 4 THEN '/a;matrix=' || (doc_id % 13) || '/b'
+           ELSE '/plain/' || (doc_id % 13)
+         END AS path,
+         CASE doc_id % 6
+           WHEN 0 THEN 'PHPSESSID=x' || (doc_id % 13) || '&id=1'
+           WHEN 1 THEN 'a=1&sid=' || (doc_id % 13) || '&b=2'
+           WHEN 2 THEN 'ASPSESSIONIDQQRST' || (doc_id % 13) || '=Z&a=2'
+           WHEN 3 THEN ''
+           WHEN 4 THEN 'id=3'
+           ELSE ''
+         END AS q
+  FROM documents
+), s AS (
+  SELECT doc_id, origin, path, q,
+    array_to_string(
+      list_transform(string_split(path, '/'), seg ->
+        CASE WHEN strpos(seg, ';') = 0 THEN seg
+        ELSE array_to_string(
+          [string_split(seg, ';')[1]] ||
+          list_filter(string_split(seg, ';')[2:],
+                      pp -> lower(split_part(pp, '=', 1)) <> 'jsessionid'),
+          ';')
+        END
+      ), '/') AS spath,
+    array_to_string(
+      list_filter(string_split(q, '&'),
+        t -> NOT (lower(split_part(t, '=', 1)) IN
+                   ('phpsessid','jsessionid','sessionid','session_id','sid',
+                    'zenid','oscsid','cfid','cftoken')
+              OR lower(split_part(t, '=', 1)) LIKE 'aspsessionid%')),
+      '&') AS sq
+  FROM p
+)
+SELECT doc_id,
+       origin || path || CASE WHEN q = '' THEN '' ELSE '?' || q END AS url,
+       origin || (CASE WHEN spath = '' THEN '/' ELSE spath END)
+              || CASE WHEN sq = '' THEN '' ELSE '?' || sq END AS stripped_url
+FROM s
+"""
+
 # independent re-derivation of kernels/canonicalize.sort_query_params over
 # the same 7 query shapes: split on '&', list_sort (DuckDB binary/code-point
 # order == Python byte order for these ASCII tokens), re-join — whole raw
@@ -2065,6 +2155,7 @@ def oracle_sql() -> dict[str, str]:
         "host_cap_budget": _HOST_CAP_SQL,
         "collapse_www": _COLLAPSE_WWW_SQL,
         "sort_query": _SORT_QUERY_SQL,
+        "strip_session": _STRIP_SESSION_SQL,
         "meta_robots_flags": _META_ROBOTS_SQL,
         "canonical_targets": _CANONICAL_TARGETS_SQL,
         "meta_refresh_targets": _META_REFRESH_SQL,

@@ -192,6 +192,18 @@ class CrawlConfig:
     # Changes results ⇒ extension field in config_hash. False disables
     # (default).
     sort_query_enabled: bool = False
+    # session-identifier stripping (SEMANTICS.md §Session identifiers):
+    # when True, canonicalization EVERYWHERE additionally drops query
+    # parameters whose key is in the pinned
+    # kernels/canonicalize.SESSION_PARAMS set (phpsessid, jsessionid, sid,
+    # …, plus the pinned aspsessionid* prefix) AND ``;jsessionid=…`` path
+    # parameters (kernels/canonicalize.strip_session_params /
+    # strip_session_path), so per-visitor session echoes of one resource
+    # share one canon_url key space. The fourth canonical URL-alias rule;
+    # query-side order pinned session-strip → tracking-strip → sort.
+    # Changes results ⇒ extension field in config_hash. False disables
+    # (default).
+    strip_session_enabled: bool = False
     # exclude-pattern gate (SEMANTICS.md §Exclude patterns;
     # kernels/traps.py::matches_exclude is normative): frontier rows whose
     # canon_url matches ANY of these regexes (unanchored contains-match,
@@ -242,6 +254,7 @@ class CrawlConfig:
         "strip_tracking_enabled": False,
         "collapse_www_enabled": False,
         "sort_query_enabled": False,
+        "strip_session_enabled": False,
         "exclude_patterns": (),
     }
 

@@ -35,20 +35,24 @@ def make_canonicalize_udf(
     strip_tracking: bool = False,
     collapse_www: bool = False,
     sort_query: bool = False,
+    strip_session: bool = False,
 ):
     """pandas_udf canonicalizing with cfg.strip_tracking_enabled /
-    cfg.collapse_www_enabled / cfg.sort_query_enabled threaded —
-    SEMANTICS.md §Tracking parameters / §WWW collapse / §Sorted query.
+    cfg.collapse_www_enabled / cfg.sort_query_enabled /
+    cfg.strip_session_enabled threaded — SEMANTICS.md §Tracking
+    parameters / §WWW collapse / §Sorted query / §Session identifiers.
     Flags-off returns the module-level ``canonicalize_udf`` instance
     itself, so default-path plans are object-identical to pre-knob plans
     (no new UDF registration)."""
-    if not strip_tracking and not collapse_www and not sort_query:
+    if not (strip_tracking or collapse_www or sort_query or strip_session):
         return canonicalize_udf
 
     @F.pandas_udf(StringType())
     def _canonicalize_flags(urls: pd.Series) -> pd.Series:
         return urls.map(
-            lambda u: canonicalize_url(u, strip_tracking, collapse_www, sort_query)
+            lambda u: canonicalize_url(
+                u, strip_tracking, collapse_www, sort_query, strip_session
+            )
             if isinstance(u, str)
             else None
         )

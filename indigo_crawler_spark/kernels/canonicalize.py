@@ -128,6 +128,72 @@ def strip_tracking_params(query: str) -> str:
     return "&".join(kept)
 
 
+# Session-identifier keys stripped under cfg.strip_session_enabled —
+# SEMANTICS.md §Session identifiers. Pinned, closed set plus ONE pinned
+# prefix rule (ASP emits ASPSESSIONID followed by a per-site suffix, so exact
+# matching can't express it). Same grammar as TRACKING_PARAMS: keys compare
+# lowercased against the RAW bytes before the first ``=`` of each
+# ``&``-separated query token, no percent-decoding.
+SESSION_PARAMS = frozenset(
+    {
+        "phpsessid",
+        "jsessionid",
+        "sessionid",
+        "session_id",
+        "sid",
+        "zenid",
+        "oscsid",
+        "cfid",
+        "cftoken",
+    }
+)
+_SESSION_PREFIX = "aspsessionid"
+
+
+def _is_session_key(key: str) -> bool:
+    k = key.lower()
+    return k in SESSION_PARAMS or k.startswith(_SESSION_PREFIX)
+
+
+def strip_session_params(query: str) -> str:
+    """Drop session-identifier parameters from a canonical-form query
+    string — token grammar identical to ``strip_tracking_params`` (split
+    on ``&``, key = bytes before the first ``=``, lowercased, never
+    percent-decoded), against SESSION_PARAMS plus the pinned
+    ``aspsessionid*`` prefix rule."""
+    if not query:
+        return query
+    kept = [
+        tok for tok in query.split("&") if not _is_session_key(tok.partition("=")[0])
+    ]
+    return "&".join(kept)
+
+
+def strip_session_path(path: str) -> str:
+    """Drop ``;jsessionid=…`` path parameters from a canonical-form path.
+
+    Servlet containers append the session id as a PATH parameter
+    (``/cart;jsessionid=ABC123/view``), not a query token. Rule: in every
+    ``/``-separated segment, a ``;``-introduced parameter whose key (bytes
+    between ``;`` and the next ``=``/``;``, lowercased) is ``jsessionid``
+    is removed — other path parameters survive byte-for-byte (they can be
+    load-bearing; only the session id is provably per-visitor noise).
+    Idempotent: no jsessionid survives, so the output is a fixed point."""
+    if ";" not in path:
+        return path
+    out_segs = []
+    for seg in path.split("/"):
+        if ";" not in seg:
+            out_segs.append(seg)
+            continue
+        base, *params = seg.split(";")
+        kept = [
+            p for p in params if p.partition("=")[0].lower() != "jsessionid"
+        ]
+        out_segs.append(";".join([base] + kept) if kept else base)
+    return "/".join(out_segs)
+
+
 def sort_query_params(query: str) -> str:
     """Stable canonical ordering for a canonical-form query string.
 
@@ -171,6 +237,7 @@ def canonicalize_url(
     strip_tracking: bool = False,
     collapse_www: bool = False,
     sort_query: bool = False,
+    strip_session: bool = False,
 ) -> str | None:
     """Return the canonical form of *url*, or None if rejected (quarantine).
 
@@ -190,9 +257,14 @@ def canonicalize_url(
     query's ``&``-separated tokens additionally sort by raw token bytes
     (``sort_query_params``), so parameter-order spellings of one resource
     share one key space too; applied AFTER tracking-param stripping, so
-    the composed form is strip-then-sort. All default off: flag-off
-    output is byte-identical to every crawl committed before the knobs
-    existed.
+    the composed form is strip-then-sort. With *strip_session*
+    (cfg.strip_session_enabled — SEMANTICS.md §Session identifiers)
+    SESSION_PARAMS query tokens and ``;jsessionid=…`` path parameters
+    drop (``strip_session_params`` / ``strip_session_path``), so
+    per-visitor session echoes of one resource share one key space;
+    query-side order pinned session-strip → tracking-strip → sort. All
+    default off: flag-off output is byte-identical to every crawl
+    committed before the knobs existed.
     """
     if url is None:
         return None
@@ -227,10 +299,14 @@ def canonicalize_url(
     netloc = userinfo + netloc
 
     path = _remove_dot_segments(_percent_normalize(parts.path))
+    if strip_session and ";" in path:
+        path = strip_session_path(path)
     if not path:
         path = "/"
 
     query = parts.query  # byte-for-byte; urlsplit gives '' for both absent and lone '?'
+    if strip_session and query:
+        query = strip_session_params(query)
     if strip_tracking and query:
         query = strip_tracking_params(query)
     if sort_query and query:

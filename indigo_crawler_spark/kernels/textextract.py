@@ -239,6 +239,7 @@ def _canon_links(
     strip_tracking: bool = False,
     collapse_www: bool = False,
     sort_query: bool = False,
+    strip_session: bool = False,
 ) -> list[str]:
     links: list[str] = []
     for href in hrefs:
@@ -249,7 +250,7 @@ def _canon_links(
             absu = urljoin(base_url or "", h)
         except ValueError:
             continue
-        c = canonicalize_url(absu, strip_tracking, collapse_www, sort_query)
+        c = canonicalize_url(absu, strip_tracking, collapse_www, sort_query, strip_session)
         if c is not None:
             links.append(c)
     return links
@@ -272,6 +273,7 @@ def _canon_links_rels(
     strip_tracking: bool = False,
     collapse_www: bool = False,
     sort_query: bool = False,
+    strip_session: bool = False,
 ) -> tuple[list[str], int]:
     """The anchor-nofollow variant of ``_canon_links``: returns
     (kept links, dropped count). Dropped counts ONLY anchors that would
@@ -288,7 +290,7 @@ def _canon_links_rels(
             absu = urljoin(base_url or "", h)
         except ValueError:
             continue
-        c = canonicalize_url(absu, strip_tracking, collapse_www, sort_query)
+        c = canonicalize_url(absu, strip_tracking, collapse_www, sort_query, strip_session)
         if c is None:
             continue
         if anchor_rel_nofollow(rel):
@@ -305,6 +307,7 @@ def extract_text_and_links(
     strip_tracking: bool = False,
     collapse_www: bool = False,
     sort_query: bool = False,
+    strip_session: bool = False,
 ) -> tuple[str, list[str]]:
     """Parse *html* once; return (visible_text, canonical out-links in order).
 
@@ -329,11 +332,11 @@ def extract_text_and_links(
         doc = _decode(html)
         if looks_like_sitemap(doc):
             return "", _canon_links(
-                sitemap_locs(doc), base_url, strip_tracking, collapse_www, sort_query
+                sitemap_locs(doc), base_url, strip_tracking, collapse_www, sort_query, strip_session
             )
     p = _parse(html)
     return p.text(), _canon_links(
-        p.hrefs, _effective_base(p, base_url), strip_tracking, collapse_www, sort_query
+        p.hrefs, _effective_base(p, base_url), strip_tracking, collapse_www, sort_query, strip_session
     )
 
 
@@ -344,6 +347,7 @@ def extract_all(
     strip_tracking: bool = False,
     collapse_www: bool = False,
     sort_query: bool = False,
+    strip_session: bool = False,
 ) -> tuple[str, list[str], str, list[str], dict[str, str]]:
     """Parse *html* once; return (text, links, title, headings, meta) — the
     structured-record extraction surface. text/links are byte-identical to
@@ -360,7 +364,7 @@ def extract_all(
             return (
                 "",
                 _canon_links(
-                    sitemap_locs(doc), base_url, strip_tracking, collapse_www, sort_query
+                    sitemap_locs(doc), base_url, strip_tracking, collapse_www, sort_query, strip_session
                 ),
                 "",
                 [],
@@ -370,7 +374,7 @@ def extract_all(
     return (
         p.text(),
         _canon_links(
-            p.hrefs, _effective_base(p, base_url), strip_tracking, collapse_www, sort_query
+            p.hrefs, _effective_base(p, base_url), strip_tracking, collapse_www, sort_query, strip_session
         ),
         p.title(),
         p.headings,
@@ -421,6 +425,7 @@ def canonical_target(
     strip_tracking: bool = False,
     collapse_www: bool = False,
     sort_query: bool = False,
+    strip_session: bool = False,
 ) -> str | None:
     """Resolve a ``<link rel="canonical">`` href to a canonical URL —
     SEMANTICS.md §Canonical link: ``urljoin(base, href)`` then
@@ -436,7 +441,7 @@ def canonical_target(
         absu = urljoin(base_url or "", h)
     except ValueError:
         return None
-    return canonicalize_url(absu, strip_tracking, collapse_www, sort_query)
+    return canonicalize_url(absu, strip_tracking, collapse_www, sort_query, strip_session)
 
 
 def meta_refresh_target(
@@ -446,6 +451,7 @@ def meta_refresh_target(
     strip_tracking: bool = False,
     collapse_www: bool = False,
     sort_query: bool = False,
+    strip_session: bool = False,
 ) -> tuple[int, str] | None:
     """(delay_seconds, resolved_target) from a meta http-equiv=refresh
     content string — SEMANTICS.md §Meta refresh (normative; the oracle
@@ -474,7 +480,7 @@ def meta_refresh_target(
     t = r[4:].strip()
     if len(t) >= 2 and t[0] == t[-1] and t[0] in ("'", '"'):
         t = t[1:-1].strip()
-    target = canonical_target(t, base_url, strip_tracking, collapse_www, sort_query)
+    target = canonical_target(t, base_url, strip_tracking, collapse_www, sort_query, strip_session)
     if target is None or target == (page_url if page_url is not None else base_url):
         return None
     return int(delay_s), target
@@ -488,6 +494,7 @@ def extract_text_links_signals(
     strip_tracking: bool = False,
     collapse_www: bool = False,
     sort_query: bool = False,
+    strip_session: bool = False,
 ) -> tuple[
     str, list[str], bool, bool, str | None, tuple[int, str] | None, int
 ]:
@@ -513,7 +520,7 @@ def extract_text_links_signals(
             return (
                 "",
                 _canon_links(
-                    sitemap_locs(doc), base_url, strip_tracking, collapse_www, sort_query
+                    sitemap_locs(doc), base_url, strip_tracking, collapse_www, sort_query, strip_session
                 ),
                 False,
                 False,
@@ -526,11 +533,11 @@ def extract_text_links_signals(
     eb = _effective_base(p, base_url)
     if anchor_nofollow:
         links, anchor_dropped = _canon_links_rels(
-            p.hrefs, p.href_rels, eb, strip_tracking, collapse_www, sort_query
+            p.hrefs, p.href_rels, eb, strip_tracking, collapse_www, sort_query, strip_session
         )
     else:
         links, anchor_dropped = (
-            _canon_links(p.hrefs, eb, strip_tracking, collapse_www, sort_query),
+            _canon_links(p.hrefs, eb, strip_tracking, collapse_www, sort_query, strip_session),
             0,
         )
     return (
@@ -538,7 +545,7 @@ def extract_text_links_signals(
         links,
         noindex,
         nofollow,
-        canonical_target(p.canonical_href, eb, strip_tracking, collapse_www, sort_query),
+        canonical_target(p.canonical_href, eb, strip_tracking, collapse_www, sort_query, strip_session),
         meta_refresh_target(
             p.refresh_content,
             eb,
@@ -546,6 +553,7 @@ def extract_text_links_signals(
             strip_tracking=strip_tracking,
             collapse_www=collapse_www,
             sort_query=sort_query,
+            strip_session=strip_session,
         ),
         anchor_dropped,
     )
@@ -558,6 +566,7 @@ def extract_text_links_robots(
     strip_tracking: bool = False,
     collapse_www: bool = False,
     sort_query: bool = False,
+    strip_session: bool = False,
 ) -> tuple[str, list[str], bool, bool]:
     """(text, links, noindex, nofollow) — the meta-robots slice of
     ``extract_text_links_signals`` (same single parse)."""
@@ -568,5 +577,6 @@ def extract_text_links_robots(
         strip_tracking=strip_tracking,
         collapse_www=collapse_www,
         sort_query=sort_query,
+        strip_session=strip_session,
     )
     return text, links, noindex, nofollow

@@ -58,6 +58,7 @@ def extract_pages(
     strip_tracking: bool = False,
     collapse_www: bool = False,
     sort_query: bool = False,
+    strip_session: bool = False,
 ) -> DataFrame:
     """(canon_url, depth, html) → (canon_url, depth, text, links).
 
@@ -108,6 +109,7 @@ def extract_pages(
                         strip_tracking,
                         collapse_www,
                         sort_query,
+                        strip_session,
                     )
                     noidx.append(ni)
                     nofol.append(nf)
@@ -121,7 +123,7 @@ def extract_pages(
                 else:
                     t, ls = extract_text_and_links(
                         html, base, sitemap_aware, strip_tracking,
-                        collapse_www, sort_query,
+                        collapse_www, sort_query, strip_session,
                     )
                 texts.append(t)
                 links.append(ls)
@@ -151,6 +153,7 @@ def extract_pages_with_fields(
     strip_tracking: bool = False,
     collapse_www: bool = False,
     sort_query: bool = False,
+    strip_session: bool = False,
 ) -> DataFrame:
     """(canon_url, depth, html) → (…, text, links, title, headings, meta) —
     the structured-record extraction the reference's listing-page parser
@@ -165,7 +168,7 @@ def extract_pages_with_fields(
             for html, base in zip(pdf["html"], pdf["canon_url"]):
                 t, ls, ti, hs, me = extract_all(
                     html, base, sitemap_aware, strip_tracking,
-                    collapse_www, sort_query,
+                    collapse_www, sort_query, strip_session,
                 )
                 texts.append(t)
                 links.append(ls)

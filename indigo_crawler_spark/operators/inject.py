@@ -70,6 +70,7 @@ def inject_seeds(state, urls: DataFrame, seed_rank: int = 0) -> int:
             cfg.strip_tracking_enabled,
             cfg.collapse_www_enabled,
             cfg.sort_query_enabled,
+            cfg.strip_session_enabled,
         )(F.col("url")).alias(
             "canon_url"
         ),

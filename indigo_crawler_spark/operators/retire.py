@@ -63,6 +63,7 @@ def retire_urls(state, urls: DataFrame) -> int:
                 cfg.strip_tracking_enabled,
                 cfg.collapse_www_enabled,
                 cfg.sort_query_enabled,
+                cfg.strip_session_enabled,
             )(F.col("url")).alias(
                 "canon_url"
             )

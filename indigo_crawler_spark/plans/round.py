@@ -466,10 +466,13 @@ def _canonicalized(
     strip_tracking: bool = False,
     collapse_www: bool = False,
     sort_query: bool = False,
+    strip_session: bool = False,
 ) -> DataFrame:
     return df.withColumn(
         "canon_url",
-        make_canonicalize_udf(strip_tracking, collapse_www, sort_query)(F.col(url_col)),
+        make_canonicalize_udf(
+            strip_tracking, collapse_www, sort_query, strip_session
+        )(F.col(url_col)),
     )
 
 
@@ -521,6 +524,7 @@ def bootstrap(
             strip_tracking=cfg.strip_tracking_enabled,
             collapse_www=cfg.collapse_www_enabled,
             sort_query=cfg.sort_query_enabled,
+            strip_session=cfg.strip_session_enabled,
         )
         .drop("text")
         .observe(
@@ -593,6 +597,7 @@ def bootstrap(
             strip_tracking=cfg.strip_tracking_enabled,
             collapse_www=cfg.collapse_www_enabled,
             sort_query=cfg.sort_query_enabled,
+            strip_session=cfg.strip_session_enabled,
         ).observe(
             seeds_obs, _sum0(F.col("canon_url").isNull()).alias("quarantined")
         )
@@ -619,6 +624,7 @@ def bootstrap(
                         cfg.strip_tracking_enabled,
                         cfg.collapse_www_enabled,
                         cfg.sort_query_enabled,
+                        cfg.strip_session_enabled,
                     )(
                         F.col("url")
                     ).alias("canon_url")
@@ -965,6 +971,7 @@ def run_round(
                 strip_tracking=cfg.strip_tracking_enabled,
                 collapse_www=cfg.collapse_www_enabled,
                 sort_query=cfg.sort_query_enabled,
+                strip_session=cfg.strip_session_enabled,
             )
             .observe(ext_obs, *ext_metrics)
             .cache()

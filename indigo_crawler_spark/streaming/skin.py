@@ -48,6 +48,7 @@ def ingest_pages(batch_df: DataFrame, state: CrawlState) -> None:
                 cfg.strip_tracking_enabled,
                 cfg.collapse_www_enabled,
                 cfg.sort_query_enabled,
+                cfg.strip_session_enabled,
             )(F.col("url")),
         )
         .where(F.col("canon_url").isNotNull())

@@ -209,6 +209,14 @@ def main(argv: list[str] | None = None) -> int:
         "politeness slot. Semantic knob — enters config_hash",
     )
     ap.add_argument(
+        "--strip-session", action="store_true",
+        help="strip session identifiers: canonicalization drops "
+        "phpsessid/jsessionid/sid/aspsessionid*-style query params AND "
+        ";jsessionid=... path parameters, so per-visitor session echoes "
+        "of one resource share one seen-set key, frontier row and "
+        "politeness slot. Semantic knob — enters config_hash",
+    )
+    ap.add_argument(
         "--sort-query", action="store_true",
         help="sort canonical query parameters: canonicalization orders the "
         "query's &-separated tokens by raw bytes (after tracking-param "
@@ -387,6 +395,7 @@ def main(argv: list[str] | None = None) -> int:
         host_page_cap=args.host_page_cap,
         collapse_www_enabled=args.collapse_www,
         sort_query_enabled=args.sort_query,
+        strip_session_enabled=args.strip_session,
         sitemaps_enabled=args.sitemaps,
         trap_max_depth=args.trap_max_depth,
         trap_max_repeat=args.trap_max_repeat,

@@ -75,11 +75,12 @@ class OracleCrawl:
         st = self.cfg.strip_tracking_enabled
         cw = self.cfg.collapse_www_enabled
         sq = self.cfg.sort_query_enabled
+        ss = self.cfg.strip_session_enabled
         # --- page store: canonicalize, dedup per canon_url keep min (warc_ts, url)
         self.store: dict[str, dict] = {}
         quarantined = 0
         for row in pages:
-            c = canonicalize_url(row["url"], st, cw, sq)
+            c = canonicalize_url(row["url"], st, cw, sq, ss)
             if c is None:
                 quarantined += 1
                 continue
@@ -103,7 +104,7 @@ class OracleCrawl:
         best: dict[str, int | None] = {}
         self.quarantined_seeds = 0
         for s in seeds:
-            c = canonicalize_url(s["url"], st, cw, sq)
+            c = canonicalize_url(s["url"], st, cw, sq, ss)
             if c is None:
                 self.quarantined_seeds += 1
                 continue
@@ -116,7 +117,7 @@ class OracleCrawl:
         if self.cfg.sitemaps_enabled and self.cfg.robots_enabled:
             for txt in self.robots.values():
                 for u in robots_sitemaps(txt):
-                    c = canonicalize_url(u, st, cw, sq)
+                    c = canonicalize_url(u, st, cw, sq, ss)
                     if c is None:
                         continue
                     self.sitemap_seed_urls += 1
@@ -174,6 +175,7 @@ class OracleCrawl:
             self.cfg.strip_tracking_enabled,
             self.cfg.collapse_www_enabled,
             self.cfg.sort_query_enabled,
+            self.cfg.strip_session_enabled,
         )
             if c is None:
                 continue
@@ -193,6 +195,7 @@ class OracleCrawl:
                 self.cfg.strip_tracking_enabled,
                 self.cfg.collapse_www_enabled,
                 self.cfg.sort_query_enabled,
+                self.cfg.strip_session_enabled,
             )
             if c is not None and c in self.seen:
                 del self.seen[c]
@@ -213,6 +216,7 @@ class OracleCrawl:
                 self.cfg.strip_tracking_enabled,
                 self.cfg.collapse_www_enabled,
                 self.cfg.sort_query_enabled,
+                self.cfg.strip_session_enabled,
             )
             if c is None:
                 continue
@@ -433,6 +437,7 @@ class OracleCrawl:
                         cfg.strip_tracking_enabled,
                         cfg.collapse_www_enabled,
                         cfg.sort_query_enabled,
+                        cfg.strip_session_enabled,
                     )
                 )
                 if cfg.anchor_nofollow_enabled:
@@ -474,6 +479,7 @@ class OracleCrawl:
                     cfg.strip_tracking_enabled,
                     cfg.collapse_www_enabled,
                     cfg.sort_query_enabled,
+                    cfg.strip_session_enabled,
                 )
                 nofollow = False
             res.texts[row.canon_url] = text
