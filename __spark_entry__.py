@@ -1425,6 +1425,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
         )
 
+    def _prefer_https(s, d):
+        """The REAL canonicalization UDF with prefer_https on
+        (SEMANTICS.md §HTTPS preference) over already-canonical urls
+        cycling through 5 scheme/port shapes by doc_id: plain http
+        (upgrades), plain https (byte-identical), http:8080 (explicit
+        port survives the upgrade), http:443 (non-default for http —
+        survives, reading https://h:443), and http with a query. Inputs
+        are canonical-form, so the only change is the scheme prefix;
+        DuckDB re-derives it with a prefix regexp_replace."""
+        from indigo_crawler_spark.functions.udfs import make_canonicalize_udf
+
+        docs = _t(s, d, "documents")
+        k = (F.col("doc_id") % 13).cast("string")
+        url = F.element_at(
+            F.array(
+                F.concat(F.lit("http://h"), k, F.lit(".example.org/p")),
+                F.concat(F.lit("https://h"), k, F.lit(".example.org/p")),
+                F.concat(F.lit("http://h"), k, F.lit(".example.org:8080/p")),
+                F.concat(F.lit("http://h"), k, F.lit(".example.org:443/p")),
+                F.concat(F.lit("http://h"), k, F.lit(".example.org/p?a=1")),
+            ),
+            (F.col("doc_id") % 5).cast("int") + 1,
+        )
+        return docs.select(
+            "doc_id",
+            url.alias("url"),
+            make_canonicalize_udf(False, False, False, False, True)(url).alias(
+                "upgraded_url"
+            ),
+        )
+
+    def _collapse_index(s, d):
+        """The REAL canonicalization UDF with collapse_index on
+        (kernels/canonicalize.collapse_index_path — SEMANTICS.md §Index
+        collapse) over already-canonical urls cycling through 6 path
+        shapes by doc_id: /a/index.html (drops), /index.html at root
+        (→ /), uppercase /A/INDEX.HTML (final segment compares
+        lowercased), a NON-final index.html segment (survives),
+        /a/indexx.html (not in the pinned set — survives), and
+        /a/default.aspx (drops). DuckDB re-derives the drop with a
+        case-insensitive trailing-segment regexp_replace."""
+        from indigo_crawler_spark.functions.udfs import make_canonicalize_udf
+
+        docs = _t(s, d, "documents")
+        k = (F.col("doc_id") % 13).cast("string")
+        path = F.element_at(
+            F.array(
+                F.concat(F.lit("/a"), k, F.lit("/index.html")),
+                F.lit("/index.html"),
+                F.concat(F.lit("/A"), k, F.lit("/INDEX.HTML")),
+                F.concat(F.lit("/a"), k, F.lit("/index.html/b")),
+                F.concat(F.lit("/a"), k, F.lit("/indexx.html")),
+                F.concat(F.lit("/a"), k, F.lit("/default.aspx")),
+            ),
+            (F.col("doc_id") % 6).cast("int") + 1,
+        )
+        url = F.concat(F.lit("https://h"), k, F.lit(".example.org"), path)
+        return docs.select(
+            "doc_id",
+            url.alias("url"),
+            make_canonicalize_udf(False, False, False, False, False, True)(
+                url
+            ).alias("collapsed_url"),
+        )
+
+    q["prefer_https"] = _prefer_https
+    q["collapse_index"] = _collapse_index
     q["strip_session"] = _strip_session
     q["sort_query"] = _sort_query
     q["collapse_www"] = _collapse_www
@@ -1801,6 +1868,54 @@ SELECT p.doc_id,
 FROM p JOIN final f USING (doc_id)
 """
 
+# independent re-derivation of the §HTTPS preference rule over the same 5
+# already-canonical shapes: the only change is the scheme prefix (the
+# default-port rule already ran against the original scheme at generation),
+# so a prefix regexp_replace is the whole derivation
+_PREFER_HTTPS_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         CASE doc_id % 5
+           WHEN 0 THEN 'http://h' || (doc_id % 13) || '.example.org/p'
+           WHEN 1 THEN 'https://h' || (doc_id % 13) || '.example.org/p'
+           WHEN 2 THEN 'http://h' || (doc_id % 13) || '.example.org:8080/p'
+           WHEN 3 THEN 'http://h' || (doc_id % 13) || '.example.org:443/p'
+           ELSE 'http://h' || (doc_id % 13) || '.example.org/p?a=1'
+         END AS url
+  FROM documents
+)
+SELECT doc_id, url,
+       regexp_replace(url, '^http://', 'https://') AS upgraded_url
+FROM p
+"""
+
+# independent re-derivation of kernels/canonicalize.collapse_index_path over
+# the same 6 shapes: a case-insensitive regexp_replace anchored at the END
+# of the url drops exactly the final default-document segment (the pinned
+# INDEX_DOCS set), keeping the slash; non-final segments never match
+_COLLAPSE_INDEX_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         'https://h' || (doc_id % 13) || '.example.org' ||
+         CASE doc_id % 6
+           WHEN 0 THEN '/a' || (doc_id % 13) || '/index.html'
+           WHEN 1 THEN '/index.html'
+           WHEN 2 THEN '/A' || (doc_id % 13) || '/INDEX.HTML'
+           WHEN 3 THEN '/a' || (doc_id % 13) || '/index.html/b'
+           WHEN 4 THEN '/a' || (doc_id % 13) || '/indexx.html'
+           ELSE '/a' || (doc_id % 13) || '/default.aspx'
+         END AS url
+  FROM documents
+)
+SELECT doc_id, url,
+       regexp_replace(
+         url,
+         '(?i)/(index\\.html|index\\.htm|index\\.php|index\\.asp|index\\.aspx|default\\.htm|default\\.html|default\\.asp|default\\.aspx)$',
+         '/'
+       ) AS collapsed_url
+FROM p
+"""
+
 # independent re-derivation of kernels/canonicalize.strip_session_params +
 # strip_session_path over the same 6 url shapes: query tokens filter on the
 # pinned key set + aspsessionid% prefix (split_part = bytes before the first
@@ -2156,6 +2271,8 @@ def oracle_sql() -> dict[str, str]:
         "collapse_www": _COLLAPSE_WWW_SQL,
         "sort_query": _SORT_QUERY_SQL,
         "strip_session": _STRIP_SESSION_SQL,
+        "prefer_https": _PREFER_HTTPS_SQL,
+        "collapse_index": _COLLAPSE_INDEX_SQL,
         "meta_robots_flags": _META_ROBOTS_SQL,
         "canonical_targets": _CANONICAL_TARGETS_SQL,
         "meta_refresh_targets": _META_REFRESH_SQL,

@@ -204,6 +204,24 @@ class CrawlConfig:
     # Changes results ⇒ extension field in config_hash. False disables
     # (default).
     strip_session_enabled: bool = False
+    # HTTPS preference (SEMANTICS.md §HTTPS preference): when True, an
+    # ``http`` scheme upgrades to ``https`` inside canonicalization
+    # everywhere — AFTER the default-port rule evaluated against the
+    # ORIGINAL scheme (http://h:80/x → https://h/x; http://h:8080/x →
+    # https://h:8080/x) — so protocol spellings of one resource share one
+    # canon_url key space. The canonical-upgrade policy production
+    # crawlers apply once a site is known HTTPS-capable. Changes results
+    # ⇒ extension field in config_hash. False disables (default).
+    prefer_https_enabled: bool = False
+    # default-document collapse (SEMANTICS.md §Index collapse): when True,
+    # a trailing default-document path segment (pinned
+    # kernels/canonicalize.INDEX_DOCS set — index.html/…/default.aspx,
+    # final segment compared lowercased) drops inside canonicalization
+    # everywhere, keeping the trailing slash (/a/index.html → /a/), so
+    # the directory spelling and its default-document spelling share one
+    # canon_url key space. Changes results ⇒ extension field in
+    # config_hash. False disables (default).
+    collapse_index_enabled: bool = False
     # exclude-pattern gate (SEMANTICS.md §Exclude patterns;
     # kernels/traps.py::matches_exclude is normative): frontier rows whose
     # canon_url matches ANY of these regexes (unanchored contains-match,
@@ -255,6 +273,8 @@ class CrawlConfig:
         "collapse_www_enabled": False,
         "sort_query_enabled": False,
         "strip_session_enabled": False,
+        "prefer_https_enabled": False,
+        "collapse_index_enabled": False,
         "exclude_patterns": (),
     }
 

@@ -36,22 +36,37 @@ def make_canonicalize_udf(
     collapse_www: bool = False,
     sort_query: bool = False,
     strip_session: bool = False,
+    prefer_https: bool = False,
+    collapse_index: bool = False,
 ):
-    """pandas_udf canonicalizing with cfg.strip_tracking_enabled /
-    cfg.collapse_www_enabled / cfg.sort_query_enabled /
-    cfg.strip_session_enabled threaded — SEMANTICS.md §Tracking
-    parameters / §WWW collapse / §Sorted query / §Session identifiers.
+    """pandas_udf canonicalizing with the six cfg canonicalization-policy
+    flags threaded — SEMANTICS.md §Tracking parameters / §WWW collapse /
+    §Sorted query / §Session identifiers / §HTTPS preference / §Index
+    collapse.
     Flags-off returns the module-level ``canonicalize_udf`` instance
     itself, so default-path plans are object-identical to pre-knob plans
     (no new UDF registration)."""
-    if not (strip_tracking or collapse_www or sort_query or strip_session):
+    if not (
+        strip_tracking
+        or collapse_www
+        or sort_query
+        or strip_session
+        or prefer_https
+        or collapse_index
+    ):
         return canonicalize_udf
 
     @F.pandas_udf(StringType())
     def _canonicalize_flags(urls: pd.Series) -> pd.Series:
         return urls.map(
             lambda u: canonicalize_url(
-                u, strip_tracking, collapse_www, sort_query, strip_session
+                u,
+                strip_tracking,
+                collapse_www,
+                sort_query,
+                strip_session,
+                prefer_https,
+                collapse_index,
             )
             if isinstance(u, str)
             else None

@@ -194,6 +194,38 @@ def strip_session_path(path: str) -> str:
     return "/".join(out_segs)
 
 
+# Default-document filenames collapsed under cfg.collapse_index_enabled —
+# SEMANTICS.md §Index collapse. Pinned, closed set; final path segment
+# compares lowercased. Adding a name is a semantic change to every
+# seen-set key, so it ships as an engine release, never a runtime knob.
+INDEX_DOCS = frozenset(
+    {
+        "index.html",
+        "index.htm",
+        "index.php",
+        "index.asp",
+        "index.aspx",
+        "default.htm",
+        "default.html",
+        "default.asp",
+        "default.aspx",
+    }
+)
+
+
+def collapse_index_path(path: str) -> str:
+    """Drop a trailing default-document segment from a canonical-form path:
+    ``/a/index.html`` → ``/a/`` (the trailing slash stays — the directory
+    IS the resource). Only the FINAL segment, compared lowercased against
+    the pinned INDEX_DOCS set; every other byte survives. Idempotent: the
+    output ends in ``/`` (an empty final segment, never in the set), so
+    the result is a FIXED POINT of canonicalization."""
+    i = path.rfind("/")
+    if i >= 0 and path[i + 1 :].lower() in INDEX_DOCS:
+        return path[: i + 1]
+    return path
+
+
 def sort_query_params(query: str) -> str:
     """Stable canonical ordering for a canonical-form query string.
 
@@ -238,6 +270,8 @@ def canonicalize_url(
     collapse_www: bool = False,
     sort_query: bool = False,
     strip_session: bool = False,
+    prefer_https: bool = False,
+    collapse_index: bool = False,
 ) -> str | None:
     """Return the canonical form of *url*, or None if rejected (quarantine).
 
@@ -262,9 +296,16 @@ def canonicalize_url(
     SESSION_PARAMS query tokens and ``;jsessionid=…`` path parameters
     drop (``strip_session_params`` / ``strip_session_path``), so
     per-visitor session echoes of one resource share one key space;
-    query-side order pinned session-strip → tracking-strip → sort. All
-    default off: flag-off output is byte-identical to every crawl
-    committed before the knobs existed.
+    query-side order pinned session-strip → tracking-strip → sort. With
+    *prefer_https* (cfg.prefer_https_enabled — SEMANTICS.md §HTTPS
+    preference) an ``http`` scheme upgrades to ``https`` AFTER the
+    default-port rule evaluated against the ORIGINAL scheme (so
+    ``http://h:80/x`` → ``https://h/x`` but ``http://h:8080/x`` →
+    ``https://h:8080/x``). With *collapse_index*
+    (cfg.collapse_index_enabled — SEMANTICS.md §Index collapse) a
+    trailing default-document segment drops (``collapse_index_path``:
+    ``/a/index.html`` → ``/a/``). All default off: flag-off output is
+    byte-identical to every crawl committed before the knobs existed.
     """
     if url is None:
         return None
@@ -298,9 +339,18 @@ def canonicalize_url(
         userinfo = parts.netloc.rsplit("@", 1)[0] + "@"
     netloc = userinfo + netloc
 
+    if prefer_https and scheme == "http":
+        # scheme upgrade AFTER the default-port rule above evaluated
+        # against the ORIGINAL scheme: http://h:80/x sheds its :80 first,
+        # http://h:8080/x keeps its explicit port — SEMANTICS.md §HTTPS
+        # preference pins this order
+        scheme = "https"
+
     path = _remove_dot_segments(_percent_normalize(parts.path))
     if strip_session and ";" in path:
         path = strip_session_path(path)
+    if collapse_index and "/" in path:
+        path = collapse_index_path(path)
     if not path:
         path = "/"
 

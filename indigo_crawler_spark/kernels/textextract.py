@@ -240,6 +240,8 @@ def _canon_links(
     collapse_www: bool = False,
     sort_query: bool = False,
     strip_session: bool = False,
+    prefer_https: bool = False,
+    collapse_index: bool = False,
 ) -> list[str]:
     links: list[str] = []
     for href in hrefs:
@@ -250,7 +252,14 @@ def _canon_links(
             absu = urljoin(base_url or "", h)
         except ValueError:
             continue
-        c = canonicalize_url(absu, strip_tracking, collapse_www, sort_query, strip_session)
+        c = canonicalize_url(absu,
+        strip_tracking,
+        collapse_www,
+        sort_query,
+        strip_session,
+        prefer_https,
+        collapse_index,
+    )
         if c is not None:
             links.append(c)
     return links
@@ -274,6 +283,8 @@ def _canon_links_rels(
     collapse_www: bool = False,
     sort_query: bool = False,
     strip_session: bool = False,
+    prefer_https: bool = False,
+    collapse_index: bool = False,
 ) -> tuple[list[str], int]:
     """The anchor-nofollow variant of ``_canon_links``: returns
     (kept links, dropped count). Dropped counts ONLY anchors that would
@@ -290,7 +301,14 @@ def _canon_links_rels(
             absu = urljoin(base_url or "", h)
         except ValueError:
             continue
-        c = canonicalize_url(absu, strip_tracking, collapse_www, sort_query, strip_session)
+        c = canonicalize_url(absu,
+        strip_tracking,
+        collapse_www,
+        sort_query,
+        strip_session,
+        prefer_https,
+        collapse_index,
+    )
         if c is None:
             continue
         if anchor_rel_nofollow(rel):
@@ -308,6 +326,8 @@ def extract_text_and_links(
     collapse_www: bool = False,
     sort_query: bool = False,
     strip_session: bool = False,
+    prefer_https: bool = False,
+    collapse_index: bool = False,
 ) -> tuple[str, list[str]]:
     """Parse *html* once; return (visible_text, canonical out-links in order).
 
@@ -332,11 +352,23 @@ def extract_text_and_links(
         doc = _decode(html)
         if looks_like_sitemap(doc):
             return "", _canon_links(
-                sitemap_locs(doc), base_url, strip_tracking, collapse_www, sort_query, strip_session
+                sitemap_locs(doc), base_url,
+            strip_tracking,
+            collapse_www,
+            sort_query,
+            strip_session,
+            prefer_https,
+            collapse_index,
             )
     p = _parse(html)
     return p.text(), _canon_links(
-        p.hrefs, _effective_base(p, base_url), strip_tracking, collapse_www, sort_query, strip_session
+        p.hrefs, _effective_base(p, base_url),
+            strip_tracking,
+            collapse_www,
+            sort_query,
+            strip_session,
+            prefer_https,
+            collapse_index,
     )
 
 
@@ -348,6 +380,8 @@ def extract_all(
     collapse_www: bool = False,
     sort_query: bool = False,
     strip_session: bool = False,
+    prefer_https: bool = False,
+    collapse_index: bool = False,
 ) -> tuple[str, list[str], str, list[str], dict[str, str]]:
     """Parse *html* once; return (text, links, title, headings, meta) — the
     structured-record extraction surface. text/links are byte-identical to
@@ -364,7 +398,13 @@ def extract_all(
             return (
                 "",
                 _canon_links(
-                    sitemap_locs(doc), base_url, strip_tracking, collapse_www, sort_query, strip_session
+                    sitemap_locs(doc), base_url,
+            strip_tracking,
+            collapse_www,
+            sort_query,
+            strip_session,
+            prefer_https,
+            collapse_index,
                 ),
                 "",
                 [],
@@ -374,7 +414,13 @@ def extract_all(
     return (
         p.text(),
         _canon_links(
-            p.hrefs, _effective_base(p, base_url), strip_tracking, collapse_www, sort_query, strip_session
+            p.hrefs, _effective_base(p, base_url),
+            strip_tracking,
+            collapse_www,
+            sort_query,
+            strip_session,
+            prefer_https,
+            collapse_index,
         ),
         p.title(),
         p.headings,
@@ -426,6 +472,8 @@ def canonical_target(
     collapse_www: bool = False,
     sort_query: bool = False,
     strip_session: bool = False,
+    prefer_https: bool = False,
+    collapse_index: bool = False,
 ) -> str | None:
     """Resolve a ``<link rel="canonical">`` href to a canonical URL —
     SEMANTICS.md §Canonical link: ``urljoin(base, href)`` then
@@ -441,7 +489,14 @@ def canonical_target(
         absu = urljoin(base_url or "", h)
     except ValueError:
         return None
-    return canonicalize_url(absu, strip_tracking, collapse_www, sort_query, strip_session)
+    return canonicalize_url(absu,
+        strip_tracking,
+        collapse_www,
+        sort_query,
+        strip_session,
+        prefer_https,
+        collapse_index,
+    )
 
 
 def meta_refresh_target(
@@ -452,6 +507,8 @@ def meta_refresh_target(
     collapse_www: bool = False,
     sort_query: bool = False,
     strip_session: bool = False,
+    prefer_https: bool = False,
+    collapse_index: bool = False,
 ) -> tuple[int, str] | None:
     """(delay_seconds, resolved_target) from a meta http-equiv=refresh
     content string — SEMANTICS.md §Meta refresh (normative; the oracle
@@ -480,7 +537,14 @@ def meta_refresh_target(
     t = r[4:].strip()
     if len(t) >= 2 and t[0] == t[-1] and t[0] in ("'", '"'):
         t = t[1:-1].strip()
-    target = canonical_target(t, base_url, strip_tracking, collapse_www, sort_query, strip_session)
+    target = canonical_target(t, base_url,
+        strip_tracking,
+        collapse_www,
+        sort_query,
+        strip_session,
+        prefer_https,
+        collapse_index,
+    )
     if target is None or target == (page_url if page_url is not None else base_url):
         return None
     return int(delay_s), target
@@ -495,6 +559,8 @@ def extract_text_links_signals(
     collapse_www: bool = False,
     sort_query: bool = False,
     strip_session: bool = False,
+    prefer_https: bool = False,
+    collapse_index: bool = False,
 ) -> tuple[
     str, list[str], bool, bool, str | None, tuple[int, str] | None, int
 ]:
@@ -520,7 +586,13 @@ def extract_text_links_signals(
             return (
                 "",
                 _canon_links(
-                    sitemap_locs(doc), base_url, strip_tracking, collapse_www, sort_query, strip_session
+                    sitemap_locs(doc), base_url,
+            strip_tracking,
+            collapse_www,
+            sort_query,
+            strip_session,
+            prefer_https,
+            collapse_index,
                 ),
                 False,
                 False,
@@ -533,11 +605,24 @@ def extract_text_links_signals(
     eb = _effective_base(p, base_url)
     if anchor_nofollow:
         links, anchor_dropped = _canon_links_rels(
-            p.hrefs, p.href_rels, eb, strip_tracking, collapse_www, sort_query, strip_session
+            p.hrefs, p.href_rels, eb,
+            strip_tracking,
+            collapse_www,
+            sort_query,
+            strip_session,
+            prefer_https,
+            collapse_index,
         )
     else:
         links, anchor_dropped = (
-            _canon_links(p.hrefs, eb, strip_tracking, collapse_www, sort_query, strip_session),
+            _canon_links(p.hrefs, eb,
+        strip_tracking,
+        collapse_www,
+        sort_query,
+        strip_session,
+        prefer_https,
+        collapse_index,
+    ),
             0,
         )
     return (
@@ -545,7 +630,14 @@ def extract_text_links_signals(
         links,
         noindex,
         nofollow,
-        canonical_target(p.canonical_href, eb, strip_tracking, collapse_www, sort_query, strip_session),
+        canonical_target(p.canonical_href, eb,
+        strip_tracking,
+        collapse_www,
+        sort_query,
+        strip_session,
+        prefer_https,
+        collapse_index,
+    ),
         meta_refresh_target(
             p.refresh_content,
             eb,
@@ -554,6 +646,8 @@ def extract_text_links_signals(
             collapse_www=collapse_www,
             sort_query=sort_query,
             strip_session=strip_session,
+            prefer_https=prefer_https,
+            collapse_index=collapse_index,
         ),
         anchor_dropped,
     )
@@ -567,6 +661,8 @@ def extract_text_links_robots(
     collapse_www: bool = False,
     sort_query: bool = False,
     strip_session: bool = False,
+    prefer_https: bool = False,
+    collapse_index: bool = False,
 ) -> tuple[str, list[str], bool, bool]:
     """(text, links, noindex, nofollow) — the meta-robots slice of
     ``extract_text_links_signals`` (same single parse)."""
@@ -578,5 +674,7 @@ def extract_text_links_robots(
         collapse_www=collapse_www,
         sort_query=sort_query,
         strip_session=strip_session,
+        prefer_https=prefer_https,
+        collapse_index=collapse_index,
     )
     return text, links, noindex, nofollow

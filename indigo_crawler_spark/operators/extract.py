@@ -59,6 +59,8 @@ def extract_pages(
     collapse_www: bool = False,
     sort_query: bool = False,
     strip_session: bool = False,
+    prefer_https: bool = False,
+    collapse_index: bool = False,
 ) -> DataFrame:
     """(canon_url, depth, html) → (canon_url, depth, text, links).
 
@@ -110,6 +112,8 @@ def extract_pages(
                         collapse_www,
                         sort_query,
                         strip_session,
+                        prefer_https,
+                        collapse_index,
                     )
                     noidx.append(ni)
                     nofol.append(nf)
@@ -124,6 +128,7 @@ def extract_pages(
                     t, ls = extract_text_and_links(
                         html, base, sitemap_aware, strip_tracking,
                         collapse_www, sort_query, strip_session,
+                        prefer_https, collapse_index,
                     )
                 texts.append(t)
                 links.append(ls)
@@ -154,6 +159,8 @@ def extract_pages_with_fields(
     collapse_www: bool = False,
     sort_query: bool = False,
     strip_session: bool = False,
+    prefer_https: bool = False,
+    collapse_index: bool = False,
 ) -> DataFrame:
     """(canon_url, depth, html) → (…, text, links, title, headings, meta) —
     the structured-record extraction the reference's listing-page parser
@@ -169,6 +176,7 @@ def extract_pages_with_fields(
                 t, ls, ti, hs, me = extract_all(
                     html, base, sitemap_aware, strip_tracking,
                     collapse_www, sort_query, strip_session,
+                    prefer_https, collapse_index,
                 )
                 texts.append(t)
                 links.append(ls)

@@ -71,6 +71,8 @@ def inject_seeds(state, urls: DataFrame, seed_rank: int = 0) -> int:
             cfg.collapse_www_enabled,
             cfg.sort_query_enabled,
             cfg.strip_session_enabled,
+            cfg.prefer_https_enabled,
+            cfg.collapse_index_enabled,
         )(F.col("url")).alias(
             "canon_url"
         ),

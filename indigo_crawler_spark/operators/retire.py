@@ -64,6 +64,8 @@ def retire_urls(state, urls: DataFrame) -> int:
                 cfg.collapse_www_enabled,
                 cfg.sort_query_enabled,
                 cfg.strip_session_enabled,
+                cfg.prefer_https_enabled,
+                cfg.collapse_index_enabled,
             )(F.col("url")).alias(
                 "canon_url"
             )

@@ -467,11 +467,18 @@ def _canonicalized(
     collapse_www: bool = False,
     sort_query: bool = False,
     strip_session: bool = False,
+    prefer_https: bool = False,
+    collapse_index: bool = False,
 ) -> DataFrame:
     return df.withColumn(
         "canon_url",
         make_canonicalize_udf(
-            strip_tracking, collapse_www, sort_query, strip_session
+            strip_tracking,
+            collapse_www,
+            sort_query,
+            strip_session,
+            prefer_https,
+            collapse_index,
         )(F.col(url_col)),
     )
 
@@ -525,6 +532,8 @@ def bootstrap(
             collapse_www=cfg.collapse_www_enabled,
             sort_query=cfg.sort_query_enabled,
             strip_session=cfg.strip_session_enabled,
+            prefer_https=cfg.prefer_https_enabled,
+            collapse_index=cfg.collapse_index_enabled,
         )
         .drop("text")
         .observe(
@@ -598,6 +607,8 @@ def bootstrap(
             collapse_www=cfg.collapse_www_enabled,
             sort_query=cfg.sort_query_enabled,
             strip_session=cfg.strip_session_enabled,
+            prefer_https=cfg.prefer_https_enabled,
+            collapse_index=cfg.collapse_index_enabled,
         ).observe(
             seeds_obs, _sum0(F.col("canon_url").isNull()).alias("quarantined")
         )
@@ -625,6 +636,8 @@ def bootstrap(
                         cfg.collapse_www_enabled,
                         cfg.sort_query_enabled,
                         cfg.strip_session_enabled,
+                        cfg.prefer_https_enabled,
+                        cfg.collapse_index_enabled,
                     )(
                         F.col("url")
                     ).alias("canon_url")
@@ -972,6 +985,8 @@ def run_round(
                 collapse_www=cfg.collapse_www_enabled,
                 sort_query=cfg.sort_query_enabled,
                 strip_session=cfg.strip_session_enabled,
+                prefer_https=cfg.prefer_https_enabled,
+                collapse_index=cfg.collapse_index_enabled,
             )
             .observe(ext_obs, *ext_metrics)
             .cache()

@@ -49,6 +49,8 @@ def ingest_pages(batch_df: DataFrame, state: CrawlState) -> None:
                 cfg.collapse_www_enabled,
                 cfg.sort_query_enabled,
                 cfg.strip_session_enabled,
+                cfg.prefer_https_enabled,
+                cfg.collapse_index_enabled,
             )(F.col("url")),
         )
         .where(F.col("canon_url").isNotNull())

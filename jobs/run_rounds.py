@@ -209,6 +209,20 @@ def main(argv: list[str] | None = None) -> int:
         "politeness slot. Semantic knob — enters config_hash",
     )
     ap.add_argument(
+        "--prefer-https", action="store_true",
+        help="upgrade http to https at canonicalization (after the "
+        "default-port rule against the original scheme), so protocol "
+        "spellings of one resource share one seen-set key, frontier row "
+        "and politeness slot. Semantic knob — enters config_hash",
+    )
+    ap.add_argument(
+        "--collapse-index", action="store_true",
+        help="drop trailing default-document segments (index.html, "
+        "default.aspx, ...) at canonicalization, keeping the trailing "
+        "slash, so /a/ and /a/index.html share one seen-set key. "
+        "Semantic knob — enters config_hash",
+    )
+    ap.add_argument(
         "--strip-session", action="store_true",
         help="strip session identifiers: canonicalization drops "
         "phpsessid/jsessionid/sid/aspsessionid*-style query params AND "
@@ -396,6 +410,8 @@ def main(argv: list[str] | None = None) -> int:
         collapse_www_enabled=args.collapse_www,
         sort_query_enabled=args.sort_query,
         strip_session_enabled=args.strip_session,
+        prefer_https_enabled=args.prefer_https,
+        collapse_index_enabled=args.collapse_index,
         sitemaps_enabled=args.sitemaps,
         trap_max_depth=args.trap_max_depth,
         trap_max_repeat=args.trap_max_repeat,

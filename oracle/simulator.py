@@ -76,11 +76,13 @@ class OracleCrawl:
         cw = self.cfg.collapse_www_enabled
         sq = self.cfg.sort_query_enabled
         ss = self.cfg.strip_session_enabled
+        ph = self.cfg.prefer_https_enabled
+        ci = self.cfg.collapse_index_enabled
         # --- page store: canonicalize, dedup per canon_url keep min (warc_ts, url)
         self.store: dict[str, dict] = {}
         quarantined = 0
         for row in pages:
-            c = canonicalize_url(row["url"], st, cw, sq, ss)
+            c = canonicalize_url(row["url"], st, cw, sq, ss, ph, ci)
             if c is None:
                 quarantined += 1
                 continue
@@ -104,7 +106,7 @@ class OracleCrawl:
         best: dict[str, int | None] = {}
         self.quarantined_seeds = 0
         for s in seeds:
-            c = canonicalize_url(s["url"], st, cw, sq, ss)
+            c = canonicalize_url(s["url"], st, cw, sq, ss, ph, ci)
             if c is None:
                 self.quarantined_seeds += 1
                 continue
@@ -117,7 +119,7 @@ class OracleCrawl:
         if self.cfg.sitemaps_enabled and self.cfg.robots_enabled:
             for txt in self.robots.values():
                 for u in robots_sitemaps(txt):
-                    c = canonicalize_url(u, st, cw, sq, ss)
+                    c = canonicalize_url(u, st, cw, sq, ss, ph, ci)
                     if c is None:
                         continue
                     self.sitemap_seed_urls += 1
@@ -176,6 +178,8 @@ class OracleCrawl:
             self.cfg.collapse_www_enabled,
             self.cfg.sort_query_enabled,
             self.cfg.strip_session_enabled,
+            self.cfg.prefer_https_enabled,
+            self.cfg.collapse_index_enabled,
         )
             if c is None:
                 continue
@@ -196,6 +200,8 @@ class OracleCrawl:
                 self.cfg.collapse_www_enabled,
                 self.cfg.sort_query_enabled,
                 self.cfg.strip_session_enabled,
+                self.cfg.prefer_https_enabled,
+                self.cfg.collapse_index_enabled,
             )
             if c is not None and c in self.seen:
                 del self.seen[c]
@@ -217,6 +223,8 @@ class OracleCrawl:
                 self.cfg.collapse_www_enabled,
                 self.cfg.sort_query_enabled,
                 self.cfg.strip_session_enabled,
+                self.cfg.prefer_https_enabled,
+                self.cfg.collapse_index_enabled,
             )
             if c is None:
                 continue
@@ -438,6 +446,8 @@ class OracleCrawl:
                         cfg.collapse_www_enabled,
                         cfg.sort_query_enabled,
                         cfg.strip_session_enabled,
+                        cfg.prefer_https_enabled,
+                        cfg.collapse_index_enabled,
                     )
                 )
                 if cfg.anchor_nofollow_enabled:
@@ -480,6 +490,8 @@ class OracleCrawl:
                     cfg.collapse_www_enabled,
                     cfg.sort_query_enabled,
                     cfg.strip_session_enabled,
+                    cfg.prefer_https_enabled,
+                    cfg.collapse_index_enabled,
                 )
                 nofollow = False
             res.texts[row.canon_url] = text
