@@ -1265,6 +1265,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             exclude_expr(url, cfg).alias("excluded"),
         )
 
+    # ---- extension deny gate (SEMANTICS.md §Extension deny) ----
+    def _ext_gate(s, d):
+        """The REAL functions/traps.url_extension_expr + ext_expr (the
+        normative ``[^/]\\.([^./]+)$`` path rule, kernels/traps.py::
+        url_extension / matches_ext semantics) over urls whose path cycles
+        through 7 shapes by doc_id: a plain article (no extension), a .jpg
+        image, a multi-dot .tar.gz archive (last dot wins), a dot-file
+        (.htaccess — no extension), an UPPERCASE .PDF (case-insensitive
+        match), a trailing-slash dir named like a .zip (no extension), and
+        a .gz with a query tail (query stripped first). DuckDB re-derives
+        extension and deny flag with the same regex over the same urls."""
+        from indigo_crawler_spark.config import CrawlConfig
+        from indigo_crawler_spark.functions.traps import (
+            ext_expr,
+            url_extension_expr,
+        )
+
+        cfg = CrawlConfig(exclude_extensions=("jpg", "gz", "pdf"))
+        docs = _t(s, d, "documents")
+        tail = F.element_at(
+            F.array(
+                F.concat(F.lit("article/"), (F.col("doc_id") % 13).cast("string")),
+                F.concat(F.lit("img/photo"), (F.col("doc_id") % 7).cast("string"), F.lit(".jpg")),
+                F.concat(F.lit("pkg/bundle"), (F.col("doc_id") % 5).cast("string"), F.lit(".tar.gz")),
+                F.lit("conf/.htaccess"),
+                F.concat(F.lit("doc/brochure"), (F.col("doc_id") % 9).cast("string"), F.lit(".PDF")),
+                F.concat(F.lit("mirror"), (F.col("doc_id") % 3).cast("string"), F.lit(".zip/")),
+                F.concat(F.lit("logs/dump.gz?page="), (F.col("doc_id") % 4).cast("string")),
+            ),
+            (F.col("doc_id") % 7).cast("int") + 1,
+        )
+        url = F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/"), tail
+        )
+        return docs.select(
+            "doc_id",
+            url.alias("url"),
+            url_extension_expr(url).alias("ext"),
+            ext_expr(url, cfg).alias("denied"),
+        )
+
     def _adaptive_revisit(s, d):
         """The REAL operators/recrawl.revisit_interval_expr (adaptive-recrawl
         interval derivation — SEMANTICS.md §Adaptive recrawl) over a
@@ -1498,6 +1539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["host_cap_budget"] = _host_cap_budget
     q["adaptive_revisit"] = _adaptive_revisit
     q["exclude_gate"] = _exclude_gate
+    q["ext_gate"] = _ext_gate
     q["strip_tracking"] = _strip_tracking
     q["anchor_nofollow_links"] = _anchor_nofollow_links
     q["trap_flags"] = _trap_flags
@@ -2065,6 +2107,39 @@ SELECT doc_id, url,
 FROM u
 """
 
+# independent re-derivation of kernels/traps.url_extension / matches_ext:
+# the same normative regex ([^/]\.([^./]+)$ — RE2 here, Python re in the
+# kernel, Java in the engine expr) over the same authority-stripped,
+# query-cut path, lowercased, then set membership against the same deny
+# tuple the Spark query pins
+_EXT_GATE_SQL = r"""
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/' ||
+         CASE CAST(doc_id % 7 AS INTEGER)
+           WHEN 0 THEN 'article/' || CAST(doc_id % 13 AS VARCHAR)
+           WHEN 1 THEN 'img/photo' || CAST(doc_id % 7 AS VARCHAR) || '.jpg'
+           WHEN 2 THEN 'pkg/bundle' || CAST(doc_id % 5 AS VARCHAR)
+                       || '.tar.gz'
+           WHEN 3 THEN 'conf/.htaccess'
+           WHEN 4 THEN 'doc/brochure' || CAST(doc_id % 9 AS VARCHAR)
+                       || '.PDF'
+           WHEN 5 THEN 'mirror' || CAST(doc_id % 3 AS VARCHAR) || '.zip/'
+           WHEN 6 THEN 'logs/dump.gz?page=' || CAST(doc_id % 4 AS VARCHAR)
+         END AS url
+  FROM documents
+), e AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(
+           regexp_replace(
+             regexp_replace(url, '^[a-z]+://[^/]*', ''), '\?.*', ''),
+           '[^/]\.([^./]+)$', 1)) AS ext
+  FROM u
+)
+SELECT doc_id, url, ext, ext IN ('jpg', 'gz', 'pdf') AS denied
+FROM e
+"""
+
 # independent re-derivation of kernels/canonicalize.strip_tracking_params:
 # same token grammar (split on '&', key = bytes before the first '=', the
 # whole token when '=' is absent, lowercased key vs the pinned set), same
@@ -2266,6 +2341,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_nofollow_links": _ANCHOR_NOFOLLOW_SQL,
         "strip_tracking": _STRIP_TRACKING_SQL,
         "exclude_gate": _EXCLUDE_GATE_SQL,
+        "ext_gate": _EXT_GATE_SQL,
         "adaptive_revisit": _ADAPTIVE_REVISIT_SQL,
         "host_cap_budget": _HOST_CAP_SQL,
         "collapse_www": _COLLAPSE_WWW_SQL,

@@ -232,6 +232,19 @@ class CrawlConfig:
     # links, infinite facet parameters, binary mirrors. Changes results ⇒
     # extension field in config_hash. Empty disables (default).
     exclude_patterns: tuple[str, ...] = ()
+    # extension deny gate (SEMANTICS.md §Extension deny;
+    # kernels/traps.py::matches_ext is normative): frontier rows whose
+    # final path segment carries one of these file extensions (lowercase,
+    # no leading dot — the CLI normalizes; matching is case-insensitive on
+    # the URL side, last-dot rule, dot-files and trailing-dot segments
+    # carry none) leave the crawl at the gate — permanently, like
+    # robots-denied — and matching children never enter the frontier at
+    # discovery; counted ``ext_excluded``. The html-only crawler's standard
+    # "don't schedule binaries" knob: cheaper than spelling `\.zip$`
+    # patterns (one regexp_extract + isin vs per-pattern regex scans).
+    # Changes results ⇒ extension field in config_hash. Empty disables
+    # (default).
+    exclude_extensions: tuple[str, ...] = ()
 
     # capacity is excluded from config_hash: it is pinned PER CRAWL by the
     # bootstrap manifest (bootstrap records the override or the A3-derived
@@ -276,6 +289,7 @@ class CrawlConfig:
         "prefer_https_enabled": False,
         "collapse_index_enabled": False,
         "exclude_patterns": (),
+        "exclude_extensions": (),
     }
 
     # dependent extensions: inert unless their master knob is on. While the

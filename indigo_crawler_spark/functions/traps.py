@@ -88,3 +88,26 @@ def exclude_expr(canon_url: Column, cfg: CrawlConfig) -> Column:
     for p in cfg.exclude_patterns[1:]:
         out = out | canon_url.rlike(p)
     return out
+
+
+def url_extension_expr(canon_url: Column) -> Column:
+    """Lowercased extension of the canonical URL's path ('' when none) —
+    mirror of kernels/traps.url_extension: ONE regex against the path,
+    ``[^/]\\.([^./]+)$`` (dot-files, trailing-dot segments and
+    trailing-slash directory paths carry none). regexp_extract returns ''
+    on no-match, so the expression is total."""
+    return F.lower(
+        F.regexp_extract(path_expr(canon_url), r"[^/]\.([^./]+)$", 1)
+    )
+
+
+def ext_expr(canon_url: Column, cfg: CrawlConfig) -> Column:
+    """Boolean: is *canon_url*'s extension in ``cfg.exclude_extensions``
+    (kernel semantics: kernels/traps.py::matches_ext)? Folds to
+    ``lit(False)`` with the empty default; enabled cost is one codegen'd
+    regexp_extract + set membership per row — cheaper than the pattern
+    gate's per-pattern regex scans, and never a Python round-trip.
+    Extension-less URLs never match (deny entries are non-empty)."""
+    if not cfg.exclude_extensions:
+        return F.lit(False)
+    return url_extension_expr(canon_url).isin(*cfg.exclude_extensions)

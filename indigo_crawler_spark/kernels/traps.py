@@ -112,3 +112,45 @@ def matches_exclude(canon_url: str, patterns: tuple[str, ...]) -> bool:
         compiled = [re.compile(p) for p in patterns]
         _EXCLUDE_CACHE[patterns] = compiled
     return any(p.search(canon_url) for p in compiled)
+
+
+# ---------------------------------------------------------------------------
+# Extension deny gate — SEMANTICS.md §Extension deny. An html-only crawler
+# has no business scheduling .zip/.jpg/.iso URLs: the fetch yields nothing
+# extractable, yet each one burns a politeness slot and a seen-set entry.
+# exclude_patterns CAN spell `\.zip$`-style rules, but an extension deny
+# list is the standard crawler knob and deserves first-class (cheaper)
+# spelling: one regexp_extract + one isin per row instead of one regex scan
+# per pattern.
+#
+# Normative extension rule (shared by oracle, Spark expr and DuckDB oracle
+# SQL): ONE regex against the canonical URL's path (query stripped, no
+# decoding) — ``[^/]\.([^./]+)$`` — i.e. the extension is the lowercased
+# text after the path's final ``.``, provided that tail contains no ``/``
+# or further ``.``, the dot is not segment-initial (dot-files like
+# ``.htaccess`` carry no extension) and something follows it (``file.``
+# carries none). Trailing-slash directory paths (``/dl.zip/``) carry none
+# — the slash sits between the dot and end-of-path. Identical semantics
+# in Python re, Java regex and RE2 (no lookarounds).
+# ---------------------------------------------------------------------------
+
+_EXT_RE = re.compile(r"[^/]\.([^./]+)$")
+
+
+def url_extension(canon_url: str) -> str:
+    """Lowercased file extension of a canonical URL's path ('' when the
+    path carries none)."""
+    m = _EXT_RE.search(url_path(canon_url))
+    return m.group(1).lower() if m else ""
+
+
+def matches_ext(canon_url: str, extensions: tuple[str, ...]) -> bool:
+    """True iff *canon_url*'s extension is in the deny tuple.
+
+    *extensions* entries are lowercase, without the leading dot (the CLI
+    normalizes). Empty tuple (the default) never matches; extension-less
+    URLs never match (entries are non-empty by construction).
+    """
+    if not extensions:
+        return False
+    return url_extension(canon_url) in extensions

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from indigo_crawler_spark.config import CrawlConfig
-from indigo_crawler_spark.functions.traps import exclude_expr, trap_expr
+from indigo_crawler_spark.functions.traps import exclude_expr, ext_expr, trap_expr
 from indigo_crawler_spark.functions.udfs import (
     make_crawl_delay_udf,
     make_robots_allowed_udf,
@@ -88,6 +88,9 @@ def gate_frontier(
     # exclude-pattern gate (SEMANTICS.md §Exclude patterns): like _trap, a
     # codegen'd projection that folds to lit(False) at the empty default
     df = df.withColumn("_excluded", exclude_expr(F.col("canon_url"), cfg))
+    # extension deny gate (SEMANTICS.md §Extension deny): same shape —
+    # codegen'd, lit(False) at the empty default
+    df = df.withColumn("_ext", ext_expr(F.col("canon_url"), cfg))
     b = F.broadcast(budgets.select("host", "budget", "backoff_until_round"))
     out = (
         df.join(b, on="host", how="left")

@@ -754,10 +754,11 @@ def run_round(
     # 1-2. gates — one cached pass; counters observed, not re-counted
     from indigo_crawler_spark.operators.skew import politeness_topk_skew_aware
 
-    # gate precedence (SEMANTICS.md): robots → trap → exclude → cap →
-    # backoff. Trap, pattern-excluded and host-capped rows leave the
-    # frontier permanently (like denied); _trap/_excluded/_capped fold to
-    # lit(False) with the default-off knobs, keeping the plan unchanged.
+    # gate precedence (SEMANTICS.md): robots → trap → exclude → ext → cap
+    # → backoff. Trap, pattern-excluded, extension-denied and host-capped
+    # rows leave the frontier permanently (like denied);
+    # _trap/_excluded/_ext/_capped fold to lit(False) with the default-off
+    # knobs, keeping the plan unchanged.
     emitted_totals = (
         state.host_emitted(round_no) if cfg.host_page_cap else None
     )
@@ -776,22 +777,26 @@ def run_round(
             ).alias("pattern_excluded"),
             _sum0(
                 F.col("_allowed") & ~F.col("_trap") & ~F.col("_excluded")
-                & F.col("_capped")
+                & F.col("_ext")
+            ).alias("ext_excluded"),
+            _sum0(
+                F.col("_allowed") & ~F.col("_trap") & ~F.col("_excluded")
+                & ~F.col("_ext") & F.col("_capped")
             ).alias("host_capped"),
             _sum0(
                 F.col("_allowed") & ~F.col("_trap") & ~F.col("_excluded")
-                & ~F.col("_capped") & F.col("_backoff")
+                & ~F.col("_ext") & ~F.col("_capped") & F.col("_backoff")
             ).alias("backoff_skipped"),
             _sum0(
                 F.col("_allowed") & ~F.col("_trap") & ~F.col("_excluded")
-                & ~F.col("_capped") & ~F.col("_backoff")
+                & ~F.col("_ext") & ~F.col("_capped") & ~F.col("_backoff")
             ).alias("eligible"),
         )
         .cache()
     )
     eligible = gated.where(
         F.col("_allowed") & ~F.col("_trap") & ~F.col("_excluded")
-        & ~F.col("_capped") & ~F.col("_backoff")
+        & ~F.col("_ext") & ~F.col("_capped") & ~F.col("_backoff")
     )
 
     # frontier-skew fold: per-host candidate counts over THIS round's gate
@@ -1202,15 +1207,21 @@ def run_round(
             F.explode("links").alias("canon_url"),
             (F.col("depth") + 1).cast("int").alias("depth"),
         )
-        # trap / pattern-excluded children never enter the frontier
-        # (SEMANTICS.md §Traps / §Exclude patterns) — dropping an unbounded
-        # URL family at discovery beats re-gating it every round; both
-        # exprs fold to lit(False) when their gate is off
-        from indigo_crawler_spark.functions.traps import exclude_expr, trap_expr
+        # trap / pattern-excluded / extension-denied children never enter
+        # the frontier (SEMANTICS.md §Traps / §Exclude patterns /
+        # §Extension deny) — dropping an unbounded URL family at discovery
+        # beats re-gating it every round; all three exprs fold to
+        # lit(False) when their gate is off
+        from indigo_crawler_spark.functions.traps import (
+            exclude_expr,
+            ext_expr,
+            trap_expr,
+        )
 
         children = children.where(
             ~trap_expr(F.col("canon_url"), cfg)
             & ~exclude_expr(F.col("canon_url"), cfg)
+            & ~ext_expr(F.col("canon_url"), cfg)
         )
         children = dedup_min_by(children, "canon_url", ["depth"]).withColumn(
             "host", host_expr("canon_url")
@@ -1274,7 +1285,7 @@ def run_round(
         # frontier-scale → SHUFFLE_HASH (broadcast builds would serialize).
         allowed_rows = gated.where(
             F.col("_allowed") & ~F.col("_trap") & ~F.col("_excluded")
-            & ~F.col("_capped")
+            & ~F.col("_ext") & ~F.col("_capped")
         )
         emitted_urls = emitted.select("canon_url")
         if not small_round:
@@ -1433,6 +1444,8 @@ def run_round(
         )
     if cfg.exclude_patterns:
         counters["pattern_excluded"] = _obs_int(gate_obs, "pattern_excluded")
+    if cfg.exclude_extensions:
+        counters["ext_excluded"] = _obs_int(gate_obs, "ext_excluded")
     if rv_obs is not None:
         counters["recrawl_unchanged"] = _obs_int(rv_obs, "unchanged")
         counters["recrawl_changed"] = _obs_int(rv_obs, "changed")

@@ -343,6 +343,13 @@ def main(argv: list[str] | None = None) -> int:
         "matching children never enter the frontier; counted pattern_excluded",
     )
     ap.add_argument(
+        "--exclude-ext", action="append", default=[], metavar="EXT",
+        help="drop frontier URLs whose final path segment carries this file "
+        "extension (repeatable; case-insensitive, leading dot optional — "
+        "normalized to lowercase without the dot) — matching children never "
+        "enter the frontier; counted ext_excluded",
+    )
+    ap.add_argument(
         "--pagerank-every", type=int, default=0,
         help="link-graph prioritization: every Nth round, re-score the "
         "outgoing frontier with integer PageRank over the accumulated "
@@ -428,6 +435,9 @@ def main(argv: list[str] | None = None) -> int:
         anchor_nofollow_enabled=args.anchor_nofollow,
         strip_tracking_enabled=args.strip_tracking,
         exclude_patterns=tuple(args.exclude_pattern),
+        exclude_extensions=tuple(
+            e.lstrip(".").lower() for e in args.exclude_ext if e.lstrip(".")
+        ),
     )
     state = CrawlState(io=TableIO(spark, args.state_dir), cfg=cfg)
 

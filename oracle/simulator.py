@@ -28,7 +28,11 @@ from indigo_crawler_spark.kernels.textextract import (
     extract_text_and_links,
     extract_text_links_signals,
 )
-from indigo_crawler_spark.kernels.traps import is_trap_url, matches_exclude
+from indigo_crawler_spark.kernels.traps import (
+    is_trap_url,
+    matches_exclude,
+    matches_ext,
+)
 from indigo_crawler_spark.kernels.xxh64 import xxhash64
 
 
@@ -304,6 +308,8 @@ class OracleCrawl:
             counters["anchor_nofollow_dropped"] = 0
         if cfg.exclude_patterns:
             counters["pattern_excluded"] = 0
+        if cfg.exclude_extensions:
+            counters["ext_excluded"] = 0
         if cfg.recrawl_after and cfg.recrawl_adaptive:
             counters["recrawl_unchanged"] = 0
             counters["recrawl_changed"] = 0
@@ -337,6 +343,14 @@ class OracleCrawl:
             ):
                 denied.add(row.canon_url)
                 counters["pattern_excluded"] += 1
+                continue
+            # extension deny (SEMANTICS.md §Extension deny; mirror of
+            # gate_frontier's _ext): denied extensions leave permanently
+            if cfg.exclude_extensions and matches_ext(
+                row.canon_url, cfg.exclude_extensions
+            ):
+                denied.add(row.canon_url)
+                counters["ext_excluded"] += 1
                 continue
             # per-host lifetime emit cap (SEMANTICS.md §Host page cap;
             # mirror of gate_frontier's _capped): rows of a host AT the
@@ -547,6 +561,10 @@ class OracleCrawl:
                     continue
                 if cfg.exclude_patterns and matches_exclude(
                     child, cfg.exclude_patterns
+                ):
+                    continue
+                if cfg.exclude_extensions and matches_ext(
+                    child, cfg.exclude_extensions
                 ):
                     continue
                 # host-capped children never enter the frontier — capped
