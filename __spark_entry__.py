@@ -1136,6 +1136,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.size("links").cast("long").alias("n_links"),
         )
 
+    # ---- hreflang alternate discovery (SEMANTICS.md §Hreflang alternates) ----
+    def _hreflang_alternates(s, d):
+        """The REAL hreflang capture (operators/extract.py →
+        kernels/textextract.hreflang_targets) over pages whose head
+        carries a link cluster cycling through 5 shapes by doc_id — no
+        links, one absolute fr alternate, a self-alternate plus a de
+        alternate (self dropped), a duplicated fr alternate plus a feed
+        alternate without hreflang (dup + non-hreflang dropped), and a
+        relative alternate resolved against the page. Each page carries
+        exactly one anchor, so the appended alternates are visible as the
+        link count; DuckDB re-derives both counts from the construction
+        rule."""
+        from indigo_crawler_spark.operators.extract import extract_pages
+
+        docs = _t(s, d, "documents")
+        page_url = F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/d/"),
+            F.col("doc_id").cast("string"),
+        )
+        alt_fr = F.concat(
+            F.lit('<link rel="alternate" hreflang="fr" href="https://'),
+            F.col("source"), F.lit('.example.com/fr/'),
+            (F.col("doc_id") % 50).cast("string"), F.lit('">'),
+        )
+        cluster = F.element_at(
+            F.array(
+                F.lit(""),
+                alt_fr,
+                F.concat(
+                    F.lit('<link rel="alternate" hreflang="en" href='),
+                    F.lit('"'), page_url, F.lit('">'),
+                    F.lit('<link rel="Alternate" hreflang="de" href="https://'),
+                    F.col("source"), F.lit('.example.com/de/'),
+                    (F.col("doc_id") % 50).cast("string"), F.lit('">'),
+                ),
+                F.concat(
+                    alt_fr, alt_fr,
+                    F.lit('<link rel="alternate" type="application/rss+xml"'),
+                    F.lit(' href="/feed.xml">'),
+                ),
+                F.concat(
+                    F.lit('<link rel="alternate" hreflang="x-default"'),
+                    F.lit(' href="/alt/'),
+                    (F.col("doc_id") % 50).cast("string"), F.lit('">'),
+                ),
+            ),
+            (F.col("doc_id") % 5).cast("int") + 1,
+        )
+        html = F.encode(
+            F.concat(
+                F.lit("<html><head>"), cluster,
+                F.lit('</head><body><a href="/child">c</a><p>'),
+                F.col("text"), F.lit("</p></body></html>"),
+            ),
+            "UTF-8",
+        )
+        pages = docs.select(
+            page_url.alias("canon_url"), F.lit(0).alias("depth"),
+            html.alias("html"),
+        )
+        out = extract_pages(pages, hreflang=True)
+        return out.select(
+            F.col("canon_url").alias("url"),
+            F.col("hreflang_added").cast("long").alias("n_alternates"),
+            F.size("links").cast("long").alias("n_links"),
+        )
+
     # ---- anchor-level rel=nofollow (SEMANTICS.md §Anchor nofollow) ----
     def _anchor_nofollow_links(s, d):
         """The REAL anchor-nofollow extraction (operators/extract.py →
@@ -1549,6 +1616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["meta_robots_flags"] = _meta_robots_flags
     q["canonical_targets"] = _canonical_targets
     q["meta_refresh_targets"] = _meta_refresh_targets
+    q["hreflang_alternates"] = _hreflang_alternates
 
     # ---- rows-only (no ANSI-SQL equivalent; exactness proven in pytest) ----
     q["xxhash64_hosts"] = lambda s, d: _t(s, d, "documents").select(
@@ -1871,6 +1939,21 @@ SELECT 'https://' || source || '.example.com/d/' || CAST(doc_id AS VARCHAR)
          AS url,
        (doc_id % 6) = 1 AS redirect,
        CAST(CASE WHEN (doc_id % 6) IN (1, 2) THEN 2 ELSE 1 END AS BIGINT)
+         AS n_links
+FROM documents
+"""
+
+# independent re-derivation of kernels/textextract.hreflang_targets over
+# the same 5 cluster shapes: shape 0 carries no alternates, shapes 1-4 each
+# yield exactly ONE surviving target (shape 2's self-alternate drops, shape
+# 3's duplicate and feed alternates drop, shape 4's relative href resolves)
+# and every page carries exactly one anchor
+_HREFLANG_SQL = """
+SELECT 'https://' || source || '.example.com/d/' || CAST(doc_id AS VARCHAR)
+         AS url,
+       CAST(CASE WHEN (doc_id % 5) = 0 THEN 0 ELSE 1 END AS BIGINT)
+         AS n_alternates,
+       CAST(CASE WHEN (doc_id % 5) = 0 THEN 1 ELSE 2 END AS BIGINT)
          AS n_links
 FROM documents
 """
@@ -2352,6 +2435,7 @@ def oracle_sql() -> dict[str, str]:
         "meta_robots_flags": _META_ROBOTS_SQL,
         "canonical_targets": _CANONICAL_TARGETS_SQL,
         "meta_refresh_targets": _META_REFRESH_SQL,
+        "hreflang_alternates": _HREFLANG_SQL,
         "scan_prune": "SELECT doc_id, lang FROM documents",
         "filter_events": "SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'",
         "null_guard": "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 400000",

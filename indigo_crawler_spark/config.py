@@ -156,6 +156,18 @@ class CrawlConfig:
     # crawl directives). Changes results ⇒ extension field in config_hash.
     # False disables (default).
     anchor_nofollow_enabled: bool = False
+    # hreflang alternate discovery (SEMANTICS.md §Hreflang alternates):
+    # when True, each fetched page's <link rel="alternate" hreflang=...
+    # href=...> targets resolve like anchors (effective-base urljoin +
+    # canonicalization under the active key rules) and JOIN the page's
+    # out-links for ordinary discovery (depth+1, trap gates, dedup) —
+    # pinned order anchors → alternates → refresh target, self-pointing
+    # targets and duplicates dropped (first occurrence wins). Language
+    # variants of a page are thereby discovered even when no <a> links to
+    # them — the signal international sites publish precisely so crawlers
+    # find the variants. Counted ``hreflang_alternates``. Changes results
+    # ⇒ extension field in config_hash. False disables (default).
+    hreflang_enabled: bool = False
     # tracking-parameter stripping (SEMANTICS.md §Tracking parameters): when
     # True, canonicalization EVERYWHERE (seeds, page store, discovered
     # links, rel=canonical targets, meta-refresh targets, inject/retire,
@@ -282,6 +294,7 @@ class CrawlConfig:
         "rel_canonical_enabled": False,
         "meta_refresh_enabled": False,
         "anchor_nofollow_enabled": False,
+        "hreflang_enabled": False,
         "strip_tracking_enabled": False,
         "collapse_www_enabled": False,
         "sort_query_enabled": False,

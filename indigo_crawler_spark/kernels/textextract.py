@@ -67,6 +67,7 @@ class _Extractor(HTMLParser):
         self.canonical_href: str | None = None
         self.refresh_content: str | None = None
         self.base_href: str | None = None
+        self.alternate_hrefs: list[str] = []
 
     def handle_starttag(self, tag, attrs):
         if self._in_title and tag != "title" and tag not in _TITLE_INLINE_TAGS:
@@ -129,23 +130,34 @@ class _Extractor(HTMLParser):
                 if k == "href" and v is not None:
                     self.base_href = v
                     break
-        elif tag == "link" and self.canonical_href is None:
-            # first <link> whose rel token list (whitespace-separated,
-            # case-insensitive) contains "canonical" AND that carries an
-            # href — SEMANTICS.md §Canonical link; links without a usable
-            # href don't consume first-wins
-            rel = href = None
+        elif tag == "link":
+            rel = href = hreflang = None
             for k, v in attrs:
                 if k == "rel":
                     rel = v
                 elif k == "href":
                     href = v
-            if (
-                rel is not None
-                and href is not None
-                and "canonical" in rel.lower().split()
-            ):
-                self.canonical_href = href
+                elif k == "hreflang":
+                    hreflang = v
+            if rel is not None and href is not None:
+                toks = rel.lower().split()
+                # first <link> whose rel token list (whitespace-separated,
+                # case-insensitive) contains "canonical" AND that carries
+                # an href — SEMANTICS.md §Canonical link; links without a
+                # usable href don't consume first-wins
+                if self.canonical_href is None and "canonical" in toks:
+                    self.canonical_href = href
+                # every <link> whose rel tokens contain "alternate" AND
+                # that carries BOTH an href and a non-blank hreflang, in
+                # document order — SEMANTICS.md §Hreflang alternates
+                # (rel=alternate without hreflang is a feed/stylesheet
+                # alternate, not a language variant)
+                if (
+                    "alternate" in toks
+                    and hreflang is not None
+                    and hreflang.strip()
+                ):
+                    self.alternate_hrefs.append(href)
         elif tag == "title" and not self._title_done:
             self._in_title = True
         elif tag in _HEADING_TAGS and self._head_tag is None:
@@ -550,6 +562,47 @@ def meta_refresh_target(
     return int(delay_s), target
 
 
+def hreflang_targets(
+    alternate_hrefs: list[str],
+    base_url: str | None,
+    page_url: str | None = None,
+    strip_tracking: bool = False,
+    collapse_www: bool = False,
+    sort_query: bool = False,
+    strip_session: bool = False,
+    prefer_https: bool = False,
+    collapse_index: bool = False,
+) -> list[str]:
+    """Resolved ``<link rel=alternate hreflang>`` targets — SEMANTICS.md
+    §Hreflang alternates (normative; the oracle shares this kernel).
+
+    Each collected href resolves like an anchor (urljoin against the
+    document's effective base + canonicalize under the active key rules);
+    unresolvable hrefs drop; SELF-pointing targets drop (hreflang clusters
+    conventionally list the page itself — a self row is a no-op for
+    discovery); duplicates drop keeping the FIRST occurrence, so the
+    result preserves document order. Self is judged against *page_url*
+    (the page's own canon_url; defaults to *base_url* for base-less
+    documents)."""
+    self_url = page_url if page_url is not None else base_url
+    out: list[str] = []
+    seen: set[str] = set()
+    for c in _canon_links(
+        alternate_hrefs, base_url,
+        strip_tracking,
+        collapse_www,
+        sort_query,
+        strip_session,
+        prefer_https,
+        collapse_index,
+    ):
+        if c == self_url or c in seen:
+            continue
+        seen.add(c)
+        out.append(c)
+    return out
+
+
 def extract_text_links_signals(
     html: bytes | str | None,
     base_url: str | None,
@@ -562,14 +615,26 @@ def extract_text_links_signals(
     prefer_https: bool = False,
     collapse_index: bool = False,
 ) -> tuple[
-    str, list[str], bool, bool, str | None, tuple[int, str] | None, int
+    str,
+    list[str],
+    bool,
+    bool,
+    str | None,
+    tuple[int, str] | None,
+    int,
+    list[str],
 ]:
     """Parse *html* once; return (text, links, noindex, nofollow,
-    canonical, refresh, anchor_dropped) — the ``extract_text_and_links``
+    canonical, refresh, anchor_dropped, alternates) — the
+    ``extract_text_and_links``
     surface plus every page-level signal from the SAME parse: REP
     meta-robots flags (cfg.meta_robots_enabled), the rel=canonical target
-    (cfg.rel_canonical_enabled), and the meta-refresh redirect
-    (cfg.meta_refresh_enabled; ``refresh`` is (delay, target) or None).
+    (cfg.rel_canonical_enabled), the meta-refresh redirect
+    (cfg.meta_refresh_enabled; ``refresh`` is (delay, target) or None),
+    and the resolved hreflang alternate targets
+    (cfg.hreflang_enabled; ``alternates`` is ``hreflang_targets(...)`` —
+    document order, self and duplicates dropped; callers APPEND them to
+    links, like the refresh target, so flag-off links stay byte-equal).
     With *anchor_nofollow* (cfg.anchor_nofollow_enabled — SEMANTICS.md
     §Anchor nofollow) each ``<a rel=... nofollow ...>`` link is withheld
     from ``links`` and counted in ``anchor_dropped`` (0 when off, where
@@ -599,6 +664,7 @@ def extract_text_links_signals(
                 None,
                 None,
                 0,
+                [],
             )
     p = _parse(html)
     noindex, nofollow = meta_robots_flags(p.meta)
@@ -650,6 +716,17 @@ def extract_text_links_signals(
             collapse_index=collapse_index,
         ),
         anchor_dropped,
+        hreflang_targets(
+            p.alternate_hrefs,
+            eb,
+            page_url=base_url,
+            strip_tracking=strip_tracking,
+            collapse_www=collapse_www,
+            sort_query=sort_query,
+            strip_session=strip_session,
+            prefer_https=prefer_https,
+            collapse_index=collapse_index,
+        ),
     )
 
 
@@ -666,7 +743,7 @@ def extract_text_links_robots(
 ) -> tuple[str, list[str], bool, bool]:
     """(text, links, noindex, nofollow) — the meta-robots slice of
     ``extract_text_links_signals`` (same single parse)."""
-    text, links, noindex, nofollow, _, _, _ = extract_text_links_signals(
+    text, links, noindex, nofollow, _, _, _, _ = extract_text_links_signals(
         html,
         base_url,
         sitemap_aware,

@@ -55,6 +55,7 @@ def extract_pages(
     rel_canonical: bool = False,
     meta_refresh: bool = False,
     anchor_nofollow: bool = False,
+    hreflang: bool = False,
     strip_tracking: bool = False,
     collapse_www: bool = False,
     sort_query: bool = False,
@@ -77,7 +78,12 @@ def extract_pages(
     delay-0 pure redirect — SEMANTICS.md §Meta refresh); *anchor_nofollow*
     (cfg.anchor_nofollow_enabled) withholds ``<a rel=nofollow>`` links
     from the links column and adds an int ``anchor_dropped`` count
-    (SEMANTICS.md §Anchor nofollow — a metric column, never persisted).
+    (SEMANTICS.md §Anchor nofollow — a metric column, never persisted);
+    *hreflang* (cfg.hreflang_enabled) APPENDS the page's resolved
+    hreflang alternate targets to the out-links — pinned order anchors →
+    alternates → refresh target — and adds an int ``hreflang_added``
+    count (SEMANTICS.md §Hreflang alternates — a metric column, never
+    persisted).
     All signals come from the SAME parse, so text (and links, under the
     default flags) stay byte-identical and html still crosses Arrow
     exactly once.
@@ -94,31 +100,45 @@ def extract_pages(
         fields.append(StructField("redirect", BooleanType()))
     if anchor_nofollow:
         fields.append(StructField("anchor_dropped", IntegerType()))
+    if hreflang:
+        fields.append(StructField("hreflang_added", IntegerType()))
     schema = StructType(fields)
-    any_signal = meta_robots or rel_canonical or meta_refresh or anchor_nofollow
+    any_signal = (
+        meta_robots or rel_canonical or meta_refresh or anchor_nofollow
+        or hreflang
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             texts, links = [], []
-            noidx, nofol, canon, redir, adrop = [], [], [], [], []
+            noidx, nofol, canon, redir, adrop, hladd = [], [], [], [], [], []
             for html, base in zip(pdf["html"], pdf["canon_url"]):
                 if any_signal:
-                    t, ls, ni, nf, cu, rf, ad = extract_text_links_signals(
-                        html,
-                        base,
-                        sitemap_aware,
-                        anchor_nofollow,
-                        strip_tracking,
-                        collapse_www,
-                        sort_query,
-                        strip_session,
-                        prefer_https,
-                        collapse_index,
+                    t, ls, ni, nf, cu, rf, ad, alts = (
+                        extract_text_links_signals(
+                            html,
+                            base,
+                            sitemap_aware,
+                            anchor_nofollow,
+                            strip_tracking,
+                            collapse_www,
+                            sort_query,
+                            strip_session,
+                            prefer_https,
+                            collapse_index,
+                        )
                     )
                     noidx.append(ni)
                     nofol.append(nf)
                     canon.append(cu)
                     adrop.append(ad)
+                    if hreflang and alts:
+                        # alternates join the out-links BEFORE the refresh
+                        # target — SEMANTICS.md §Hreflang alternates
+                        ls = ls + alts
+                        hladd.append(len(alts))
+                    else:
+                        hladd.append(0)
                     if meta_refresh and rf is not None:
                         ls = ls + [rf[1]]
                         redir.append(rf[0] == 0)
@@ -147,6 +167,8 @@ def extract_pages(
                 out["redirect"] = redir
             if anchor_nofollow:
                 out["anchor_dropped"] = pd.array(adrop, dtype="int32")
+            if hreflang:
+                out["hreflang_added"] = pd.array(hladd, dtype="int32")
             yield pd.DataFrame(out)
 
     return df.select("canon_url", "depth", "html").mapInPandas(run, schema)

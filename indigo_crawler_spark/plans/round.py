@@ -978,6 +978,15 @@ def run_round(
                     "anchor_nofollow_dropped"
                 )
             )
+        if cfg.hreflang_enabled:
+            # alternate targets appended into links (SEMANTICS.md §Hreflang
+            # alternates) — already inside links_extracted; counted
+            # separately so operators see the discovery the signal buys
+            ext_metrics.append(
+                F.coalesce(F.sum("hreflang_added"), F.lit(0)).alias(
+                    "hreflang_alternates"
+                )
+            )
         extracted = (
             extract_pages(
                 fetched,
@@ -986,6 +995,7 @@ def run_round(
                 rel_canonical=cfg.rel_canonical_enabled,
                 meta_refresh=cfg.meta_refresh_enabled,
                 anchor_nofollow=cfg.anchor_nofollow_enabled,
+                hreflang=cfg.hreflang_enabled,
                 strip_tracking=cfg.strip_tracking_enabled,
                 collapse_www=cfg.collapse_www_enabled,
                 sort_query=cfg.sort_query_enabled,
@@ -1441,6 +1451,10 @@ def run_round(
     if cfg.anchor_nofollow_enabled:
         counters["anchor_nofollow_dropped"] = _obs_int(
             ext_obs, "anchor_nofollow_dropped"
+        )
+    if cfg.hreflang_enabled:
+        counters["hreflang_alternates"] = _obs_int(
+            ext_obs, "hreflang_alternates"
         )
     if cfg.exclude_patterns:
         counters["pattern_excluded"] = _obs_int(gate_obs, "pattern_excluded")

@@ -331,6 +331,13 @@ def main(argv: list[str] | None = None) -> int:
         "of REP; page text unchanged)",
     )
     ap.add_argument(
+        "--hreflang", action="store_true",
+        help="honor <link rel=alternate hreflang>: each page's resolved "
+        "language-variant targets join its out-links for ordinary "
+        "discovery (self-pointers and duplicates dropped); counted "
+        "hreflang_alternates",
+    )
+    ap.add_argument(
         "--strip-tracking", action="store_true",
         help="strip tracking query parameters (utm_*, gclid, fbclid, …) at "
         "canonicalization everywhere, so tracked-link variants of one "
@@ -433,6 +440,7 @@ def main(argv: list[str] | None = None) -> int:
         rel_canonical_enabled=args.rel_canonical,
         meta_refresh_enabled=args.meta_refresh,
         anchor_nofollow_enabled=args.anchor_nofollow,
+        hreflang_enabled=args.hreflang,
         strip_tracking_enabled=args.strip_tracking,
         exclude_patterns=tuple(args.exclude_pattern),
         exclude_extensions=tuple(

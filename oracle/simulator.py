@@ -306,6 +306,8 @@ class OracleCrawl:
             counters["refresh_redirects"] = 0
         if cfg.anchor_nofollow_enabled:
             counters["anchor_nofollow_dropped"] = 0
+        if cfg.hreflang_enabled:
+            counters["hreflang_alternates"] = 0
         if cfg.exclude_patterns:
             counters["pattern_excluded"] = 0
         if cfg.exclude_extensions:
@@ -449,8 +451,12 @@ class OracleCrawl:
                 or cfg.rel_canonical_enabled
                 or cfg.meta_refresh_enabled
                 or cfg.anchor_nofollow_enabled
+                or cfg.hreflang_enabled
             ):
-                text, links, noindex, nofollow, canonical, refresh, adrop = (
+                (
+                    text, links, noindex, nofollow, canonical, refresh,
+                    adrop, alts,
+                ) = (
                     extract_text_links_signals(
                         page["html"],
                         row.canon_url,
@@ -469,6 +475,12 @@ class OracleCrawl:
                     # SEMANTICS.md §Anchor nofollow): the links list already
                     # excludes the withheld anchors; count them here
                     counters["anchor_nofollow_dropped"] += adrop
+                if cfg.hreflang_enabled and alts:
+                    # hreflang alternates join the out-links BEFORE the
+                    # refresh target (mirror of extract_pages — SEMANTICS.md
+                    # §Hreflang alternates)
+                    links = links + alts
+                    counters["hreflang_alternates"] += len(alts)
                 if cfg.meta_robots_enabled:
                     # latest fetch wins: a recrawl without the directive
                     # clears it

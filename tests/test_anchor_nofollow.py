@@ -90,7 +90,7 @@ def test_kernel_partition_and_byte_identity():
     )
     base = "https://h1.example.org/hub"
     t0, l0 = extract_text_and_links(html, base)
-    t1, l1, ni, nf, cu, rf, ad = extract_text_links_signals(
+    t1, l1, ni, nf, cu, rf, ad, _ = extract_text_links_signals(
         html, base, anchor_nofollow=True
     )
     # text is byte-identical; flags untouched by anchor capture
@@ -100,26 +100,28 @@ def test_kernel_partition_and_byte_identity():
     assert ad == 2  # the junk-scheme nofollow anchor counts NOWHERE
     assert len(l1) + ad == len(l0)  # kept + dropped == flag-off links
     # flag OFF through the same signals surface: byte-identical links, 0
-    t2, l2, *_, ad2 = extract_text_links_signals(html, base)
+    t2, l2, _, _, _, _, ad2, _ = extract_text_links_signals(html, base)
     assert (t2, l2, ad2) == (t0, l0, 0)
     # sitemap documents carry no anchors — the branch returns 0
     sm = b"<urlset><url><loc>https://h1.example.org/x</loc></url></urlset>"
     out = extract_text_links_signals(
         sm, base, sitemap_aware=True, anchor_nofollow=True
     )
-    assert out == ("", ["https://h1.example.org/x"], False, False, None, None, 0)
+    assert out == (
+        "", ["https://h1.example.org/x"], False, False, None, None, 0, []
+    )
 
 
 def test_kernel_first_attr_wins():
     # duplicate rel attributes: the FIRST non-None rel governs (mirrors the
     # first-href rule the flag-off stream always had)
     html = b'<a rel="nofollow" rel="noopener" href="https://h1.example.org/p">x</a>'
-    _, links, *_, ad = extract_text_links_signals(
+    _, links, _, _, _, _, ad, _ = extract_text_links_signals(
         html, "https://h1.example.org/", anchor_nofollow=True
     )
     assert links == [] and ad == 1
     html2 = b'<a rel="noopener" rel="nofollow" href="https://h1.example.org/p">x</a>'
-    _, links2, *_, ad2 = extract_text_links_signals(
+    _, links2, _, _, _, _, ad2, _ = extract_text_links_signals(
         html2, "https://h1.example.org/", anchor_nofollow=True
     )
     assert links2 == ["https://h1.example.org/p"] and ad2 == 0

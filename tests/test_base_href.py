@@ -73,7 +73,7 @@ def test_base_rebases_canonical_and_refresh():
         b'<link rel="canonical" href="canon-leaf">'
         b'<meta http-equiv="refresh" content="0;url=moved-leaf">'
     )
-    _, _, _, _, canon, refresh, _ = extract_text_links_signals(
+    _, _, _, _, canon, refresh, _, _ = extract_text_links_signals(
         _html(b"<p>t</p>", head), PAGE
     )
     assert canon == "https://h2.example.org/root/canon-leaf"
@@ -84,7 +84,7 @@ def test_base_rebases_canonical_and_refresh():
         b'<base href="https://h1.example.org/deep/dir/">'
         b'<meta http-equiv="refresh" content="0;url=page">'
     )
-    _, _, _, _, _, refresh2, _ = extract_text_links_signals(
+    _, _, _, _, _, refresh2, _, _ = extract_text_links_signals(
         _html(b"<p>t</p>", head2), PAGE
     )
     assert refresh2 is None

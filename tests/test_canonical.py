@@ -54,7 +54,7 @@ def test_canonical_capture_rules():
     base = "https://h1.example.org/page"
 
     def canon_of(head: bytes):
-        _, _, _, _, c, _, _ = extract_text_links_signals(
+        _, _, _, _, c, _, _, _ = extract_text_links_signals(
             _html(b"<p>x</p>", head), base
         )
         return c
@@ -81,7 +81,7 @@ def test_canonical_capture_rules():
     # junk scheme -> canonicalize_url rejects -> None
     assert canon_of(b'<link rel="canonical" href="ftp://h1/x">') is None
     # inside a skipped subtree: never matches
-    _, _, _, _, c, _, _ = extract_text_links_signals(
+    _, _, _, _, c, _, _, _ = extract_text_links_signals(
         b"<html><body><script>"
         b'<link rel="canonical" href="/evil">'
         b"</script><p>t</p></body></html>",
@@ -97,7 +97,7 @@ def test_kernel_byte_identity_with_canonical():
     )
     base = "https://h1.example.org/page"
     t0, l0 = extract_text_and_links(page, base)
-    t1, l1, _, _, c, _, _ = extract_text_links_signals(page, base)
+    t1, l1, _, _, c, _, _, _ = extract_text_links_signals(page, base)
     assert (t0, l0) == (t1, l1)
     assert c == "https://h1.example.org/canon"
     assert canonical_target(None, base) is None

@@ -78,11 +78,11 @@ def test_refresh_capture_and_byte_identity():
         b'<meta http-equiv="refresh" content="9;url=/second">',
     )
     t0, l0 = extract_text_and_links(page, BASE)
-    t1, l1, _, _, _, rf, _ = extract_text_links_signals(page, BASE)
+    t1, l1, _, _, _, rf, _, _ = extract_text_links_signals(page, BASE)
     assert (t0, l0) == (t1, l1)  # the kernel never mutates text/links
     assert rf == (0, "https://h1.example.org/moved")  # first wins
     # inside a skipped subtree: never matches
-    _, _, _, _, _, rf2, _ = extract_text_links_signals(
+    _, _, _, _, _, rf2, _, _ = extract_text_links_signals(
         b"<html><body><noscript>"
         b'<meta http-equiv="refresh" content="0;url=/evil">'
         b"</noscript><p>t</p></body></html>",
