@@ -1136,6 +1136,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.size("links").cast("long").alias("n_links"),
         )
 
+    # ---- RFC 9309 robots wildcards (SEMANTICS.md §Robots wildcards) ----
+    def _robots_wildcards(s, d):
+        """The REAL wildcard robots gate (functions/udfs.py
+        make_robots_allowed_udf(wildcards=True) →
+        kernels/robots.robots_allowed_rfc) over urls whose path cycles
+        through 6 shapes by doc_id against ONE fixed robots.txt carrying
+        the rules the knob exists for — a `/*.pdf$` wildcard+anchor deny,
+        a longer `/public/*.pdf$` allow that outranks it, a `/cgi/*?id=`
+        query-wildcard deny, and a plain `/private` prefix deny. DuckDB
+        re-derives allowed-ness from the construction rule."""
+        from indigo_crawler_spark.functions.udfs import make_robots_allowed_udf
+
+        gate = make_robots_allowed_udf("indigo-spark", wildcards=True)
+        robots_txt = (
+            "User-agent: *\nDisallow: /*.pdf$\nAllow: /public/*.pdf$\n"
+            "Disallow: /cgi/*?id=\nDisallow: /private\n"
+        )
+        docs = _t(s, d, "documents")
+        tail = F.element_at(
+            F.array(
+                F.concat(F.lit("article/"), (F.col("doc_id") % 13).cast("string")),
+                F.concat(F.lit("a/x"), (F.col("doc_id") % 7).cast("string"), F.lit(".pdf")),
+                F.concat(F.lit("a/x"), (F.col("doc_id") % 7).cast("string"), F.lit(".pdf?dl=1")),
+                F.concat(F.lit("public/x"), (F.col("doc_id") % 5).cast("string"), F.lit(".pdf")),
+                F.concat(F.lit("cgi/run?id="), (F.col("doc_id") % 9).cast("string")),
+                F.concat(F.lit("private/"), (F.col("doc_id") % 3).cast("string")),
+            ),
+            (F.col("doc_id") % 6).cast("int") + 1,
+        )
+        url = F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/"), tail
+        )
+        return docs.select(
+            "doc_id",
+            url.alias("url"),
+            gate(url, F.lit(robots_txt)).alias("allowed"),
+        )
+
     # ---- hreflang alternate discovery (SEMANTICS.md §Hreflang alternates) ----
     def _hreflang_alternates(s, d):
         """The REAL hreflang capture (operators/extract.py →
@@ -1617,6 +1655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["canonical_targets"] = _canonical_targets
     q["meta_refresh_targets"] = _meta_refresh_targets
     q["hreflang_alternates"] = _hreflang_alternates
+    q["robots_wildcards"] = _robots_wildcards
 
     # ---- rows-only (no ANSI-SQL equivalent; exactness proven in pytest) ----
     q["xxhash64_hosts"] = lambda s, d: _t(s, d, "documents").select(
@@ -1941,6 +1980,30 @@ SELECT 'https://' || source || '.example.com/d/' || CAST(doc_id AS VARCHAR)
        CAST(CASE WHEN (doc_id % 6) IN (1, 2) THEN 2 ELSE 1 END AS BIGINT)
          AS n_links
 FROM documents
+"""
+
+# independent re-derivation of kernels/robots.robots_allowed_rfc over the
+# same 6 url shapes and the fixed wildcard robots.txt: shapes 0 (no rule
+# matches), 2 (the trailing-$ anchor misses once a query follows .pdf) and
+# 3 (the longer /public/*.pdf$ Allow outranks the /*.pdf$ Disallow) are
+# allowed; shapes 1 (wildcard+anchor), 4 (query wildcard) and 5 (plain
+# prefix) are denied
+_ROBOTS_WILDCARDS_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/' ||
+         CASE CAST(doc_id % 6 AS INTEGER)
+           WHEN 0 THEN 'article/' || CAST(doc_id % 13 AS VARCHAR)
+           WHEN 1 THEN 'a/x' || CAST(doc_id % 7 AS VARCHAR) || '.pdf'
+           WHEN 2 THEN 'a/x' || CAST(doc_id % 7 AS VARCHAR) || '.pdf?dl=1'
+           WHEN 3 THEN 'public/x' || CAST(doc_id % 5 AS VARCHAR) || '.pdf'
+           WHEN 4 THEN 'cgi/run?id=' || CAST(doc_id % 9 AS VARCHAR)
+           WHEN 5 THEN 'private/' || CAST(doc_id % 3 AS VARCHAR)
+         END AS url
+  FROM documents
+)
+SELECT doc_id, url, CAST(doc_id % 6 AS INTEGER) IN (0, 2, 3) AS allowed
+FROM u
 """
 
 # independent re-derivation of kernels/textextract.hreflang_targets over
@@ -2436,6 +2499,7 @@ def oracle_sql() -> dict[str, str]:
         "canonical_targets": _CANONICAL_TARGETS_SQL,
         "meta_refresh_targets": _META_REFRESH_SQL,
         "hreflang_alternates": _HREFLANG_SQL,
+        "robots_wildcards": _ROBOTS_WILDCARDS_SQL,
         "scan_prune": "SELECT doc_id, lang FROM documents",
         "filter_events": "SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'",
         "null_guard": "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 400000",

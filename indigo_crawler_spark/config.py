@@ -156,6 +156,16 @@ class CrawlConfig:
     # crawl directives). Changes results ⇒ extension field in config_hash.
     # False disables (default).
     anchor_nofollow_enabled: bool = False
+    # RFC 9309 robots wildcards (SEMANTICS.md §Robots wildcards): when
+    # True, the robots allow gate matches Allow/Disallow values with the
+    # RFC's `*` (any sequence) and trailing `$` (end anchor) wildcards,
+    # most-specific (longest pattern) precedence, and Allow winning length
+    # ties — kernels/robots.py::robots_allowed_rfc is normative. The
+    # stdlib prefix matcher (default) silently under/over-blocks the
+    # "Disallow: /*?sessionid=" / "Disallow: /*.pdf$" rules the real web
+    # uses constantly. Same single Arrow crossing either way. Changes
+    # results ⇒ extension field in config_hash. False disables (default).
+    robots_wildcards_enabled: bool = False
     # hreflang alternate discovery (SEMANTICS.md §Hreflang alternates):
     # when True, each fetched page's <link rel="alternate" hreflang=...
     # href=...> targets resolve like anchors (effective-base urljoin +
@@ -295,6 +305,7 @@ class CrawlConfig:
         "meta_refresh_enabled": False,
         "anchor_nofollow_enabled": False,
         "hreflang_enabled": False,
+        "robots_wildcards_enabled": False,
         "strip_tracking_enabled": False,
         "collapse_www_enabled": False,
         "sort_query_enabled": False,

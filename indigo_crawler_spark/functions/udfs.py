@@ -21,6 +21,7 @@ from indigo_crawler_spark.kernels.canonicalize import canonicalize_url
 from indigo_crawler_spark.kernels.robots import (
     crawl_delay,
     robots_allowed,
+    robots_allowed_rfc,
     robots_sitemaps,
 )
 
@@ -75,15 +76,19 @@ def make_canonicalize_udf(
     return _canonicalize_flags
 
 
-def make_robots_allowed_udf(user_agent: str):
+def make_robots_allowed_udf(user_agent: str, wildcards: bool = False):
     """pandas_udf gating on *user_agent* — built per config so a non-default
     agent actually reaches the parser (the oracle passes cfg.user_agent; the
-    engine must gate on the same string or the two diverge)."""
+    engine must gate on the same string or the two diverge). With
+    *wildcards* (cfg.robots_wildcards_enabled — SEMANTICS.md §Robots
+    wildcards) the RFC 9309 matcher replaces the stdlib prefix matcher —
+    same Arrow crossing, different kernel."""
+    gate = robots_allowed_rfc if wildcards else robots_allowed
 
     @F.pandas_udf(BooleanType())
     def _robots_allowed(canon_url: pd.Series, robots_txt: pd.Series) -> pd.Series:
         out = [
-            robots_allowed(u, t if isinstance(t, str) else None, user_agent)
+            gate(u, t if isinstance(t, str) else None, user_agent)
             for u, t in zip(canon_url, robots_txt)
         ]
         return pd.Series(out, dtype="boolean")

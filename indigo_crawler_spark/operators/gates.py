@@ -73,7 +73,9 @@ def gate_frontier(
             how="left",
         ).withColumn(
             "_allowed",
-            make_robots_allowed_udf(cfg.user_agent)(
+            make_robots_allowed_udf(
+                cfg.user_agent, cfg.robots_wildcards_enabled
+            )(
                 F.col("canon_url"), F.col("robots_txt")
             ),
         )
@@ -158,7 +160,9 @@ def split_robots(candidates: DataFrame, robots: DataFrame, cfg: CrawlConfig) -> 
         how="left",
     ).withColumn(
         "_allowed",
-        make_robots_allowed_udf(cfg.user_agent)(F.col("canon_url"), F.col("robots_txt")),
+        make_robots_allowed_udf(cfg.user_agent, cfg.robots_wildcards_enabled)(
+            F.col("canon_url"), F.col("robots_txt")
+        ),
     )
     allowed = joined.where(F.col("_allowed")).drop("robots_txt", "_allowed")
     denied = joined.where(~F.col("_allowed")).drop("robots_txt", "_allowed")

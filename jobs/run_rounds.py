@@ -331,6 +331,12 @@ def main(argv: list[str] | None = None) -> int:
         "of REP; page text unchanged)",
     )
     ap.add_argument(
+        "--robots-wildcards", action="store_true",
+        help="match robots.txt Allow/Disallow with RFC 9309 * and trailing $ "
+        "wildcards (longest pattern wins, Allow wins ties) instead of the "
+        "stdlib prefix matcher",
+    )
+    ap.add_argument(
         "--hreflang", action="store_true",
         help="honor <link rel=alternate hreflang>: each page's resolved "
         "language-variant targets join its out-links for ordinary "
@@ -441,6 +447,7 @@ def main(argv: list[str] | None = None) -> int:
         meta_refresh_enabled=args.meta_refresh,
         anchor_nofollow_enabled=args.anchor_nofollow,
         hreflang_enabled=args.hreflang,
+        robots_wildcards_enabled=args.robots_wildcards,
         strip_tracking_enabled=args.strip_tracking,
         exclude_patterns=tuple(args.exclude_pattern),
         exclude_extensions=tuple(

@@ -22,6 +22,7 @@ from indigo_crawler_spark.kernels.priority import priority_score
 from indigo_crawler_spark.kernels.robots import (
     crawl_delay,
     robots_allowed,
+    robots_allowed_rfc,
     robots_sitemaps,
 )
 from indigo_crawler_spark.kernels.textextract import (
@@ -327,7 +328,14 @@ class OracleCrawl:
         for row in self.frontier.values():
             if cfg.robots_enabled:
                 rtxt = self.robots.get(row.host)
-                if not robots_allowed(row.canon_url, rtxt, cfg.user_agent):
+                # RFC 9309 wildcards (SEMANTICS.md §Robots wildcards;
+                # mirror of make_robots_allowed_udf's kernel selection)
+                gate = (
+                    robots_allowed_rfc
+                    if cfg.robots_wildcards_enabled
+                    else robots_allowed
+                )
+                if not gate(row.canon_url, rtxt, cfg.user_agent):
                     denied.add(row.canon_url)
                     counters["robots_denied"] += 1
                     continue
