@@ -1136,6 +1136,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.size("links").cast("long").alias("n_links"),
         )
 
+    # ---- transient-failure retry bookkeeping (SEMANTICS.md §Transient failures) ----
+    def _retry_bookkeeping(s, d):
+        """The REAL operators/feedback.retry_exprs (the integer retry
+        bookkeeping behind the fail_every knob: exhausted ⇔ failed AND
+        attempt >= max_retries, retained = failed-not-exhausted, fails
+        bump) over a status/attempt grid by doc_id — statuses cycle
+        ok/failed/banned, attempts cycle 0..3, max_retries pinned at 2.
+        The hash DRAW itself is xxhash64-based (rows-only territory, like
+        every xxhash64 value); the bookkeeping is pure integer logic and
+        DuckDB re-derives it exactly."""
+        from indigo_crawler_spark.operators.feedback import retry_exprs
+
+        docs = _t(s, d, "documents")
+        status = F.element_at(
+            F.array(F.lit("ok"), F.lit("failed"), F.lit("banned")),
+            (F.col("doc_id") % 3).cast("int") + 1,
+        )
+        attempt = (F.col("doc_id") % 4).cast("int")
+        rx = retry_exprs(status, attempt, max_retries=2)
+        return docs.select(
+            "doc_id",
+            status.alias("status"),
+            attempt.alias("attempt"),
+            rx["failed"].alias("failed"),
+            rx["exhausted"].alias("exhausted"),
+            rx["retained"].alias("retained"),
+            rx["fails_next"].cast("int").alias("fails_next"),
+        )
+
+    # ---- mirror-host detection (SEMANTICS.md §Mirror hosts) ----
+    def _mirror_host_pairs(s, d):
+        """The REAL operators/mirrors.mirror_pairs (exact content-addressed
+        mirror detection: distinct (host, sha) evidence, sha-keyed pair
+        mining under the hot-sha guard, integer cross-multiplied 80%
+        containment against the smaller host) over a constructed corpus:
+        hosts mir0/mir1 share one 23-key content pool (full mirrors), mir2
+        spans a 46-key pool whose first half contains that pool (a mirror
+        PLUS extra pages — containment still flags it), mir3 has unique
+        content (never paired), mir4 is a tiny 3-key subset host. DuckDB
+        re-derives the FULL pair computation independently (distinct →
+        self-join → totals → threshold), not just a closed-form answer."""
+        from indigo_crawler_spark.operators.mirrors import mirror_pairs
+
+        docs = _t(s, d, "documents")
+        host = F.concat(
+            F.lit("mir"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example.com"),
+        )
+        sha = F.element_at(
+            F.array(
+                F.concat(F.lit("c"), (F.col("doc_id") % 23).cast("string")),
+                F.concat(F.lit("c"), (F.col("doc_id") % 23).cast("string")),
+                F.concat(F.lit("c"), (F.col("doc_id") % 46).cast("string")),
+                F.concat(F.lit("u"), F.col("doc_id").cast("string")),
+                F.concat(F.lit("c"), (F.col("doc_id") % 3).cast("string")),
+            ),
+            (F.col("doc_id") % 5).cast("int") + 1,
+        )
+        rows = docs.select(host.alias("host"), sha.alias("text_sha"))
+        return mirror_pairs(rows, min_overlap_pct=80, min_shared=2).select(
+            "host_a", "host_b",
+            F.col("shared").cast("long").alias("shared"),
+            F.col("docs_a").cast("long").alias("docs_a"),
+            F.col("docs_b").cast("long").alias("docs_b"),
+        )
+
     # ---- RFC 9309 robots wildcards (SEMANTICS.md §Robots wildcards) ----
     def _robots_wildcards(s, d):
         """The REAL wildcard robots gate (functions/udfs.py
@@ -1656,6 +1722,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["meta_refresh_targets"] = _meta_refresh_targets
     q["hreflang_alternates"] = _hreflang_alternates
     q["robots_wildcards"] = _robots_wildcards
+    q["mirror_host_pairs"] = _mirror_host_pairs
+    q["retry_bookkeeping"] = _retry_bookkeeping
 
     # ---- rows-only (no ANSI-SQL equivalent; exactness proven in pytest) ----
     q["xxhash64_hosts"] = lambda s, d: _t(s, d, "documents").select(
@@ -1980,6 +2048,63 @@ SELECT 'https://' || source || '.example.com/d/' || CAST(doc_id AS VARCHAR)
        CAST(CASE WHEN (doc_id % 6) IN (1, 2) THEN 2 ELSE 1 END AS BIGINT)
          AS n_links
 FROM documents
+"""
+
+# independent re-derivation of operators/feedback.retry_exprs over the same
+# status/attempt grid: pure integer logic (exhausted = failed AND attempt >=
+# max_retries, retained = failed and not exhausted, fails_next = attempt+1)
+_RETRY_BOOKKEEPING_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 3 AS INTEGER)
+           WHEN 0 THEN 'ok' WHEN 1 THEN 'failed' ELSE 'banned'
+         END AS status,
+         CAST(doc_id % 4 AS INTEGER) AS attempt
+  FROM documents
+)
+SELECT doc_id, status, attempt,
+       status = 'failed' AS failed,
+       status = 'failed' AND attempt >= 2 AS exhausted,
+       status = 'failed' AND attempt < 2 AS retained,
+       CAST(attempt + 1 AS INTEGER) AS fails_next
+FROM g
+"""
+
+# independent FULL re-derivation of operators/mirrors.mirror_pairs in SQL:
+# the same distinct (host, sha) evidence, hot-sha guard (2..50 hosts per
+# sha), sha-keyed self-join pair mining, per-host totals, and the integer
+# cross-multiplied 80%-of-smaller-host threshold — every stage recomputed
+# by DuckDB, not a closed-form answer
+_MIRROR_HOST_PAIRS_SQL = """
+WITH u AS (
+  SELECT 'mir' || CAST(doc_id % 5 AS VARCHAR) || '.example.com' AS host,
+         CASE CAST(doc_id % 5 AS INTEGER)
+           WHEN 0 THEN 'c' || CAST(doc_id % 23 AS VARCHAR)
+           WHEN 1 THEN 'c' || CAST(doc_id % 23 AS VARCHAR)
+           WHEN 2 THEN 'c' || CAST(doc_id % 46 AS VARCHAR)
+           WHEN 3 THEN 'u' || CAST(doc_id AS VARCHAR)
+           WHEN 4 THEN 'c' || CAST(doc_id % 3 AS VARCHAR)
+         END AS sha
+  FROM documents
+), d AS (
+  SELECT DISTINCT host, sha FROM u
+), ph AS (
+  SELECT host, COUNT(*) AS docs FROM d GROUP BY host
+), ns AS (
+  SELECT sha, COUNT(*) AS n_hosts FROM d GROUP BY sha
+), m AS (
+  SELECT d.host, d.sha FROM d JOIN ns USING (sha)
+  WHERE ns.n_hosts BETWEEN 2 AND 50
+), p AS (
+  SELECT a.host AS host_a, b.host AS host_b, COUNT(*) AS shared
+  FROM m a JOIN m b ON a.sha = b.sha AND a.host < b.host
+  GROUP BY 1, 2
+)
+SELECT host_a, host_b, shared, pa.docs AS docs_a, pb.docs AS docs_b
+FROM p
+JOIN ph pa ON pa.host = p.host_a
+JOIN ph pb ON pb.host = p.host_b
+WHERE shared >= 2 AND shared * 100 >= 80 * LEAST(pa.docs, pb.docs)
 """
 
 # independent re-derivation of kernels/robots.robots_allowed_rfc over the
@@ -2500,6 +2625,8 @@ def oracle_sql() -> dict[str, str]:
         "meta_refresh_targets": _META_REFRESH_SQL,
         "hreflang_alternates": _HREFLANG_SQL,
         "robots_wildcards": _ROBOTS_WILDCARDS_SQL,
+        "mirror_host_pairs": _MIRROR_HOST_PAIRS_SQL,
+        "retry_bookkeeping": _RETRY_BOOKKEEPING_SQL,
         "scan_prune": "SELECT doc_id, lang FROM documents",
         "filter_events": "SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'",
         "null_guard": "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 400000",

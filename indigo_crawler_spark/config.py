@@ -45,6 +45,25 @@ class CrawlConfig:
     # its host off until round R + 1 + backoff_rounds (exclusive bound).
     ban_every: int = 0
     backoff_rounds: int = 2
+    # transient-failure retry (SEMANTICS.md §Transient failures). 0
+    # disables; else an emitted URL's synthetic fetch outcome is "failed"
+    # iff pmod(xxhash64(canon_url || ':' || attempt), fail_every) == 1
+    # (attempt = the url's failure count so far — the salt makes retries
+    # independent draws, so a url can fail once and succeed on retry; a
+    # ban outranks the failure draw: bans are content outcomes of
+    # SUCCESSFUL fetches). A failed url yields no page (no text, no
+    # links, no discovery), stays OUT of the seen set, and REMAINS in the
+    # frontier to compete again next round — until it has failed
+    # max_retries + 1 times total, at which point it is exhausted: it
+    # enters seen like a fetched url and leaves the crawl (counted
+    # retry_exhausted; every failure counted fetch_failed). Failure
+    # counts persist as versioned ``retries/round=R`` deltas (digested,
+    # cross-checked, resume-verified like seen). Changes results ⇒
+    # extension field in config_hash.
+    fail_every: int = 0
+    # maximum RETRIES after the first failed attempt (dependent extension:
+    # inert while fail_every = 0). 0 = fail once, never retry.
+    max_retries: int = 2
     # trap-URL gate (SEMANTICS.md §Traps; kernels/traps.py is normative).
     # 0 disables each check; structural limits on path depth, single-segment
     # repetition, and URL length keep calendar/session-id/self-loop URL
@@ -306,6 +325,8 @@ class CrawlConfig:
         "anchor_nofollow_enabled": False,
         "hreflang_enabled": False,
         "robots_wildcards_enabled": False,
+        "fail_every": 0,
+        "max_retries": 2,
         "strip_tracking_enabled": False,
         "collapse_www_enabled": False,
         "sort_query_enabled": False,
@@ -323,6 +344,7 @@ class CrawlConfig:
     # — so the manifest pins the exact tick semantics against a future
     # default change.
     _HASH_DEPENDENT = {
+        "max_retries": "fail_every",
         "pagerank_iters": "pagerank_every",
         "pagerank_weight": "pagerank_every",
         "recrawl_adaptive": "recrawl_after",

@@ -29,14 +29,59 @@ from pyspark.sql import functions as F
 from indigo_crawler_spark.config import CrawlConfig
 
 
-def fetch_status_expr(cfg: CrawlConfig) -> Column:
-    """Deterministic synthetic fetch outcome for an emitted canon_url."""
-    if not cfg.ban_every:
-        return F.lit("ok")
-    return F.when(
-        F.pmod(F.xxhash64("canon_url"), F.lit(cfg.ban_every)) == 0,
-        F.lit("banned"),
-    ).otherwise(F.lit("ok"))
+def fetch_status_expr(cfg: CrawlConfig, attempt: Column | None = None) -> Column:
+    """Deterministic synthetic fetch outcome for an emitted canon_url.
+
+    Precedence banned → failed → ok (a ban is a CONTENT outcome — the
+    fetch succeeded and returned a ban page — so it wins over the
+    transient-failure draw). With ``cfg.fail_every`` > 0 and *attempt*
+    (the url's failure count so far, SEMANTICS.md §Transient failures):
+    ``failed ⇔ pmod(xxhash64(canon_url || ':' || attempt), fail_every) ==
+    1`` — the attempt salt makes retries independent draws, so a url can
+    fail round R and succeed round R+1 (the path a url-only hash could
+    never produce)."""
+    out = F.lit("ok")
+    if cfg.fail_every:
+        if attempt is None:
+            raise ValueError("fail_every > 0 requires the attempt column")
+        out = F.when(
+            F.pmod(
+                F.xxhash64(
+                    F.concat(
+                        F.col("canon_url"), F.lit(":"), attempt.cast("string")
+                    )
+                ),
+                F.lit(cfg.fail_every),
+            )
+            == 1,
+            F.lit("failed"),
+        ).otherwise(out)
+    if cfg.ban_every:
+        out = F.when(
+            F.pmod(F.xxhash64("canon_url"), F.lit(cfg.ban_every)) == 0,
+            F.lit("banned"),
+        ).otherwise(out)
+    return out
+
+
+def retry_exprs(
+    status: Column, attempt: Column, max_retries: int
+) -> dict[str, Column]:
+    """Retry bookkeeping (SEMANTICS.md §Transient failures), shared by the
+    round plan and the SQL-checked driver query: a failed url whose
+    failure count so far has REACHED ``max_retries`` is exhausted (gives
+    up — enters seen like a fetched url, leaves the crawl); a failed url
+    below it is retained (stays in the frontier, fails+1 recorded). With
+    ``max_retries = 0`` the first failure exhausts (fail-once, never
+    retry)."""
+    failed = status == "failed"
+    exhausted = failed & (attempt >= F.lit(int(max_retries)))
+    return {
+        "failed": failed,
+        "exhausted": exhausted,
+        "retained": failed & ~exhausted,
+        "fails_next": (attempt + 1).cast("int"),
+    }
 
 
 def fold_backoff(

@@ -1099,3 +1099,77 @@ def filter_corpus(
         "dropped_by_reason": dropped,
         "out_path": out_path,
     }
+
+
+def mirror_report(
+    spark,
+    corpus_path: str,
+    out_path: str,
+    min_overlap_pct: int = 80,
+    min_shared: int = 2,
+    max_hosts_per_sha: int = 50,
+) -> dict:
+    """Mirror-host report derived product (SEMANTICS.md §Mirror hosts):
+    host pairs of an exported corpus whose distinct extracted-text sha
+    sets overlap by ``min_overlap_pct``% of the smaller host — the same
+    site served under several hosts (regional CDNs, vanity domains,
+    scraped re-hosts). Every mirrored page costs each host a fetch, a
+    seen entry, and a politeness slot; this report is the operator's
+    input for excluding one spelling (``--exclude-pattern``) or capping
+    it (``--max-pages-per-site``).
+
+    Detection is operators/mirrors.py::mirror_pairs — exact,
+    content-addressed, integer-thresholded (float-free), with the
+    hot-sha guard against boilerplate fabricating pairs. Host comes from
+    the corpus rows' canon_url; text_sha is recomputed when the corpus
+    is unannotated (same expr as E43's annotation). Output: ONE parquet
+    table (host_a, host_b, shared, docs_a, docs_b — tiny relative to the
+    corpus) plus a manifest with the pair count and knobs. Returns
+    ``{"pairs", "hosts", "out_path"}``.
+    """
+    from indigo_crawler_spark.operators.mirrors import mirror_pairs
+
+    src = _read_export_manifest(corpus_path)
+    if src is None:
+        raise RuntimeError(f"no export manifest at {corpus_path} — export first")
+    dirs = [
+        _pk_dir(corpus_path, pk)
+        for pk in range(int(src["num_buckets"]))
+        if os.path.isdir(_pk_dir(corpus_path, pk))
+    ]
+    if not dirs:
+        raise RuntimeError(
+            f"corpus at {corpus_path} has no pk buckets — nothing to report"
+        )
+    df = spark.read.option("basePath", corpus_path).parquet(*dirs)
+    if "text_sha" not in df.columns:
+        df = df.withColumn("text_sha", F.sha2(F.col("text"), 256))
+    d = df.select(
+        host_expr(F.col("canon_url")).alias("host"), "text_sha"
+    )
+    pairs = mirror_pairs(
+        d,
+        min_overlap_pct=min_overlap_pct,
+        min_shared=min_shared,
+        max_hosts_per_sha=max_hosts_per_sha,
+    ).orderBy("host_a", "host_b")
+    pairs.write.mode("overwrite").parquet(os.path.join(out_path, "pairs"))
+    got = spark.read.parquet(os.path.join(out_path, "pairs"))
+    n_pairs = got.count()
+    n_hosts = got.select(
+        F.explode(F.array("host_a", "host_b")).alias("h")
+    ).distinct().count()
+    payload = {
+        "through_round": int(src["through_round"]),
+        "num_buckets": int(src["num_buckets"]),
+        "rows": n_pairs,
+        "mirrored_from": corpus_path,
+        "mirror_hosts": n_hosts,
+        "knobs": {
+            "min_overlap_pct": int(min_overlap_pct),
+            "min_shared": int(min_shared),
+            "max_hosts_per_sha": int(max_hosts_per_sha),
+        },
+    }
+    _write_export_manifest(out_path, payload)
+    return {"pairs": n_pairs, "hosts": n_hosts, "out_path": out_path}

@@ -386,6 +386,35 @@ class CrawlState:
             )
         return out
 
+    def retries_through(self, r: int) -> DataFrame:
+        """Transient-failure retry state ENTERING round r (SEMANTICS.md
+        §Transient failures): each still-retryable url's lifetime failure
+        count, folded over the per-round deltas < r. ``fails`` is monotone
+        per url (success or exhaustion removes the url from the frontier
+        before a lower count could ever be written), so the fold is one
+        max() agg — no round column, no window. The chain lists one dir
+        per knob-on round; rows are bounded by the urls actively retrying
+        (≤ K · max_retries alive at once), so the union is delta-sized,
+        not corpus-sized. Rows for urls that since succeeded or exhausted
+        are stale-but-harmless: those urls sit in seen and never reach the
+        status join again."""
+        dfs = [
+            self.io.read(f"retries/round={i}", schemas.RETRIES)
+            for i in range(r)
+            if self.io.exists(f"retries/round={i}")
+        ]
+        if not dfs:
+            # (canon_url, fails) only — pk stays out so the status join
+            # never shadows the emitted frame's own pk column
+            return self.io.spark.createDataFrame(
+                [], "canon_url string, fails int"
+            )
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out.groupBy("canon_url").agg(F.max("fails").alias("fails"))
+
+
     def revisit_through(self, r: int) -> DataFrame:
         """Adaptive-recrawl freshness state ENTERING round r (SEMANTICS.md
         §Adaptive recrawl): the latest ``revisit`` row per canon_url over
@@ -856,18 +885,55 @@ def run_round(
                 kept, round_no, cfg.round_limit, cfg.batch_size, gather_col="pk"
             )
         n_emitted = min(n_kept, cfg.round_limit)
-        from indigo_crawler_spark.operators.feedback import fetch_status_expr
+        from indigo_crawler_spark.operators.feedback import (
+            fetch_status_expr,
+            retry_exprs,
+        )
 
-        # fetch status is SEMANTICS (SEMANTICS.md §Backoff) — computed at ONE
-        # site on the cached emitted frame; fetch_batches, the A7 metrics
-        # rollup and the EP3 budget fold below all reuse the same column
-        emitted = emitted.withColumn("status", fetch_status_expr(cfg)).cache()
+        # fetch status is SEMANTICS (SEMANTICS.md §Backoff / §Transient
+        # failures) — computed at ONE site on the cached emitted frame;
+        # fetch_batches, the A7 metrics rollup and the EP3 budget fold
+        # below all reuse the same column. With the retry knob on, the
+        # url's failure count so far joins first (committed state < R, one
+        # small join on the ≤K emitted slice) and salts the outcome draw.
+        if cfg.fail_every:
+            emitted = (
+                emitted.join(
+                    state.retries_through(round_no).hint("SHUFFLE_HASH"),
+                    on="canon_url",
+                    how="left",
+                )
+                .withColumn("_attempt", F.coalesce(F.col("fails"), F.lit(0)))
+                .drop("fails")
+            )
+            emitted = emitted.withColumn(
+                "status", fetch_status_expr(cfg, F.col("_attempt"))
+            ).cache()
+            rx = retry_exprs(
+                F.col("status"), F.col("_attempt"), cfg.max_retries
+            )
+            # "the url is DONE with the crawl": fetched (ok/banned) or
+            # retry-exhausted — the set that enters seen and leaves the
+            # frontier; retained failures stay behind for the next round
+            emitted_done = emitted.where(~rx["failed"] | rx["exhausted"])
+        else:
+            emitted = emitted.withColumn(
+                "status", fetch_status_expr(cfg)
+            ).cache()
+            rx = None
+            emitted_done = emitted
 
         fb_obs = Observation()
+        fb_metrics = [_sum0(F.col("status") == "banned").alias("banned")]
+        if rx is not None:
+            fb_metrics.append(_sum0(rx["failed"]).alias("fetch_failed"))
+            fb_metrics.append(_sum0(rx["exhausted"]).alias("retry_exhausted"))
         fetch_batches = emitted.select(
             "round", "batch_id", "canon_url", "host", "host_hash", "priority",
             "rank_in_host", "global_rank", "status",
-        ).observe(fb_obs, _sum0(F.col("status") == "banned").alias("banned"))
+            *(["_attempt"] if rx is not None else []),
+        ).observe(fb_obs, *fb_metrics)
+        fetch_batches = fetch_batches.drop("_attempt")
         with _timed(tm, "fetch_batches_write"):
             io.write(fetch_batches, f"fetch_batches/round={round_no}")
     # emitted is materialized now, but rank_cache/kept stay persisted until
@@ -884,7 +950,10 @@ def run_round(
     pool = ThreadPoolExecutor(max_workers=4)
     try:
         f_skew = pool.submit(_skew_fold)
-        seen_delta = emitted.select(
+        # seen takes the DONE slice (SEMANTICS.md §Transient failures):
+        # fetched urls plus retry-exhausted give-ups; retained failures
+        # stay out of seen so the next round can re-emit them
+        seen_delta = emitted_done.select(
             "canon_url",
             url_hash_expr(F.col("canon_url")).alias("url_hash"),
             F.col("pk"),
@@ -922,7 +991,15 @@ def run_round(
         # the url list into the scan; huge rounds (K in the millions) would
         # serialize a giant broadcast build — shuffle-hash join instead (the
         # store slice shuffles once; never sorted).
-        emitted_sel = emitted.select("canon_url", "depth")
+        # failed fetches (SEMANTICS.md §Transient failures) yield no page:
+        # they never reach the store join, so no text, no links, no
+        # discovery — the where folds away when the knob is off
+        fetch_src = (
+            emitted.where(F.col("status") != "failed")
+            if rx is not None
+            else emitted
+        )
+        emitted_sel = fetch_src.select("canon_url", "depth")
         small_round = n_emitted <= 200_000
         if small_round:
             fetched = store.join(
@@ -1145,6 +1222,22 @@ def run_round(
 
             f_revisit = pool.submit(_w_revisit)
 
+        # transient-failure retry delta (SEMANTICS.md §Transient failures):
+        # the urls that failed THIS round and stay retryable, each with its
+        # bumped lifetime failure count — read back (max per url) by round
+        # R+1's status join. ≤K rows, pooled, knob-off writes nothing.
+        f_retries, retry_rows = None, None
+        if rx is not None:
+            retry_rows = emitted.where(rx["retained"]).select(
+                "canon_url", rx["fails_next"].alias("fails"), "pk"
+            )
+
+            def _w_retries() -> None:
+                with _timed(tm, "retries_write"):
+                    io.write(retry_rows, f"retries/round={round_no}")
+
+            f_retries = pool.submit(_w_retries)
+
         f_seen.result()
         # A4/A6: fold this round's seen delta into the cumulative membership
         # filter (bloom: pure bitwise OR; cuckoo: fingerprint re-insert — the
@@ -1297,7 +1390,9 @@ def run_round(
             F.col("_allowed") & ~F.col("_trap") & ~F.col("_excluded")
             & ~F.col("_ext") & ~F.col("_capped")
         )
-        emitted_urls = emitted.select("canon_url")
+        # the frontier sheds the DONE slice only — retained transient
+        # failures stay for re-emission (SEMANTICS.md §Transient failures)
+        emitted_urls = emitted_done.select("canon_url")
         if not small_round:
             emitted_urls = emitted_urls.hint("SHUFFLE_HASH")
         else:
@@ -1399,10 +1494,11 @@ def run_round(
         from indigo_crawler_spark.plans.lineage import tables_digest
 
         def _digest() -> dict:
+            frames = {"seen": seen_delta, "frontier_next": frontier_next}
+            if retry_rows is not None:
+                frames["retries"] = retry_rows
             with _timed(tm, "tables_digest"):
-                return tables_digest(
-                    {"seen": seen_delta, "frontier_next": frontier_next}
-                )
+                return tables_digest(frames)
 
         f_digest = pool.submit(_digest)
         if f_filter is not None:
@@ -1415,6 +1511,8 @@ def run_round(
             f_links.result()
         if f_revisit is not None:
             f_revisit.result()
+        if f_retries is not None:
+            f_retries.result()
         if f_emitcap is not None:
             f_emitcap.result()
         f_metrics.result()
@@ -1460,6 +1558,9 @@ def run_round(
         counters["pattern_excluded"] = _obs_int(gate_obs, "pattern_excluded")
     if cfg.exclude_extensions:
         counters["ext_excluded"] = _obs_int(gate_obs, "ext_excluded")
+    if cfg.fail_every:
+        counters["fetch_failed"] = _obs_int(fb_obs, "fetch_failed")
+        counters["retry_exhausted"] = _obs_int(fb_obs, "retry_exhausted")
     if rv_obs is not None:
         counters["recrawl_unchanged"] = _obs_int(rv_obs, "unchanged")
         counters["recrawl_changed"] = _obs_int(rv_obs, "changed")
@@ -1479,6 +1580,11 @@ def run_round(
     cross_checks = [
         (f"seen/round={round_no}", digests["seen"]["rows"]),
         (f"frontier/round={round_no + 1}", digests["frontier_next"]["rows"]),
+        *(
+            [(f"retries/round={round_no}", digests["retries"]["rows"])]
+            if "retries" in digests
+            else []
+        ),
         (f"fetch_batches/round={round_no}", n_emitted),
         (f"fetched_text/round={round_no}", counters["fetched_pages"]),
     ]
@@ -1559,6 +1665,10 @@ def fsck(state: CrawlState) -> dict:
             frames[f"frontier_{r}"] = state.io.read(
                 f"frontier/round={r + 1}", schemas.FRONTIER
             )
+        if "retries" in d and f"retries/round={r}" not in reclaimed:
+            frames[f"retries_{r}"] = state.io.read(
+                f"retries/round={r}", schemas.RETRIES
+            )
     got = tables_digest(frames) if frames else {}
     return {
         r: {
@@ -1571,6 +1681,17 @@ def fsck(state: CrawlState) -> dict:
                 got[f"frontier_{r}"] == d["frontier_next"]
                 if f"frontier_{r}" in got
                 else "reclaimed"
+            ),
+            **(
+                {
+                    "retries": (
+                        got[f"retries_{r}"] == d["retries"]
+                        if f"retries_{r}" in got
+                        else "reclaimed"
+                    )
+                }
+                if "retries" in d
+                else {}
             ),
         }
         for r, d in expected.items()
@@ -1625,7 +1746,15 @@ def run_rounds(
                 state.io.read(f"frontier/round={done + 1}", schemas.FRONTIER),
                 digests["frontier_next"],
             )
-            if not (ok_seen and ok_frontier):
+            ok_retries = (
+                verify_table(
+                    state.io.read(f"retries/round={done}", schemas.RETRIES),
+                    digests["retries"],
+                )
+                if "retries" in digests
+                else True
+            )
+            if not (ok_seen and ok_frontier and ok_retries):
                 raise RuntimeError(
                     f"lineage digest mismatch at resume anchor round {done}; "
                     "committed state is corrupt — refusing to resume"

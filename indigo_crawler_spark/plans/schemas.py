@@ -190,6 +190,21 @@ REVISIT = StructType(
     ]
 )
 
+# transient-failure retry state (SEMANTICS.md §Transient failures): one row
+# per url that FAILED (transiently) at some round and is still retryable,
+# carrying its lifetime failure count. Written per round as
+# ``retries/round=R`` deltas holding ONLY that round's failed-and-retained
+# urls; ``fails`` is monotone per url (a url leaves the frontier — success
+# or exhaustion — before its row could ever regress), so the latest row per
+# url is simply max(fails) (CrawlState.retries_through).
+RETRIES = StructType(
+    [
+        StructField("canon_url", StringType()),
+        StructField("fails", IntegerType()),
+        StructField("pk", IntegerType()),
+    ]
+)
+
 # fixed-point PageRank over the accumulated link graph at a tick round
 # (kernels/pagerank.py is normative; rank_int is rank · PR_SCALE floored)
 PAGERANK = StructType(

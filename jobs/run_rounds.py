@@ -93,6 +93,19 @@ def main(argv: list[str] | None = None) -> int:
         "export -> scrub -> filter -> dedup",
     )
     ap.add_argument(
+        "--export-mirrors",
+        help="with --export: ALSO write a mirror-host report (host pairs "
+        "whose distinct text_sha sets overlap by --mirror-overlap%% of the "
+        "smaller host) at this path; reads the same source corpus as the "
+        "dedup stage — the operator's input for deny-listing one spelling "
+        "of a mirrored site",
+    )
+    ap.add_argument(
+        "--mirror-overlap", type=int, default=80, metavar="PCT",
+        help="with --export-mirrors: integer overlap percentage against the "
+        "smaller host (default 80)",
+    )
+    ap.add_argument(
         "--dedup-near", type=float, default=None, metavar="JACCARD",
         help="with --export-dedup: follow the exact pass with MinHash+LSH "
         "near-dup removal at this exact-verified Jaccard threshold; "
@@ -270,6 +283,19 @@ def main(argv: list[str] | None = None) -> int:
         help="EP3 feedback: synthetic ban outcome every Nth url hash (0=off)",
     )
     ap.add_argument("--backoff-rounds", type=int, default=2)
+    ap.add_argument(
+        "--fail-every", type=int, default=0,
+        help="transient-failure retry: synthetic failed fetch on a per-"
+        "(url, attempt) hash draw every Nth (0=off); failed urls yield no "
+        "page, stay out of seen, and remain in the frontier until "
+        "--max-retries retries are exhausted (counted fetch_failed / "
+        "retry_exhausted)",
+    )
+    ap.add_argument(
+        "--max-retries", type=int, default=2,
+        help="with --fail-every: retries after the first failure before a "
+        "url gives up and enters seen (0 = fail once, never retry)",
+    )
     # round-5 semantic knobs (each default-off; all enter config_hash only
     # at non-default values — config.py extension-field scheme)
     ap.add_argument(
@@ -422,6 +448,8 @@ def main(argv: list[str] | None = None) -> int:
         default_budget=args.default_budget,
         filter_kind=args.filter_kind,
         ban_every=args.ban_every,
+        fail_every=args.fail_every,
+        max_retries=args.max_retries,
         backoff_rounds=args.backoff_rounds,
         recrawl_after=args.recrawl_after,
         recrawl_adaptive=args.recrawl_adaptive,
@@ -558,6 +586,17 @@ def main(argv: list[str] | None = None) -> int:
                 f"({reasons}) -> {fr['out_path']}"
             )
             source = args.export_filter
+        if args.export_mirrors:
+            from indigo_crawler_spark.plans.export import mirror_report
+
+            mr = mirror_report(
+                spark, source, args.export_mirrors,
+                min_overlap_pct=args.mirror_overlap,
+            )
+            print(
+                f"mirrors: {mr['pairs']} host pairs over {mr['hosts']} hosts "
+                f"-> {mr['out_path']}"
+            )
         if args.export_dedup:
             from indigo_crawler_spark.plans.export import dedup_corpus
 

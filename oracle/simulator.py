@@ -142,6 +142,11 @@ class OracleCrawl:
                 discovered_round=0,
             )
         self.seen: dict[str, int] = {}  # canon_url -> first_round
+        # transient-failure retry state (SEMANTICS.md §Transient failures;
+        # mirror of CrawlState.retries_through): url -> lifetime failure
+        # count. Monotone per url; stale entries for urls that since
+        # succeeded or exhausted are harmless (those urls sit in seen).
+        self.retries: dict[str, int] = {}
         self.rounds_run = 0  # next round index — inject() stamps it
         # link-graph edges (src=fetched canon_url, dst=out-link) — mirror of
         # the engine's links/round=R tables; populated only when the
@@ -313,6 +318,9 @@ class OracleCrawl:
             counters["pattern_excluded"] = 0
         if cfg.exclude_extensions:
             counters["ext_excluded"] = 0
+        if cfg.fail_every:
+            counters["fetch_failed"] = 0
+            counters["retry_exhausted"] = 0
         if cfg.recrawl_after and cfg.recrawl_adaptive:
             counters["recrawl_unchanged"] = 0
             counters["recrawl_changed"] = 0
@@ -422,12 +430,29 @@ class OracleCrawl:
         # on the signed kernel hash ≡ Spark's pmod)
         emitted_urls: list[str] = []
         banned_hosts: set[str] = set()
+        # transient failures (SEMANTICS.md §Transient failures; mirror of
+        # fetch_status_expr + retry_exprs): banned outranks the failure
+        # draw; the attempt count salts it so retries are fresh draws
+        retained_failed: set[str] = set()
+        failed_urls: set[str] = set()
         for g, (row, rank_in_host) in enumerate(kept, start=1):
             status = "ok"
             if cfg.ban_every and xxhash64(row.canon_url) % cfg.ban_every == 0:
                 status = "banned"
                 counters["banned"] += 1
                 banned_hosts.add(row.host)
+            elif cfg.fail_every:
+                attempt = self.retries.get(row.canon_url, 0)
+                draw = f"{row.canon_url}:{attempt}"
+                if xxhash64(draw) % cfg.fail_every == 1:
+                    status = "failed"
+                    counters["fetch_failed"] += 1
+                    failed_urls.add(row.canon_url)
+                    if attempt >= cfg.max_retries:
+                        counters["retry_exhausted"] += 1
+                    else:
+                        retained_failed.add(row.canon_url)
+                        self.retries[row.canon_url] = attempt + 1
             res.emitted.append(
                 {
                     "round": r,
@@ -450,6 +475,8 @@ class OracleCrawl:
         # 6-7. fetch + extract + discover
         children: dict[str, FrontierRow] = {}
         for row, _ in kept:
+            if row.canon_url in failed_urls:
+                continue  # a failed fetch yields no page at all
             page = self.store.get(row.canon_url)
             if page is None:
                 continue
@@ -644,6 +671,8 @@ class OracleCrawl:
                     self.emitted_total.get(e["host"], 0) + 1
                 )
         for u in emitted_urls:
+            if u in retained_failed:
+                continue  # retryable failure: stays in frontier, not seen
             self.seen[u] = r
             self.frontier.pop(u, None)
         for u in denied:
