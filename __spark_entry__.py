@@ -1165,6 +1165,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rx["fails_next"].cast("int").alias("fails_next"),
         )
 
+    # ---- dead-host failure backoff (SEMANTICS.md §Transient failures ¶7) ----
+    def _fail_host_backoff(s, d):
+        """The REAL operators/feedback.fold_fail_hosts (dead-host backoff:
+        per-host failed-fetch counts → threshold → greatest() backoff
+        bound, full-outer against the budgets dimension with
+        default-budget creation for missing hosts) over a constructed
+        grid — 17 hosts by doc_id, statuses cycling ok/failed/banned/
+        failed, budgets rows present for all hosts except hid%7==3 (those
+        exercise the created-row path), pre-existing backoff 9 on hid%4==0
+        hosts (exercising the greatest() arm both ways around the new
+        bound 6 = round 3 + 1 + backoff_rounds 2), threshold 15. host_hash
+        is dropped from the result (xxhash64 territory on created rows);
+        every kept column is integer/boolean logic DuckDB re-derives in
+        full."""
+        from indigo_crawler_spark.config import CrawlConfig
+        from indigo_crawler_spark.operators.feedback import fold_fail_hosts
+
+        docs = _t(s, d, "documents")
+        hid = (F.col("doc_id") % 17).cast("int")
+        host = F.concat(F.lit("fh"), hid.cast("string"), F.lit(".example.com"))
+        status = F.element_at(
+            F.array(
+                F.lit("ok"), F.lit("failed"), F.lit("banned"), F.lit("failed")
+            ),
+            (F.col("doc_id") % 4).cast("int") + 1,
+        )
+        statuses = docs.select(host.alias("host"), status.alias("status"))
+        budgets = (
+            docs.select(host.alias("host"), hid.alias("hid"))
+            .distinct()
+            .where(F.col("hid") % 7 != 3)
+            .select(
+                "host",
+                F.col("hid").cast("long").alias("host_hash"),
+                (F.lit(5) + F.col("hid") % 3).cast("int").alias("budget"),
+                F.when(F.col("hid") % 4 == 0, F.lit(9))
+                .otherwise(F.lit(0))
+                .cast("int")
+                .alias("backoff_until_round"),
+            )
+        )
+        cfg = CrawlConfig(
+            fail_every=2, fail_host_threshold=15,
+            backoff_rounds=2, default_budget=8,
+        )
+        return fold_fail_hosts(budgets, statuses, round_no=3, cfg=cfg).select(
+            "host",
+            F.col("budget").cast("int").alias("budget"),
+            F.col("backoff_until_round").cast("int").alias(
+                "backoff_until_round"
+            ),
+            F.col("_failhost").alias("failhost"),
+        )
+
     # ---- mirror-host detection (SEMANTICS.md §Mirror hosts) ----
     def _mirror_host_pairs(s, d):
         """The REAL operators/mirrors.mirror_pairs (exact content-addressed
@@ -1724,6 +1778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["robots_wildcards"] = _robots_wildcards
     q["mirror_host_pairs"] = _mirror_host_pairs
     q["retry_bookkeeping"] = _retry_bookkeeping
+    q["fail_host_backoff"] = _fail_host_backoff
 
     # ---- rows-only (no ANSI-SQL equivalent; exactness proven in pytest) ----
     q["xxhash64_hosts"] = lambda s, d: _t(s, d, "documents").select(
@@ -2068,6 +2123,40 @@ SELECT doc_id, status, attempt,
        status = 'failed' AND attempt < 2 AS retained,
        CAST(attempt + 1 AS INTEGER) AS fails_next
 FROM g
+"""
+
+# independent FULL re-derivation of operators/feedback.fold_fail_hosts in
+# SQL over the same constructed grid: per-host failed counts, HAVING >=
+# threshold 15, full-outer fold against the budgets dimension (missing
+# hosts get default budget 8), greatest(existing, 6) where 6 = round 3 +
+# 1 + backoff_rounds 2 — every stage recomputed by DuckDB
+_FAIL_HOST_BACKOFF_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         'fh' || CAST(doc_id % 17 AS VARCHAR) || '.example.com' AS host,
+         CASE CAST(doc_id % 4 AS INTEGER)
+           WHEN 0 THEN 'ok' WHEN 2 THEN 'banned' ELSE 'failed'
+         END AS status,
+         CAST(doc_id % 17 AS INTEGER) AS hid
+  FROM documents
+), b AS (
+  SELECT DISTINCT host,
+         CAST(5 + hid % 3 AS INTEGER) AS budget,
+         CAST(CASE WHEN hid % 4 = 0 THEN 9 ELSE 0 END AS INTEGER)
+           AS backoff_until_round
+  FROM g WHERE hid % 7 <> 3
+), hot AS (
+  SELECT host FROM g WHERE status = 'failed'
+  GROUP BY host HAVING COUNT(*) >= 15
+)
+SELECT COALESCE(b.host, hot.host) AS host,
+       CAST(COALESCE(b.budget, 8) AS INTEGER) AS budget,
+       CAST(CASE WHEN hot.host IS NOT NULL
+                 THEN GREATEST(COALESCE(b.backoff_until_round, 0), 6)
+                 ELSE COALESCE(b.backoff_until_round, 0)
+            END AS INTEGER) AS backoff_until_round,
+       hot.host IS NOT NULL AS failhost
+FROM b FULL OUTER JOIN hot ON b.host = hot.host
 """
 
 # independent FULL re-derivation of operators/mirrors.mirror_pairs in SQL:
@@ -2627,6 +2716,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_wildcards": _ROBOTS_WILDCARDS_SQL,
         "mirror_host_pairs": _MIRROR_HOST_PAIRS_SQL,
         "retry_bookkeeping": _RETRY_BOOKKEEPING_SQL,
+        "fail_host_backoff": _FAIL_HOST_BACKOFF_SQL,
         "scan_prune": "SELECT doc_id, lang FROM documents",
         "filter_events": "SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'",
         "null_guard": "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 400000",

@@ -64,6 +64,14 @@ class CrawlConfig:
     # maximum RETRIES after the first failed attempt (dependent extension:
     # inert while fail_every = 0). 0 = fail once, never retry.
     max_retries: int = 2
+    # dead-host backoff (SEMANTICS.md §Transient failures; dependent
+    # extension — inert while fail_every = 0). 0 disables; else a host
+    # whose FAILED fetch count in round R reaches this threshold backs off
+    # exactly like a banned host (backoff_until_round = greatest(existing,
+    # R + 1 + backoff_rounds)) — a down host stops burning politeness
+    # slots on retries, and its retained urls wait out the pause in the
+    # frontier. Triggered hosts are counted ``failhost_backoff``.
+    fail_host_threshold: int = 0
     # trap-URL gate (SEMANTICS.md §Traps; kernels/traps.py is normative).
     # 0 disables each check; structural limits on path depth, single-segment
     # repetition, and URL length keep calendar/session-id/self-loop URL
@@ -327,6 +335,7 @@ class CrawlConfig:
         "robots_wildcards_enabled": False,
         "fail_every": 0,
         "max_retries": 2,
+        "fail_host_threshold": 0,
         "strip_tracking_enabled": False,
         "collapse_www_enabled": False,
         "sort_query_enabled": False,
@@ -345,6 +354,7 @@ class CrawlConfig:
     # default change.
     _HASH_DEPENDENT = {
         "max_retries": "fail_every",
+        "fail_host_threshold": "fail_every",
         "pagerank_iters": "pagerank_every",
         "pagerank_weight": "pagerank_every",
         "recrawl_adaptive": "recrawl_after",

@@ -125,6 +125,57 @@ def fold_backoff(
     )
 
 
+def fold_fail_hosts(
+    budgets: DataFrame, statuses: DataFrame, round_no: int, cfg: CrawlConfig
+) -> DataFrame:
+    """Dead-host backoff (SEMANTICS.md §Transient failures): hosts whose
+    round-R FAILED fetch count reaches ``cfg.fail_host_threshold`` back
+    off exactly like banned hosts — ``backoff_until_round =
+    greatest(existing, R + 1 + cfg.backoff_rounds)``. A host that is DOWN
+    (every fetch timing out) would otherwise burn a politeness slot per
+    retained-failure url every single round; the threshold converts a
+    failure burst into the same closed-loop pause a ban triggers, and the
+    retained urls simply wait out the backoff in the frontier.
+
+    Returns budgets' carrying a ``_failhost`` marker column — the caller
+    attaches an Observation summing it (the triggered-host counter rides
+    the budgets write, zero extra jobs) and drops it before the write.
+    Scale shape: *statuses* is the cached ≤K emitted slice → one tiny
+    hash agg; the fold is one small full-outer join against the
+    dimension-sized budgets table (a triggered host may lack a budgets
+    row — it gets one, default budget). The greatest() fold commutes with
+    fold_backoff's (same ``until``), so ban/fail fold order is
+    irrelevant."""
+    hot = (
+        statuses.where(F.col("status") == "failed")
+        .groupBy("host")
+        .agg(F.count("*").alias("_nf"))
+        .where(F.col("_nf") >= F.lit(int(cfg.fail_host_threshold)))
+        .select("host", F.lit(True).alias("_failhost"))
+    )
+    until = F.lit(round_no + 1 + cfg.backoff_rounds)
+    return (
+        budgets.join(hot, on="host", how="full_outer")
+        .select(
+            "host",
+            F.coalesce(F.col("host_hash"), F.xxhash64("host")).alias("host_hash"),
+            F.coalesce(F.col("budget"), F.lit(cfg.default_budget))
+            .cast("int")
+            .alias("budget"),
+            F.when(
+                F.coalesce(F.col("_failhost"), F.lit(False)),
+                F.greatest(
+                    F.coalesce(F.col("backoff_until_round"), F.lit(0)), until
+                ),
+            )
+            .otherwise(F.coalesce(F.col("backoff_until_round"), F.lit(0)))
+            .cast("int")
+            .alias("backoff_until_round"),
+            F.coalesce(F.col("_failhost"), F.lit(False)).alias("_failhost"),
+        )
+    )
+
+
 def fold_thin_hosts(
     budgets: DataFrame, extracted: DataFrame, cfg: CrawlConfig
 ) -> DataFrame:

@@ -273,7 +273,11 @@ class CrawlState:
         """host_budgets ENTERING round r: the versioned table round r-1's
         backoff fold wrote (EP3 feedback), else the bootstrap-static one."""
         if (
-            (self.cfg.ban_every or self.cfg.thin_host_min_words)
+            (
+                self.cfg.ban_every
+                or self.cfg.thin_host_min_words
+                or (self.cfg.fail_every and self.cfg.fail_host_threshold)
+            )
             and r > 0
             and self.io.exists(f"host_budgets/round={r}")
         ):
@@ -1136,9 +1140,12 @@ def run_round(
         # budgets write via Observation (zero extra jobs).
         f_budgets = None
         thin_obs = None
-        if cfg.ban_every or cfg.thin_host_min_words:
+        failhost_obs = None
+        failhost_on = bool(cfg.fail_every and cfg.fail_host_threshold)
+        if cfg.ban_every or cfg.thin_host_min_words or failhost_on:
             from indigo_crawler_spark.operators.feedback import (
                 fold_backoff,
+                fold_fail_hosts,
                 fold_thin_hosts,
             )
 
@@ -1146,6 +1153,26 @@ def run_round(
             if cfg.ban_every:
                 statuses = emitted.select("host", "status")
                 budgets_next = fold_backoff(budgets_next, statuses, round_no, cfg)
+            if failhost_on:
+                # dead-host backoff (SEMANTICS.md §Transient failures):
+                # failure-burst hosts pause like banned hosts; the
+                # triggered-host counter rides the budgets write. The
+                # greatest() fold commutes with fold_backoff's (same
+                # until), so ban/fail order is irrelevant.
+                failhost_obs = Observation()
+                budgets_next = (
+                    fold_fail_hosts(
+                        budgets_next,
+                        emitted.select("host", "status"),
+                        round_no,
+                        cfg,
+                    )
+                    .observe(
+                        failhost_obs,
+                        _sum0(F.col("_failhost")).alias("failhost"),
+                    )
+                    .drop("_failhost")
+                )
             if cfg.thin_host_min_words:
                 thin_obs = Observation()
                 budgets_next = (
@@ -1561,6 +1588,8 @@ def run_round(
     if cfg.fail_every:
         counters["fetch_failed"] = _obs_int(fb_obs, "fetch_failed")
         counters["retry_exhausted"] = _obs_int(fb_obs, "retry_exhausted")
+    if failhost_obs is not None:
+        counters["failhost_backoff"] = _obs_int(failhost_obs, "failhost")
     if rv_obs is not None:
         counters["recrawl_unchanged"] = _obs_int(rv_obs, "unchanged")
         counters["recrawl_changed"] = _obs_int(rv_obs, "changed")

@@ -296,6 +296,13 @@ def main(argv: list[str] | None = None) -> int:
         help="with --fail-every: retries after the first failure before a "
         "url gives up and enters seen (0 = fail once, never retry)",
     )
+    ap.add_argument(
+        "--fail-host-threshold", type=int, default=0,
+        help="with --fail-every: a host whose failed fetch count in a round "
+        "reaches this backs off like a banned host for --backoff-rounds "
+        "rounds (0=off) — a down host stops burning politeness slots on "
+        "retries; counted failhost_backoff",
+    )
     # round-5 semantic knobs (each default-off; all enter config_hash only
     # at non-default values — config.py extension-field scheme)
     ap.add_argument(
@@ -450,6 +457,7 @@ def main(argv: list[str] | None = None) -> int:
         ban_every=args.ban_every,
         fail_every=args.fail_every,
         max_retries=args.max_retries,
+        fail_host_threshold=args.fail_host_threshold,
         backoff_rounds=args.backoff_rounds,
         recrawl_after=args.recrawl_after,
         recrawl_adaptive=args.recrawl_adaptive,

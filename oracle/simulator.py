@@ -435,6 +435,7 @@ class OracleCrawl:
         # draw; the attempt count salts it so retries are fresh draws
         retained_failed: set[str] = set()
         failed_urls: set[str] = set()
+        failed_per_host: dict[str, int] = {}
         for g, (row, rank_in_host) in enumerate(kept, start=1):
             status = "ok"
             if cfg.ban_every and xxhash64(row.canon_url) % cfg.ban_every == 0:
@@ -448,6 +449,9 @@ class OracleCrawl:
                     status = "failed"
                     counters["fetch_failed"] += 1
                     failed_urls.add(row.canon_url)
+                    failed_per_host[row.host] = (
+                        failed_per_host.get(row.host, 0) + 1
+                    )
                     if attempt >= cfg.max_retries:
                         counters["retry_exhausted"] += 1
                     else:
@@ -640,6 +644,20 @@ class OracleCrawl:
             self.backoff[h] = max(
                 self.backoff.get(h, 0), r + 1 + cfg.backoff_rounds
             )
+        # dead-host backoff (mirror of fold_fail_hosts): a host whose
+        # failed count this round reached the threshold pauses like a
+        # banned host — same greatest() fold, so ban/fail order commutes
+        if cfg.fail_every and cfg.fail_host_threshold:
+            hot = {
+                h
+                for h, n in failed_per_host.items()
+                if n >= cfg.fail_host_threshold
+            }
+            counters["failhost_backoff"] = len(hot)
+            for h in sorted(hot):
+                self.backoff[h] = max(
+                    self.backoff.get(h, 0), r + 1 + cfg.backoff_rounds
+                )
         # thin-content host demotion (mirror of fold_thin_hosts): integer
         # comparison sum(words) < min_words * n_pages over this round's
         # fetched texts; thin hosts' budgets halve (floor 1) entering r+1
