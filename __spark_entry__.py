@@ -1165,6 +1165,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rx["fails_next"].cast("int").alias("fails_next"),
         )
 
+    # ---- mid-crawl robots updates (SEMANTICS.md §Robots updates) ----
+    def _robots_update_fold(s, d):
+        """The REAL operators/inject.fold_robots_latest (the latest-per-
+        host robots fold behind --add-robots: MAX upd_round wins, static
+        rows at -1) over a constructed three-generation history — a
+        static generation for 13 hosts, a round-2 delta touching hosts
+        hid%3==0, a round-5 delta touching hosts hid%4==1 (some hosts hit
+        by both, some by one, some never — all four fold outcomes occur).
+        DuckDB re-derives the fold independently via max(upd_round) per
+        host. host_hash is integer-constructed (hid), so every output
+        column is exact."""
+        from indigo_crawler_spark.operators.inject import fold_robots_latest
+
+        docs = _t(s, d, "documents")
+        hid = (F.col("doc_id") % 13).cast("int")
+        base = docs.select(hid.alias("hid")).distinct()
+
+        def gen(pred, txt_prefix, rnd):
+            return (
+                base.where(pred)
+                .select(
+                    F.concat(
+                        F.lit("ru"),
+                        F.col("hid").cast("string"),
+                        F.lit(".example.com"),
+                    ).alias("host"),
+                    F.col("hid").cast("long").alias("host_hash"),
+                    F.concat(
+                        F.lit(txt_prefix), F.col("hid").cast("string")
+                    ).alias("robots_txt"),
+                    F.lit(rnd).cast("int").alias("upd_round"),
+                )
+            )
+
+        static = gen(F.lit(True), "static-", -1)
+        d2 = gen(F.col("hid") % 3 == 0, "tighten-", 2)
+        d5 = gen(F.col("hid") % 4 == 1, "loosen-", 5)
+        return fold_robots_latest([static, d2, d5]).select(
+            "host",
+            F.col("host_hash").cast("long").alias("host_hash"),
+            "robots_txt",
+            F.col("upd_round").cast("int").alias("upd_round"),
+        )
+
     # ---- dead-host failure backoff (SEMANTICS.md §Transient failures ¶7) ----
     def _fail_host_backoff(s, d):
         """The REAL operators/feedback.fold_fail_hosts (dead-host backoff:
@@ -1779,6 +1823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["mirror_host_pairs"] = _mirror_host_pairs
     q["retry_bookkeeping"] = _retry_bookkeeping
     q["fail_host_backoff"] = _fail_host_backoff
+    q["robots_update_fold"] = _robots_update_fold
 
     # ---- rows-only (no ANSI-SQL equivalent; exactness proven in pytest) ----
     q["xxhash64_hosts"] = lambda s, d: _t(s, d, "documents").select(
@@ -2123,6 +2168,32 @@ SELECT doc_id, status, attempt,
        status = 'failed' AND attempt < 2 AS retained,
        CAST(attempt + 1 AS INTEGER) AS fails_next
 FROM g
+"""
+
+# independent FULL re-derivation of operators/inject.fold_robots_latest in
+# SQL over the same three-generation history: static (-1) ∪ round-2 ∪
+# round-5 deltas, max(upd_round) per host wins — recomputed by DuckDB via
+# an anti-joined max, not a closed-form answer
+_ROBOTS_UPDATE_FOLD_SQL = """
+WITH ids AS (
+  SELECT DISTINCT CAST(doc_id % 13 AS INTEGER) AS hid FROM documents
+), gens AS (
+  SELECT hid, 'static-' || CAST(hid AS VARCHAR) AS robots_txt,
+         CAST(-1 AS INTEGER) AS upd_round FROM ids
+  UNION ALL
+  SELECT hid, 'tighten-' || CAST(hid AS VARCHAR), CAST(2 AS INTEGER)
+  FROM ids WHERE hid % 3 = 0
+  UNION ALL
+  SELECT hid, 'loosen-' || CAST(hid AS VARCHAR), CAST(5 AS INTEGER)
+  FROM ids WHERE hid % 4 = 1
+), latest AS (
+  SELECT hid, MAX(upd_round) AS upd_round FROM gens GROUP BY hid
+)
+SELECT 'ru' || CAST(g.hid AS VARCHAR) || '.example.com' AS host,
+       CAST(g.hid AS BIGINT) AS host_hash,
+       g.robots_txt,
+       g.upd_round
+FROM gens g JOIN latest l ON g.hid = l.hid AND g.upd_round = l.upd_round
 """
 
 # independent FULL re-derivation of operators/feedback.fold_fail_hosts in
@@ -2717,6 +2788,7 @@ def oracle_sql() -> dict[str, str]:
         "mirror_host_pairs": _MIRROR_HOST_PAIRS_SQL,
         "retry_bookkeeping": _RETRY_BOOKKEEPING_SQL,
         "fail_host_backoff": _FAIL_HOST_BACKOFF_SQL,
+        "robots_update_fold": _ROBOTS_UPDATE_FOLD_SQL,
         "scan_prune": "SELECT doc_id, lang FROM documents",
         "filter_events": "SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'",
         "null_guard": "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 400000",

@@ -133,3 +133,88 @@ def inject_seeds(state, urls: DataFrame, seed_rank: int = 0) -> int:
         io.write(fresh, inj_table)
     fresh.unpersist()
     return n
+
+
+def fold_robots_latest(frames: list[DataFrame]) -> DataFrame:
+    """Latest robots.txt per host (SEMANTICS.md §Robots updates) over the
+    static table plus any delta tables: each frame carries (host,
+    host_hash, robots_txt, upd_round) with the static rows at upd_round
+    = -1; the row with the MAX upd_round per host wins (a host updated
+    twice keeps the later text). Window-free — the same min_by fold every
+    per-key-latest state table here uses, over a host-scale dimension.
+    Normative for both the round plan (CrawlState.robots_through) and the
+    SQL-checked driver query ``robots_update_fold``."""
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return (
+        dedup_min_by(
+            out.withColumn("_neg", -F.col("upd_round")), "host", ["_neg"]
+        )
+        .drop("_neg")
+    )
+
+
+def update_robots(state, rows: DataFrame) -> int:
+    """Queue per-host robots.txt replacements for the NEXT round
+    (SEMANTICS.md §Robots updates) — the batch analogue of a robots.txt
+    refetch observing changed rules mid-crawl: tightened rules must stop
+    fetches from the next round on, loosened rules must open gates, and
+    committed rounds stay untouched (their manifests pinned the rules
+    they ran under).
+
+    *rows*: (host, robots_txt). The delta lands in
+    ``robots_delta/round=R`` (R = next round) with ``upd_round = R``;
+    ``CrawlState.robots_through(r)`` folds static ∪ deltas ≤ r with
+    max-upd_round-wins per host. A second update for the same host before
+    round R runs REPLACES the pending row (the operator corrects a
+    mistake); duplicate hosts within one call keep the lexically-max
+    text (deterministic under any input order). Returns the number of
+    hosts updated. Same atomic rewrite discipline as inject/retire;
+    replaying round R after a crash re-reads the same committed delta, so
+    resume stays bit-exact. Scale shape: host-scale dimension rows, one
+    rewrite, no collects.
+
+    Note: ``Sitemap:`` directives are honored at BOOTSTRAP only
+    (SEMANTICS.md §Sitemaps) — an updated robots.txt changes the allow
+    gate, not the seed list; inject the sitemap urls explicitly if
+    wanted."""
+    from indigo_crawler_spark.plans.round import last_complete_round
+
+    io = state.io
+    done = last_complete_round(state)
+    nxt = (done + 1) if done is not None else 0
+    if not io.exists("robots"):
+        raise RuntimeError("no robots table — bootstrap the crawl first")
+
+    # lexically-MAX text wins for duplicate hosts within one call —
+    # deterministic under any input order
+    fresh = (
+        rows.select(
+            F.col("host").cast("string").alias("host"),
+            F.col("robots_txt").cast("string").alias("robots_txt"),
+        )
+        .groupBy("host")
+        .agg(F.max("robots_txt").alias("robots_txt"))
+        .select(
+            "host",
+            host_hash_expr(F.col("host")).alias("host_hash"),
+            "robots_txt",
+            F.lit(nxt).cast("int").alias("upd_round"),
+        )
+        .cache()
+    )
+    n = fresh.count()
+    if not n:
+        fresh.unpersist()
+        return 0
+    table = f"robots_delta/round={nxt}"
+    if io.exists(table):
+        kept = io.read(table, schemas.ROBOTS_DELTA).join(
+            fresh.select("host"), on="host", how="left_anti"
+        )
+        io.rewrite(kept.unionByName(fresh), table)
+    else:
+        io.write(fresh, table)
+    fresh.unpersist()
+    return n

@@ -269,6 +269,34 @@ class CrawlState:
             "canon_url", "html"
         )
 
+    def robots_through(self, r: int) -> DataFrame:
+        """robots ENTERING round r (SEMANTICS.md §Robots updates): the
+        static bootstrap table unless ``robots_delta/round=i`` side tables
+        exist at rounds ≤ r, in which case the MAX-upd_round row per host
+        wins (operators/inject.fold_robots_latest — static rows fold at
+        upd_round = -1). No deltas ⇒ the exact static read the pre-feature
+        plan had, byte-identical. Delta chains are operator-batch-sized
+        (one dir per --add-robots round), host-scale rows; the fold is one
+        min_by agg, no window."""
+        deltas = [
+            self.io.read(f"robots_delta/round={i}", schemas.ROBOTS_DELTA)
+            for i in range(r + 1)
+            if self.io.exists(f"robots_delta/round={i}")
+        ]
+        static = self.io.read("robots", schemas.ROBOTS)
+        if not deltas:
+            return static
+        from indigo_crawler_spark.operators.inject import fold_robots_latest
+
+        base = static.select(
+            "host", "host_hash", "robots_txt",
+            F.lit(-1).cast("int").alias("upd_round"),
+        )
+        return fold_robots_latest([base, *deltas]).select(
+            "host", "host_hash", "robots_txt",
+            F.lit(None).cast("timestamp").alias("fetched_ts"),
+        )
+
     def budgets(self, r: int) -> DataFrame:
         """host_budgets ENTERING round r: the versioned table round r-1's
         backoff fold wrote (EP3 feedback), else the bootstrap-static one."""
@@ -781,7 +809,7 @@ def run_round(
     io = state.io
 
     frontier = state.frontier(round_no)
-    robots = io.read("robots", schemas.ROBOTS)
+    robots = state.robots_through(round_no)
     budgets = state.budgets(round_no)
 
     # 1-2. gates — one cached pass; counters observed, not re-counted

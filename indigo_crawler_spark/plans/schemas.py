@@ -205,6 +205,21 @@ RETRIES = StructType(
     ]
 )
 
+# mid-crawl robots updates (SEMANTICS.md §Robots updates): per-host
+# robots.txt replacements queued between rounds as ``robots_delta/round=R``
+# side tables (R = the first round they gate). ``upd_round`` orders
+# replacements — the gate reads the MAX-upd_round row per host over static
+# (upd_round = -1) ∪ deltas ≤ R (CrawlState.robots_through /
+# operators/inject.fold_robots_latest).
+ROBOTS_DELTA = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("host_hash", LongType()),
+        StructField("robots_txt", StringType()),
+        StructField("upd_round", IntegerType()),
+    ]
+)
+
 # fixed-point PageRank over the accumulated link graph at a tick round
 # (kernels/pagerank.py is normative; rank_int is rank · PR_SCALE floored)
 PAGERANK = StructType(

@@ -420,6 +420,13 @@ def main(argv: list[str] | None = None) -> int:
         help="newline file of urls to inject into the NEXT round's frontier "
         "before running (depth-0 seeds; junk/seen/pending urls skipped)",
     )
+    ap.add_argument(
+        "--add-robots",
+        help="JSON-lines file of {host, robots_txt} replacements applied "
+        "before running — the batch analogue of a robots.txt refetch: the "
+        "new rules gate from the next round on (tightened rules stop "
+        "fetches, loosened rules open gates); committed rounds untouched",
+    )
     ap.add_argument("--no-counters", action="store_true")
     args = ap.parse_args(argv)
     if args.rounds is None and not (
@@ -709,6 +716,21 @@ def main(argv: list[str] | None = None) -> int:
             urls = [(ln.strip(),) for ln in f if ln.strip()]
         n = inject_seeds(state, spark.createDataFrame(urls, "url string"))
         print(f"injected {n} seeds into the next round's frontier")
+
+    if args.add_robots:
+        import json as _json
+
+        from indigo_crawler_spark.operators.inject import update_robots
+
+        with open(args.add_robots) as f:
+            rows = [
+                (d["host"], d["robots_txt"])
+                for d in (_json.loads(ln) for ln in f if ln.strip())
+            ]
+        n = update_robots(
+            state, spark.createDataFrame(rows, "host string, robots_txt string")
+        )
+        print(f"updated robots for {n} hosts (effective next round)")
 
     manifests = run_rounds(
         spark,

@@ -256,6 +256,28 @@ class OracleCrawl:
             n += 1
         return n
 
+    def inject_robots(self, rows) -> int:
+        """Mirror of operators/inject.update_robots (SEMANTICS.md §Robots
+        updates): per-host robots.txt replacements take effect from the
+        next round on. *rows*: iterable of (host, robots_txt) pairs or
+        dicts; duplicate hosts keep the lexically-max text (matching the
+        engine's deterministic in-call dedup); an unknown host gains an
+        entry (its frontier urls gate against the new text). Sitemap:
+        directives are bootstrap-only — updates change the allow gate,
+        never the seed list."""
+        best: dict[str, str] = {}
+        for row in rows:
+            h, txt = (
+                (row["host"], row["robots_txt"])
+                if isinstance(row, dict)
+                else (row[0], row[1])
+            )
+            if h not in best or txt > best[h]:
+                best[h] = txt
+        for h, txt in best.items():
+            self.robots[h] = txt
+        return len(best)
+
     # ------------------------------------------------------------------
     def _effective_budget(self, host: str) -> int:
         """Per-host budget, capped by robots Crawl-delay when
