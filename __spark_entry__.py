@@ -1165,6 +1165,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rx["fails_next"].cast("int").alias("fails_next"),
         )
 
+    # ---- per-host crawl report (SEMANTICS.md §Host report) ----
+    def _host_stats_report(s, d):
+        """The REAL operators/hoststats.host_stats (the per-host crawl
+        report fold: status sums, activity span, fetched-page and token
+        mass, full-outer on host) over a constructed grid — 11 hosts by
+        doc_id, statuses cycling ok/failed/banned/ok, rounds cycling 0..4;
+        the texts side takes only status!='failed' rows (failed fetches
+        yield no page) and EXCLUDES host hid==7 entirely (the emit-only
+        zero-row path), using the documents table's own text for word
+        mass. DuckDB re-derives every aggregate including the whitespace
+        token count."""
+        from indigo_crawler_spark.operators.hoststats import host_stats
+
+        docs = _t(s, d, "documents")
+        hid = (F.col("doc_id") % 11).cast("int")
+        host = F.concat(F.lit("hs"), hid.cast("string"), F.lit(".example.com"))
+        status = F.element_at(
+            F.array(
+                F.lit("ok"), F.lit("failed"), F.lit("banned"), F.lit("ok")
+            ),
+            (F.col("doc_id") % 4).cast("int") + 1,
+        )
+        grid = docs.select(
+            host.alias("host"),
+            status.alias("status"),
+            (F.col("doc_id") % 5).cast("int").alias("round"),
+            "text",
+            hid.alias("hid"),
+        )
+        texts = grid.where(
+            (F.col("status") != "failed") & (F.col("hid") != 7)
+        ).select("host", "text")
+        return host_stats(grid.select("host", "status", "round"), texts)
+
     # ---- mid-crawl robots updates (SEMANTICS.md §Robots updates) ----
     def _robots_update_fold(s, d):
         """The REAL operators/inject.fold_robots_latest (the latest-per-
@@ -1824,6 +1858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["retry_bookkeeping"] = _retry_bookkeeping
     q["fail_host_backoff"] = _fail_host_backoff
     q["robots_update_fold"] = _robots_update_fold
+    q["host_stats_report"] = _host_stats_report
 
     # ---- rows-only (no ANSI-SQL equivalent; exactness proven in pytest) ----
     q["xxhash64_hosts"] = lambda s, d: _t(s, d, "documents").select(
@@ -2168,6 +2203,46 @@ SELECT doc_id, status, attempt,
        status = 'failed' AND attempt < 2 AS retained,
        CAST(attempt + 1 AS INTEGER) AS fails_next
 FROM g
+"""
+
+# independent FULL re-derivation of operators/hoststats.host_stats in SQL
+# over the same constructed grid: per-host status sums and span from the
+# batches side, page/token mass from the texts side (failed rows and host
+# hid==7 excluded, exercising the emit-only zero fold), full-outer on host
+_HOST_STATS_REPORT_SQL = """
+WITH g AS (
+  SELECT 'hs' || CAST(doc_id % 11 AS VARCHAR) || '.example.com' AS host,
+         CASE CAST(doc_id % 4 AS INTEGER)
+           WHEN 1 THEN 'failed' WHEN 2 THEN 'banned' ELSE 'ok'
+         END AS status,
+         CAST(doc_id % 5 AS INTEGER) AS round,
+         text,
+         CAST(doc_id % 11 AS INTEGER) AS hid
+  FROM documents
+), b AS (
+  SELECT host,
+         COUNT(*)::BIGINT AS emitted,
+         SUM(CASE WHEN status = 'banned' THEN 1 ELSE 0 END)::BIGINT AS banned,
+         SUM(CASE WHEN status = 'failed' THEN 1 ELSE 0 END)::BIGINT AS failed,
+         MIN(round)::INTEGER AS first_round,
+         MAX(round)::INTEGER AS last_round
+  FROM g GROUP BY host
+), t AS (
+  SELECT host,
+         COUNT(*)::BIGINT AS pages,
+         SUM(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE
+             len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT
+           AS words
+  FROM g WHERE status <> 'failed' AND hid <> 7 GROUP BY host
+)
+SELECT COALESCE(b.host, t.host) AS host,
+       COALESCE(b.emitted, 0)::BIGINT AS emitted,
+       COALESCE(b.banned, 0)::BIGINT AS banned,
+       COALESCE(b.failed, 0)::BIGINT AS failed,
+       b.first_round, b.last_round,
+       COALESCE(t.pages, 0)::BIGINT AS pages,
+       COALESCE(t.words, 0)::BIGINT AS words
+FROM b FULL OUTER JOIN t ON b.host = t.host
 """
 
 # independent FULL re-derivation of operators/inject.fold_robots_latest in
@@ -2789,6 +2864,7 @@ def oracle_sql() -> dict[str, str]:
         "retry_bookkeeping": _RETRY_BOOKKEEPING_SQL,
         "fail_host_backoff": _FAIL_HOST_BACKOFF_SQL,
         "robots_update_fold": _ROBOTS_UPDATE_FOLD_SQL,
+        "host_stats_report": _HOST_STATS_REPORT_SQL,
         "scan_prune": "SELECT doc_id, lang FROM documents",
         "filter_events": "SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'",
         "null_guard": "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 400000",

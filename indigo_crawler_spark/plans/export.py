@@ -1173,3 +1173,51 @@ def mirror_report(
     }
     _write_export_manifest(out_path, payload)
     return {"pairs": n_pairs, "hosts": n_hosts, "out_path": out_path}
+
+
+def host_report(
+    state: CrawlState, out_path: str, through_round: int | None = None
+) -> dict:
+    """Per-host crawl report derived product (SEMANTICS.md §Host report):
+    how each host spent the crawl over committed rounds 0..*through_round*
+    (default: the resume anchor) — emitted attempts, EP3 bans, transient
+    failures, activity span, fetched page deltas and their word mass.
+    This is the table the tuning knobs read from: emit volume feeds
+    ``--max-pages-per-site``, failure bursts justify
+    ``--fail-host-threshold``, word mass sanity-checks thin-host
+    demotion, and together with the F84 mirror report it drives the
+    exclude list.
+
+    Detection is operators/hoststats.py::host_stats — all-integer, exact.
+    fetch_batches rounds union ids + a status string; fetched_text rounds
+    reuse the export's _delta_union (so gc-reclaimed rounds refuse
+    identically). Output: ONE parquet table ordered by host (host-scale,
+    tiny) plus a manifest. Returns ``{"hosts", "out_path"}``."""
+    from indigo_crawler_spark.operators.hoststats import host_stats
+
+    anchor = last_complete_round(state)
+    if anchor is None:
+        raise RuntimeError("no committed rounds — nothing to report")
+    last = anchor if through_round is None else min(through_round, anchor)
+
+    parts = []
+    for r in range(last + 1):
+        parts.append(
+            state.io.read(
+                f"fetch_batches/round={r}", schemas.FETCH_BATCHES
+            ).select("host", "status", "round")
+        )
+    batches = parts[0]
+    for p in parts[1:]:
+        batches = batches.unionByName(p)
+    texts, _ = _delta_union(state, 0, last, state.cfg.num_buckets)
+    stats = host_stats(batches, texts.select("host", "text")).orderBy("host")
+
+    stats.write.mode("overwrite").parquet(os.path.join(out_path, "hosts"))
+    got = state.io.spark.read.parquet(os.path.join(out_path, "hosts"))
+    n = got.count()
+    _write_export_manifest(
+        out_path,
+        {"through_round": last, "rows": n, "kind": "host_report"},
+    )
+    return {"hosts": n, "out_path": out_path}

@@ -101,6 +101,13 @@ def main(argv: list[str] | None = None) -> int:
         "of a mirrored site",
     )
     ap.add_argument(
+        "--export-hoststats",
+        help="write the per-host crawl report (emitted/banned/failed, "
+        "activity span, fetched pages + word mass — the tuning input for "
+        "--max-pages-per-site / --fail-host-threshold / exclusions) at this "
+        "path and exit unless --export also runs; honors --export-through",
+    )
+    ap.add_argument(
         "--mirror-overlap", type=int, default=80, metavar="PCT",
         help="with --export-mirrors: integer overlap percentage against the "
         "smaller host (default 80)",
@@ -431,6 +438,7 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
     if args.rounds is None and not (
         args.fsck or args.gc or args.export or args.status
+        or args.export_hoststats
     ):
         ap.error("--rounds is required unless --fsck/--gc/--export/--status")
 
@@ -525,6 +533,16 @@ def main(argv: list[str] | None = None) -> int:
             f"({report['bytes_reclaimed']} bytes) at anchor {report['anchor']}"
         )
         return 0
+
+    if args.export_hoststats:
+        from indigo_crawler_spark.plans.export import host_report
+
+        hr = host_report(
+            state, args.export_hoststats, through_round=args.export_through
+        )
+        print(f"host report: {hr['hosts']} hosts -> {hr['out_path']}")
+        if not args.export:
+            return 0
 
     if args.export:
         from indigo_crawler_spark.plans.export import export_corpus
