@@ -1165,6 +1165,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rx["fails_next"].cast("int").alias("fails_next"),
         )
 
+    # ---- priority aging (SEMANTICS.md §Priority aging) ----
+    def _priority_aging(s, d):
+        """The REAL functions/scoring.aged_priority_expr (the rank-time
+        starvation boost behind --age-weight: priority + weight * age,
+        weight 0.25, round pinned at 9) over a priority/discovery grid by
+        doc_id — base priorities are quarter-integers (doc_id%7 * 0.25)
+        and ages 0..5, so every product and sum is an exact binary
+        fraction DuckDB reproduces bit-for-bit."""
+        from indigo_crawler_spark.functions.scoring import aged_priority_expr
+
+        docs = _t(s, d, "documents")
+        base = ((F.col("doc_id") % 7).cast("double") * F.lit(0.25))
+        disc = (F.col("doc_id") % 6).cast("int") + 4  # discovered 4..9
+        return docs.select(
+            "doc_id",
+            base.alias("priority"),
+            disc.alias("discovered_round"),
+            aged_priority_expr(base, disc, 9, 0.25).alias("eff_priority"),
+        )
+
     # ---- per-host crawl report (SEMANTICS.md §Host report) ----
     def _host_stats_report(s, d):
         """The REAL operators/hoststats.host_stats (the per-host crawl
@@ -1859,6 +1879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fail_host_backoff"] = _fail_host_backoff
     q["robots_update_fold"] = _robots_update_fold
     q["host_stats_report"] = _host_stats_report
+    q["priority_aging"] = _priority_aging
 
     # ---- rows-only (no ANSI-SQL equivalent; exactness proven in pytest) ----
     q["xxhash64_hosts"] = lambda s, d: _t(s, d, "documents").select(
@@ -2203,6 +2224,17 @@ SELECT doc_id, status, attempt,
        status = 'failed' AND attempt < 2 AS retained,
        CAST(attempt + 1 AS INTEGER) AS fails_next
 FROM g
+"""
+
+# independent re-derivation of functions/scoring.aged_priority_expr over
+# the same grid: exact binary fractions throughout, so == not approx
+_PRIORITY_AGING_SQL = """
+SELECT doc_id,
+       CAST(doc_id % 7 AS DOUBLE) * 0.25 AS priority,
+       CAST(doc_id % 6 + 4 AS INTEGER) AS discovered_round,
+       CAST(doc_id % 7 AS DOUBLE) * 0.25
+         + 0.25 * CAST(9 - (doc_id % 6 + 4) AS DOUBLE) AS eff_priority
+FROM documents
 """
 
 # independent FULL re-derivation of operators/hoststats.host_stats in SQL
@@ -2865,6 +2897,7 @@ def oracle_sql() -> dict[str, str]:
         "fail_host_backoff": _FAIL_HOST_BACKOFF_SQL,
         "robots_update_fold": _ROBOTS_UPDATE_FOLD_SQL,
         "host_stats_report": _HOST_STATS_REPORT_SQL,
+        "priority_aging": _PRIORITY_AGING_SQL,
         "scan_prune": "SELECT doc_id, lang FROM documents",
         "filter_events": "SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'",
         "null_guard": "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 400000",

@@ -72,6 +72,16 @@ class CrawlConfig:
     # slots on retries, and its retained urls wait out the pause in the
     # frontier. Triggered hosts are counted ``failhost_backoff``.
     fail_host_threshold: int = 0
+    # priority aging (SEMANTICS.md §Priority aging; extension, 0.0 = off):
+    # at RANK time a frontier row's effective priority is
+    # priority + age_weight * (round - discovered_round) — urls deferred
+    # round after round by host/domain/global budgets eventually outrank
+    # fresh high-priority arrivals (the classic starvation fix). Stored
+    # frontier priority never changes; age derives from discovered_round
+    # at the gate, so deferral cannot compound state. Changes results ⇒
+    # extension field in config_hash. Prefer exact binary fractions
+    # (0.125, 0.25) so engine and oracle stay bit-identical trivially.
+    age_weight: float = 0.0
     # trap-URL gate (SEMANTICS.md §Traps; kernels/traps.py is normative).
     # 0 disables each check; structural limits on path depth, single-segment
     # repetition, and URL length keep calendar/session-id/self-loop URL
@@ -336,6 +346,7 @@ class CrawlConfig:
         "fail_every": 0,
         "max_retries": 2,
         "fail_host_threshold": 0,
+        "age_weight": 0.0,
         "strip_tracking_enabled": False,
         "collapse_www_enabled": False,
         "sort_query_enabled": False,

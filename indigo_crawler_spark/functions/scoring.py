@@ -26,3 +26,14 @@ def priority_expr(depth: Column, seed_rank: Column, host_count: Column) -> Colum
     ).otherwise(F.lit(0.0))
     t3 = F.lit(1.0) / _bit_length(F.lit(1) + host_count.cast("long")).cast("double")
     return (t1 + t2) + t3
+
+
+def aged_priority_expr(
+    priority: Column, discovered_round: Column, round_no: int, weight: float
+) -> Column:
+    """Rank-time age boost (SEMANTICS.md §Priority aging) — bit-identical
+    to ``kernels/priority.aged_priority``: priority + weight * age, one
+    correctly-rounded double multiply then one add."""
+    return priority.cast("double") + F.lit(float(weight)) * (
+        F.lit(int(round_no)) - discovered_round.cast("int")
+    ).cast("double")

@@ -15,3 +15,16 @@ def priority_score(depth: int, seed_rank: int | None, host_count: int) -> float:
     t2 = 0.0 if seed_rank is None else 1.0 / (1.0 + seed_rank)
     t3 = 1.0 / float((1 + host_count).bit_length())
     return (t1 + t2) + t3
+
+
+def aged_priority(
+    priority: float, discovered_round: int, round_no: int, weight: float
+) -> float:
+    """Starvation-avoiding age boost (SEMANTICS.md §Priority aging): the
+    EFFECTIVE rank-time priority of a frontier row that has waited since
+    *discovered_round*. One multiply and one add of correctly-rounded
+    doubles in a pinned order, so the Spark expression
+    (functions/scoring.aged_priority_expr) is bit-identical. The stored
+    frontier priority never changes — age derives from the row's
+    discovered_round at gate time, so deferral never compounds state."""
+    return priority + weight * float(round_no - discovered_round)

@@ -859,6 +859,25 @@ def run_round(
         F.col("_allowed") & ~F.col("_trap") & ~F.col("_excluded")
         & ~F.col("_ext") & ~F.col("_capped") & ~F.col("_backoff")
     )
+    if cfg.age_weight:
+        # priority aging (SEMANTICS.md §Priority aging): the RANK-TIME
+        # effective priority, applied on the eligible slice only — the
+        # frontier-advance below reads `gated`, so stored priorities stay
+        # base and deferral never compounds. Everything downstream (the
+        # politeness windows, the domain cap, the global rank, the emitted
+        # priority column) uniformly sees the boosted value — exactly the
+        # oracle's rank-time copy.
+        from indigo_crawler_spark.functions.scoring import aged_priority_expr
+
+        eligible = eligible.withColumn(
+            "priority",
+            aged_priority_expr(
+                F.col("priority"),
+                F.col("discovered_round"),
+                round_no,
+                cfg.age_weight,
+            ),
+        )
 
     # frontier-skew fold: per-host candidate counts over THIS round's gate
     # frame become round R+1's salted-host dimension (link-farm hosts heavy

@@ -304,6 +304,12 @@ def main(argv: list[str] | None = None) -> int:
         "url gives up and enters seen (0 = fail once, never retry)",
     )
     ap.add_argument(
+        "--age-weight", type=float, default=0.0,
+        help="priority aging (0=off): a frontier url's rank-time priority "
+        "gains age-weight per round waited since discovery — budget-starved "
+        "urls eventually schedule; prefer exact binary fractions (0.125)",
+    )
+    ap.add_argument(
         "--fail-host-threshold", type=int, default=0,
         help="with --fail-every: a host whose failed fetch count in a round "
         "reaches this backs off like a banned host for --backoff-rounds "
@@ -473,6 +479,7 @@ def main(argv: list[str] | None = None) -> int:
         fail_every=args.fail_every,
         max_retries=args.max_retries,
         fail_host_threshold=args.fail_host_threshold,
+        age_weight=args.age_weight,
         backoff_rounds=args.backoff_rounds,
         recrawl_after=args.recrawl_after,
         recrawl_adaptive=args.recrawl_adaptive,

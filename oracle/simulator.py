@@ -407,6 +407,25 @@ class OracleCrawl:
                 continue
             eligible.append(row)
 
+        # priority aging (SEMANTICS.md §Priority aging; mirror of the
+        # engine's eligible-slice boost): rank-time copies carry the
+        # effective priority; the frontier keeps the base rows, so
+        # deferral never compounds
+        if cfg.age_weight:
+            from dataclasses import replace as _dc_replace
+
+            from indigo_crawler_spark.kernels.priority import aged_priority
+
+            eligible = [
+                _dc_replace(
+                    x,
+                    priority=aged_priority(
+                        x.priority, x.discovered_round, r, cfg.age_weight
+                    ),
+                )
+                for x in eligible
+            ]
+
         # 3. per-host politeness top-B, rank by (priority DESC, canon_url ASC)
         eligible.sort(key=lambda x: (x.host, -x.priority, x.canon_url))
         kept: list[tuple[FrontierRow, int]] = []
