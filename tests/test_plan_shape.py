@@ -149,3 +149,42 @@ def test_pagerank_rescore_joins_are_shuffle_hash(spark):
     assert [f.name for f in out.schema.fields] == [
         f.name for f in schemas.FRONTIER.fields
     ]
+
+
+def test_mirror_pairs_all_shuffle_hash(spark):
+    """F84 mirror mining at corpus scale must never sort-merge or go
+    cartesian: evidence dedup, the hot-sha guard, pair mining and the
+    totals joins are hash aggregates + ShuffledHashJoins only."""
+    from indigo_crawler_spark.operators.mirrors import mirror_pairs
+
+    df = spark.createDataFrame(
+        [(f"h{i % 5}.com", f"s{i % 11}") for i in range(100)],
+        "host string, text_sha string",
+    )
+    p = _physical(mirror_pairs(df))
+    assert "ShuffledHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_host_stats_two_aggs_no_cartesian(spark):
+    """F88 host report: two partial+final hash aggs and one host-keyed
+    full-outer join — text must not survive past the token-count agg."""
+    from indigo_crawler_spark.operators.hoststats import host_stats
+
+    b = spark.createDataFrame(
+        [(f"h{i % 5}.com", "ok", i % 3) for i in range(50)],
+        "host string, status string, round int",
+    )
+    t = spark.createDataFrame(
+        [(f"h{i % 5}.com", "w1 w2 w3") for i in range(50)],
+        "host string, text string",
+    )
+    out = host_stats(b, t)
+    p = _physical(out)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    assert p.count("HashAggregate") >= 4  # partial+final on both sides
+    # text is pruned before the join: no join operator lists a text column
+    for ln in p.splitlines():
+        if "Join" in ln:
+            assert "text" not in ln
