@@ -278,12 +278,17 @@ class CrawlState:
         plan had, byte-identical. Delta chains are operator-batch-sized
         (one dir per --add-robots round), host-scale rows; the fold is one
         min_by agg, no window."""
+        static = self.io.read("robots", schemas.ROBOTS)
+        # parent-dir short-circuit: an update-free crawl pays ONE exists()
+        # per round here, not O(rounds) — robots_through runs every round
+        # unconditionally, unlike the knob-gated state folds
+        if not self.io.exists("robots_delta"):
+            return static
         deltas = [
             self.io.read(f"robots_delta/round={i}", schemas.ROBOTS_DELTA)
             for i in range(r + 1)
             if self.io.exists(f"robots_delta/round={i}")
         ]
-        static = self.io.read("robots", schemas.ROBOTS)
         if not deltas:
             return static
         from indigo_crawler_spark.operators.inject import fold_robots_latest
