@@ -438,6 +438,18 @@ def bench_export(spark: SparkSession, cpus: int) -> dict:
             fn(src, dst)
             stages[f"{name}_sec"] = round(time.time() - t0, 3)
             src = dst
+        # the two operator-facing reports (F84 mirrors over the annotated
+        # corpus, F88 host stats over the crawl state) ride the same block
+        from indigo_crawler_spark.plans.export import host_report, mirror_report
+
+        t0 = time.time()
+        mr = mirror_report(spark, out, os.path.join(root, "stage_mirrors"))
+        stages["mirrors_sec"] = round(time.time() - t0, 3)
+        stages["mirror_pairs"] = mr["pairs"]
+        t0 = time.time()
+        hr = host_report(state, os.path.join(root, "stage_hoststats"))
+        stages["hoststats_sec"] = round(time.time() - t0, 3)
+        stages["hoststats_hosts"] = hr["hosts"]
         return {
             "corpus_rows": n_rows,
             "full_sec": t_full,
