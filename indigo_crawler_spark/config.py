@@ -47,7 +47,9 @@ class CrawlConfig:
     backoff_rounds: int = 2
     # transient-failure retry (SEMANTICS.md §Transient failures). 0
     # disables; else an emitted URL's synthetic fetch outcome is "failed"
-    # iff pmod(xxhash64(canon_url || ':' || attempt), fail_every) == 1
+    # iff pmod(xxhash64(canon_url || ':' || attempt), fail_every) ==
+    # 1 % fail_every (so fail_every=1 fails EVERY fetch, and the residue
+    # stays independent of the ban draw's residue 0 for every_n >= 2)
     # (attempt = the url's failure count so far — the salt makes retries
     # independent draws, so a url can fail once and succeed on retry; a
     # ban outranks the failure draw: bans are content outcomes of
@@ -304,6 +306,24 @@ class CrawlConfig:
     # Changes results ⇒ extension field in config_hash. Empty disables
     # (default).
     exclude_extensions: tuple[str, ...] = ()
+
+    def __post_init__(self) -> None:
+        # exclude_extensions entries the matcher can never produce are
+        # config bugs, not no-ops: url_extension() returns the LAST
+        # dot-segment lowercased, so an entry with a dot ('tar.gz'), an
+        # uppercase letter ('PDF') or a leading dot ('.pdf') silently
+        # matches nothing and the knob sits inert with ext_excluded=0.
+        # The CLI normalizes ('.PDF' → 'pdf'); directly-constructed
+        # configs (library users, tests, bench) fail loud here instead.
+        for e in self.exclude_extensions:
+            if not e or "." in e or "/" in e or e != e.lower():
+                raise ValueError(
+                    f"exclude_extensions entry {e!r} can never match: "
+                    "entries must be non-empty, lowercase, and carry no "
+                    "dot or slash (the last path dot-segment — 'pdf', "
+                    "not '.pdf' or 'tar.gz'; multi-dot suffixes match on "
+                    "their final segment, so use 'gz')"
+                )
 
     # capacity is excluded from config_hash: it is pinned PER CRAWL by the
     # bootstrap manifest (bootstrap records the override or the A3-derived

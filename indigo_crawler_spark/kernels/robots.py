@@ -106,7 +106,9 @@ def crawl_delay(robots_txt: str | None, user_agent: str = USER_AGENT) -> float |
 #   * groups: a run of consecutive user-agent lines opens a group;
 #     allow/disallow lines attach to the open group; rules before any
 #     user-agent line are ignored. Empty-valued allow/disallow lines are
-#     ignored (no rule).
+#     ignored (no rule); empty-valued user-agent lines are ignored
+#     (malformed — an empty agent is a substring of every crawler name and
+#     would otherwise form a universal "specific" group suppressing "*").
 #   * group selection: a group applies when its agent value is "*" or a
 #     case-insensitive substring of the configured user agent (stdlib's
 #     containment rule, kept for flag-off/on coherence); among applying
@@ -151,7 +153,13 @@ def _rfc_groups(robots_txt: str) -> list[tuple[list[str], list[tuple[bool, str]]
                     groups.append((agents, rules))
                 agents, rules = [], []
                 open_agents = True
-            agents.append(value.lower())
+            # an empty agent value is a malformed line, not a group member:
+            # "" is a substring of EVERY configured agent, so keeping it
+            # would mint a zero-length "specific" group that matches all
+            # crawlers and suppresses the "*" group — one stray valueless
+            # `User-agent:` line would flip the whole host's verdicts
+            if value:
+                agents.append(value.lower())
         elif key in ("allow", "disallow"):
             open_agents = False
             if agents and value:

@@ -614,6 +614,7 @@ def extract_text_links_signals(
     strip_session: bool = False,
     prefer_https: bool = False,
     collapse_index: bool = False,
+    hreflang: bool = False,
 ) -> tuple[
     str,
     list[str],
@@ -632,9 +633,11 @@ def extract_text_links_signals(
     (cfg.rel_canonical_enabled), the meta-refresh redirect
     (cfg.meta_refresh_enabled; ``refresh`` is (delay, target) or None),
     and the resolved hreflang alternate targets
-    (cfg.hreflang_enabled; ``alternates`` is ``hreflang_targets(...)`` —
-    document order, self and duplicates dropped; callers APPEND them to
-    links, like the refresh target, so flag-off links stay byte-equal).
+    (cfg.hreflang_enabled, threaded in as *hreflang* — ``alternates`` is
+    ``hreflang_targets(...)`` when on, ``[]`` when off so the per-page
+    resolution cost is only paid when asked for; document order, self and
+    duplicates dropped; callers APPEND them to links, like the refresh
+    target, so flag-off links stay byte-equal).
     With *anchor_nofollow* (cfg.anchor_nofollow_enabled — SEMANTICS.md
     §Anchor nofollow) each ``<a rel=... nofollow ...>`` link is withheld
     from ``links`` and counted in ``anchor_dropped`` (0 when off, where
@@ -716,6 +719,11 @@ def extract_text_links_signals(
             collapse_index=collapse_index,
         ),
         anchor_dropped,
+        # resolving alternates costs urljoin + full canonicalization per
+        # collected <link rel=alternate hreflang> (international sites
+        # list dozens per page), so it only runs when the knob asks —
+        # callers with other signal flags on no longer pay for a result
+        # they discard
         hreflang_targets(
             p.alternate_hrefs,
             eb,
@@ -726,7 +734,9 @@ def extract_text_links_signals(
             strip_session=strip_session,
             prefer_https=prefer_https,
             collapse_index=collapse_index,
-        ),
+        )
+        if hreflang
+        else [],
     )
 
 

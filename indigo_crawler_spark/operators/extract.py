@@ -126,6 +126,7 @@ def extract_pages(
                             strip_session,
                             prefer_https,
                             collapse_index,
+                            hreflang=hreflang,
                         )
                     )
                     noidx.append(ni)

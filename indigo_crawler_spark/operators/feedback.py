@@ -37,9 +37,13 @@ def fetch_status_expr(cfg: CrawlConfig, attempt: Column | None = None) -> Column
     transient-failure draw). With ``cfg.fail_every`` > 0 and *attempt*
     (the url's failure count so far, SEMANTICS.md §Transient failures):
     ``failed ⇔ pmod(xxhash64(canon_url || ':' || attempt), fail_every) ==
-    1`` — the attempt salt makes retries independent draws, so a url can
-    fail round R and succeed round R+1 (the path a url-only hash could
-    never produce)."""
+    1 % fail_every`` — the attempt salt makes retries independent draws,
+    so a url can fail round R and succeed round R+1 (the path a url-only
+    hash could never produce). The residue target is ``1 % fail_every``,
+    not a bare 1: residue 1 keeps the draw independent of the ban draw
+    (residue 0 of an unsalted hash) for every_n ≥ 2, while ``1 % 1 = 0``
+    makes ``fail_every=1`` mean "every fetch fails" instead of the
+    unsatisfiable ``pmod(x, 1) == 1`` silent no-op."""
     out = F.lit("ok")
     if cfg.fail_every:
         if attempt is None:
@@ -53,7 +57,7 @@ def fetch_status_expr(cfg: CrawlConfig, attempt: Column | None = None) -> Column
                 ),
                 F.lit(cfg.fail_every),
             )
-            == 1,
+            == F.lit(1 % cfg.fail_every),
             F.lit("failed"),
         ).otherwise(out)
     if cfg.ban_every:
@@ -97,32 +101,50 @@ def fold_backoff(
     """
     banned = (
         statuses.where(F.col("status") == "banned").select("host").distinct()
-        .withColumn("_banned", F.lit(True))
+        .withColumn("_hot", F.lit(True))
     )
+    return _fold_hot_hosts(budgets, banned, round_no, cfg)
+
+
+def _fold_hot_hosts(
+    budgets: DataFrame,
+    hot: DataFrame,
+    round_no: int,
+    cfg: CrawlConfig,
+    marker: str | None = None,
+) -> DataFrame:
+    """The one full-outer greatest() fold both feedback paths share:
+    *hot* is (host, _hot=True); hot hosts get ``backoff_until_round =
+    greatest(existing, round_no + 1 + cfg.backoff_rounds)``, a hot host
+    with no budgets row gets one (default budget), cold hosts pass
+    through unchanged. With *marker* the _hot flag survives under that
+    name (coalesced to False) so the caller's Observation can count
+    triggered hosts on the write. Full outer because a hot host may lack
+    a budgets row; broadcast builds don't apply to full-outer joins, but
+    both sides are small (budgets is the dimension the gate pass
+    broadcasts, hot is ≤K hosts), so the shuffle is trivial. The
+    greatest() fold commutes with itself (same ``until``), so ban/fail
+    fold order is irrelevant."""
     until = F.lit(round_no + 1 + cfg.backoff_rounds)
-    # full outer: a banned host may lack a budgets row (gets one, default
-    # budget). Broadcast builds don't apply to full-outer joins; both sides
-    # are small (budgets is the dimension the gate pass broadcasts, banned
-    # is ≤K hosts), so the shuffle is trivial.
-    return (
-        budgets.join(banned, on="host", how="full_outer")
-        .select(
-            "host",
-            F.coalesce(F.col("host_hash"), F.xxhash64("host")).alias("host_hash"),
-            F.coalesce(F.col("budget"), F.lit(cfg.default_budget))
-            .cast("int")
-            .alias("budget"),
-            F.when(
-                F.coalesce(F.col("_banned"), F.lit(False)),
-                F.greatest(
-                    F.coalesce(F.col("backoff_until_round"), F.lit(0)), until
-                ),
-            )
-            .otherwise(F.coalesce(F.col("backoff_until_round"), F.lit(0)))
-            .cast("int")
-            .alias("backoff_until_round"),
+    cols = [
+        F.col("host"),
+        F.coalesce(F.col("host_hash"), F.xxhash64("host")).alias("host_hash"),
+        F.coalesce(F.col("budget"), F.lit(cfg.default_budget))
+        .cast("int")
+        .alias("budget"),
+        F.when(
+            F.coalesce(F.col("_hot"), F.lit(False)),
+            F.greatest(
+                F.coalesce(F.col("backoff_until_round"), F.lit(0)), until
+            ),
         )
-    )
+        .otherwise(F.coalesce(F.col("backoff_until_round"), F.lit(0)))
+        .cast("int")
+        .alias("backoff_until_round"),
+    ]
+    if marker is not None:
+        cols.append(F.coalesce(F.col("_hot"), F.lit(False)).alias(marker))
+    return budgets.join(hot, on="host", how="full_outer").select(*cols)
 
 
 def fold_fail_hosts(
@@ -141,39 +163,16 @@ def fold_fail_hosts(
     attaches an Observation summing it (the triggered-host counter rides
     the budgets write, zero extra jobs) and drops it before the write.
     Scale shape: *statuses* is the cached ≤K emitted slice → one tiny
-    hash agg; the fold is one small full-outer join against the
-    dimension-sized budgets table (a triggered host may lack a budgets
-    row — it gets one, default budget). The greatest() fold commutes with
-    fold_backoff's (same ``until``), so ban/fail fold order is
-    irrelevant."""
+    hash agg; the fold itself is _fold_hot_hosts, shared with
+    fold_backoff so the ban and fail paths cannot drift apart."""
     hot = (
         statuses.where(F.col("status") == "failed")
         .groupBy("host")
         .agg(F.count("*").alias("_nf"))
         .where(F.col("_nf") >= F.lit(int(cfg.fail_host_threshold)))
-        .select("host", F.lit(True).alias("_failhost"))
+        .select("host", F.lit(True).alias("_hot"))
     )
-    until = F.lit(round_no + 1 + cfg.backoff_rounds)
-    return (
-        budgets.join(hot, on="host", how="full_outer")
-        .select(
-            "host",
-            F.coalesce(F.col("host_hash"), F.xxhash64("host")).alias("host_hash"),
-            F.coalesce(F.col("budget"), F.lit(cfg.default_budget))
-            .cast("int")
-            .alias("budget"),
-            F.when(
-                F.coalesce(F.col("_failhost"), F.lit(False)),
-                F.greatest(
-                    F.coalesce(F.col("backoff_until_round"), F.lit(0)), until
-                ),
-            )
-            .otherwise(F.coalesce(F.col("backoff_until_round"), F.lit(0)))
-            .cast("int")
-            .alias("backoff_until_round"),
-            F.coalesce(F.col("_failhost"), F.lit(False)).alias("_failhost"),
-        )
-    )
+    return _fold_hot_hosts(budgets, hot, round_no, cfg, marker="_failhost")
 
 
 def fold_thin_hosts(

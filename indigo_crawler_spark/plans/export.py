@@ -1189,9 +1189,11 @@ def host_report(
     exclude list.
 
     Detection is operators/hoststats.py::host_stats — all-integer, exact.
-    fetch_batches rounds union ids + a status string; fetched_text rounds
-    reuse the export's _delta_union (so gc-reclaimed rounds refuse
-    identically). Output: ONE parquet table ordered by host (host-scale,
+    fetch_batches rounds union ids + a status string, refusing gc-reclaimed
+    rounds (gc-manifest check) and missing-but-committed rounds (corrupt
+    state, e.g. a crash mid gc-drop before the manifest write) rather than
+    silently reporting emitted=0; fetched_text rounds reuse the export's
+    _delta_union (same gc refusal). Output: ONE parquet table ordered by host (host-scale,
     tiny) plus a manifest. Returns ``{"hosts", "out_path"}``."""
     from indigo_crawler_spark.operators.hoststats import host_stats
 
@@ -1200,12 +1202,30 @@ def host_report(
         raise RuntimeError("no committed rounds — nothing to report")
     last = anchor if through_round is None else min(through_round, anchor)
 
+    # refuse gc-reclaimed and missing rounds EXACTLY like _delta_union does
+    # for fetched_text: a committed round always writes its fetch_batches
+    # dir (empty frame for a zero-emit round), so silently reading a
+    # missing dir as empty would report emitted=0 for rounds that DID emit
+    # — e.g. after a crash mid `gc --gc-drop-outputs` that deleted the
+    # table but never recorded it in the gc manifest
+    reclaimed = set((state.io.read_manifest("gc") or {}).get("reclaimed", []))
     parts = []
     for r in range(last + 1):
+        table = f"fetch_batches/round={r}"
+        if table in reclaimed:
+            raise RuntimeError(
+                f"{table} was reclaimed by gc --gc-drop-outputs; the host "
+                f"report through round {last} can no longer be assembled "
+                "from this state dir"
+            )
+        if not state.io.exists(table):
+            raise RuntimeError(
+                f"{table} is missing but round {r} is committed and the gc "
+                "manifest does not name it — state dir is corrupt"
+            )
         parts.append(
-            state.io.read(
-                f"fetch_batches/round={r}", schemas.FETCH_BATCHES
-            ).select("host", "status", "round")
+            state.io.read(table, schemas.FETCH_BATCHES)
+            .select("host", "status", "round")
         )
     batches = parts[0]
     for p in parts[1:]:

@@ -19,6 +19,26 @@ import argparse
 import sys
 
 
+def _norm_exts(ap, entries: list[str]) -> tuple[str, ...]:
+    """Normalize --exclude-ext values to the matcher's grammar ('.PDF' →
+    'pdf') and refuse entries the matcher can NEVER produce — an inner
+    dot ('tar.gz') or slash would otherwise leave the knob silently
+    inert (url_extension() only ever yields the final dot-segment)."""
+    out = []
+    for raw in entries:
+        e = raw.lstrip(".").lower()
+        if not e:
+            continue
+        if "." in e or "/" in e:
+            ap.error(
+                f"--exclude-ext {raw!r}: only single-segment extensions "
+                "can match (url extension = the final dot-segment); for "
+                "'.tar.gz' pass 'gz'"
+            )
+        out.append(e)
+    return tuple(out)
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--state-dir", required=True)
@@ -508,9 +528,7 @@ def main(argv: list[str] | None = None) -> int:
         robots_wildcards_enabled=args.robots_wildcards,
         strip_tracking_enabled=args.strip_tracking,
         exclude_patterns=tuple(args.exclude_pattern),
-        exclude_extensions=tuple(
-            e.lstrip(".").lower() for e in args.exclude_ext if e.lstrip(".")
-        ),
+        exclude_extensions=_norm_exts(ap, args.exclude_ext),
     )
     state = CrawlState(io=TableIO(spark, args.state_dir), cfg=cfg)
 

@@ -486,7 +486,11 @@ class OracleCrawl:
             elif cfg.fail_every:
                 attempt = self.retries.get(row.canon_url, 0)
                 draw = f"{row.canon_url}:{attempt}"
-                if xxhash64(draw) % cfg.fail_every == 1:
+                # residue 1 % fail_every, matching fetch_status_expr:
+                # residue 1 for every_n >= 2 (independent of the ban
+                # draw's residue 0), residue 0 when fail_every = 1 so
+                # "fail every fetch" is expressible instead of a no-op
+                if xxhash64(draw) % cfg.fail_every == 1 % cfg.fail_every:
                     status = "failed"
                     counters["fetch_failed"] += 1
                     failed_urls.add(row.canon_url)
@@ -548,6 +552,7 @@ class OracleCrawl:
                         cfg.strip_session_enabled,
                         cfg.prefer_https_enabled,
                         cfg.collapse_index_enabled,
+                        hreflang=cfg.hreflang_enabled,
                     )
                 )
                 if cfg.anchor_nofollow_enabled:

@@ -231,3 +231,35 @@ def test_config_hash_extension():
     assert "exclude_extensions" not in base._hash_dict()
     assert on._hash_dict()["exclude_extensions"] == ("zip",)
     assert len({base.config_hash(), on.config_hash(), on2.config_hash()}) == 3
+
+
+def test_unmatchable_entries_fail_loud():
+    """Entries url_extension() can never produce are config BUGS, not
+    no-ops: the matcher lowercases the URL side and only ever yields the
+    final dot-segment, so 'PDF', '.pdf' (when built directly, skipping
+    CLI normalization) and 'tar.gz' previously matched nothing with
+    ext_excluded silently stuck at 0."""
+    import pytest
+
+    for bad in ("PDF", ".pdf", "tar.gz", "", "a/b"):
+        with pytest.raises(ValueError, match="never match"):
+            CrawlConfig(exclude_extensions=(bad,))
+    # the normalized forms are accepted
+    assert CrawlConfig(exclude_extensions=("pdf", "gz")).exclude_extensions
+
+
+def test_cli_normalizes_and_refuses_multi_segment(tmp_path):
+    """--exclude-ext '.PDF' normalizes to 'pdf'; 'tar.gz' is refused at
+    argparse with a pointer to pass 'gz' (exit 2, no traceback)."""
+    import pytest
+
+    import jobs.run_rounds as cli
+
+    assert cli._norm_exts.__doc__  # helper exists and is documented
+    class _AP:
+        def error(self, msg):
+            raise SystemExit(2)
+
+    assert cli._norm_exts(_AP(), [".PDF", "zip", "..", ""]) == ("pdf", "zip")
+    with pytest.raises(SystemExit):
+        cli._norm_exts(_AP(), ["tar.gz"])

@@ -138,3 +138,44 @@ def test_cli_standalone(spark, crawl, tmp_path_factory):
     )
     with open(os.path.join(out, "_export_manifest.json")) as f:
         assert json.load(f)["kind"] == "host_report"
+
+
+def test_refuses_reclaimed_and_missing_rounds(spark, tmp_path):
+    """host_report fails LOUD instead of reporting emitted=0 when a
+    committed round's fetch_batches table is gone: gc --gc-drop-outputs
+    rounds refuse by the gc manifest; a table missing WITHOUT a manifest
+    record (crash mid gc-drop before the manifest write) refuses as
+    corrupt state."""
+    import shutil
+
+    from indigo_crawler_spark.plans.state_gc import gc_state
+
+    cfg = CrawlConfig(round_limit=50, num_buckets=16, bloom_bucket_capacity=64)
+    fb = fixture_bundle(**TINY)
+    state = CrawlState(io=TableIO(spark, str(tmp_path)), cfg=cfg)
+    bootstrap(
+        spark,
+        pages_df(spark, fb["pages"]),
+        seeds_df(spark, fb["seeds"]),
+        robots_df(spark, fb["robots"]),
+        budgets_df(spark, fb["host_budgets"]),
+        state,
+    )
+    run_rounds(spark, state, 2)
+
+    # crash-mid-gc shape first (no manifest record): delete one round's dir
+    gone = os.path.join(str(tmp_path), "fetch_batches", "round=0")
+    keep = gone + ".bak"
+    os.rename(gone, keep)
+    with pytest.raises(RuntimeError, match="corrupt"):
+        host_report(state, str(tmp_path / "rep_corrupt"))
+    os.rename(keep, gone)
+
+    # sanity: intact state reports fine
+    assert host_report(state, str(tmp_path / "rep_ok"))["hosts"] > 0
+
+    # gc-reclaimed shape: drop outputs, manifest names the rounds
+    gc_state(state, keep_outputs=False)
+    with pytest.raises(RuntimeError, match="reclaimed"):
+        host_report(state, str(tmp_path / "rep_reclaimed"))
+    shutil.rmtree(str(tmp_path / "rep_reclaimed"), ignore_errors=True)

@@ -59,7 +59,11 @@ CLUSTER = (
 # kernel semantics
 # ---------------------------------------------------------------------------
 def test_kernel_collection_and_resolution():
-    t, ls, ni, nf, cu, rf, ad, alts = extract_text_links_signals(CLUSTER, BASE)
+    t, ls, ni, nf, cu, rf, ad, alts = extract_text_links_signals(
+        CLUSTER, BASE, hreflang=True
+    )
+    # the knob gates the resolution work itself: off → no alternates
+    assert extract_text_links_signals(CLUSTER, BASE)[7] == []
     # document order; self dropped; dup dropped; non-hreflang/blank/
     # href-less alternates ignored; relative href resolved against BASE
     assert alts == [
@@ -79,7 +83,7 @@ def test_kernel_base_href_and_helper():
         b'<link rel="alternate" hreflang="fr" href="fr.html">'
         b"</head><body><p>w</p></body></html>"
     )
-    *_, alts = extract_text_links_signals(page, BASE)
+    *_, alts = extract_text_links_signals(page, BASE, hreflang=True)
     # resolution uses the document's effective base, like anchors do
     assert alts == ["https://cdn.example.org/x/fr.html"]
     # helper direct: self judged against page_url, duplicates keep first

@@ -154,6 +154,40 @@ def test_retry_split_run_bit_equal(spark, tmp_path):
         assert a == b, f"retries delta differs at round {r}"
 
 
+def test_fail_every_one_fails_every_fetch(spark, tmp_path):
+    """fail_every=1 means EVERY fetch fails (draw residue 1 % fail_every
+    = 0, always satisfied) — previously an unsatisfiable pmod(x,1)==1
+    silent no-op. With max_retries=0 every first failure exhausts, no
+    text is ever fetched, and the oracle agrees on every surface."""
+    cfg = CrawlConfig(
+        round_limit=500, num_buckets=16, bloom_bucket_capacity=256,
+        fail_every=1, max_retries=0,
+    )
+    fb = fixture_bundle(**TINY)
+    state = _boot(spark, tmp_path, cfg, fb)
+    manifests = run_rounds(spark, state, 2)
+    oc = OracleCrawl(fb["pages"], fb["seeds"], fb["robots"], fb["host_budgets"], cfg)
+    results = oc.run(2)
+    emitted_total = 0
+    for r in range(2):
+        got = _rows(state, r)
+        want = [
+            (e["canon_url"], e["rank_in_host"], e["global_rank"], e["status"])
+            for e in results[r].emitted
+        ]
+        assert got == want, f"ordering/status mismatch at round {r}"
+        assert manifests[r]["counters"] == results[r].counters, f"round {r}"
+        assert all(s == "failed" for _, _, _, s in got), "non-failed fetch"
+        assert manifests[r]["counters"]["fetch_failed"] == len(got)
+        assert manifests[r]["counters"]["retry_exhausted"] == len(got)
+        assert (
+            state.io.read(f"fetched_text/round={r}", schemas.FETCHED_TEXT).count()
+            == 0
+        ), "a failed fetch yielded text"
+        emitted_total += len(got)
+    assert emitted_total > 0, "fixture emitted nothing"
+
+
 def test_config_hash_extension():
     base = CrawlConfig()
     on = CrawlConfig(fail_every=2)

@@ -83,6 +83,26 @@ def test_precedence_and_groups():
     )
 
 
+def test_empty_user_agent_line_is_ignored():
+    # a valueless `User-agent:` line (common real-web malformation) must
+    # not form a group: "" is a substring of EVERY configured agent, so
+    # honoring it would mint a universal "specific" group that suppresses
+    # the `*` group and flips the host's verdicts
+    txt = "User-agent: *\nAllow: /\nUser-agent:\nDisallow: /\n"
+    assert robots_allowed_rfc("https://h/x", txt)
+    assert robots_allowed_rfc("https://h/x", txt, "anybot")
+    # the malformed group's rules are dropped entirely, not re-attached
+    assert robots_allowed_rfc("https://h/x", "User-agent:\nDisallow: /\n")
+    # a valid agent in the same run still collects the rules
+    txt2 = "User-agent:\nUser-agent: indigo-spark\nDisallow: /q\n"
+    assert not robots_allowed_rfc("https://h/q", txt2, "indigo-spark")
+    assert robots_allowed_rfc("https://h/q", txt2, "otherbot")
+    # and the * group still applies to agents the specific group misses
+    txt3 = "User-agent: indigo\nDisallow: /a\nUser-agent:\nUser-agent: *\nDisallow: /b\n"
+    assert not robots_allowed_rfc("https://h/b/x", txt3, "otherbot")
+    assert robots_allowed_rfc("https://h/a/x", txt3, "otherbot")
+
+
 def test_divergence_from_stdlib_and_plain_prefix_parity():
     # THE rule the knob exists for: stdlib prefix-matches the literal
     # "/*.pdf$" and never blocks a real pdf; RFC wildcard matching does
