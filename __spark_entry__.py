@@ -1629,6 +1629,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ext_expr(url, cfg).alias("denied"),
         )
 
+    def _host_allowlist(s, d):
+        """The REAL functions/traps.host_deny_expr (host allow-list gate,
+        SEMANTICS.md §Host allow-list; kernels/traps.py::host_allowed
+        semantics — exact lowercase equality against the curated set,
+        empty = all allowed) over hosts cycling through 6 shapes by
+        doc_id: two allowed hosts, a www.-prefixed spelling of an allowed
+        host (NOT allowed — exact match, no suffix logic), a parameterized
+        cdnN host, a third allowed host on another TLD, and a
+        superstring host embedding an allowed name (NOT allowed — equality
+        is not contains). DuckDB re-derives allowed-ness with the same IN
+        list over the same hosts."""
+        from indigo_crawler_spark.config import CrawlConfig
+        from indigo_crawler_spark.functions.traps import host_deny_expr
+
+        cfg = CrawlConfig(
+            allow_hosts=(
+                "news.example.org", "docs.example.org", "blog.example.net",
+            )
+        )
+        docs = _t(s, d, "documents")
+        host = F.element_at(
+            F.array(
+                F.lit("news.example.org"),
+                F.lit("www.news.example.org"),
+                F.lit("docs.example.org"),
+                F.concat(
+                    F.lit("cdn"), (F.col("doc_id") % 5).cast("string"),
+                    F.lit(".example.com"),
+                ),
+                F.lit("blog.example.net"),
+                F.lit("news.example.org.evil.com"),
+            ),
+            (F.col("doc_id") % 6).cast("int") + 1,
+        )
+        return docs.select(
+            "doc_id",
+            host.alias("host"),
+            (~host_deny_expr(host, cfg)).alias("allowed"),
+        )
+
     def _adaptive_revisit(s, d):
         """The REAL operators/recrawl.revisit_interval_expr (adaptive-recrawl
         interval derivation — SEMANTICS.md §Adaptive recrawl) over a
@@ -1863,6 +1903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["adaptive_revisit"] = _adaptive_revisit
     q["exclude_gate"] = _exclude_gate
     q["ext_gate"] = _ext_gate
+    q["host_allowlist"] = _host_allowlist
     q["strip_tracking"] = _strip_tracking
     q["anchor_nofollow_links"] = _anchor_nofollow_links
     q["trap_flags"] = _trap_flags
@@ -2650,6 +2691,26 @@ FROM u
 # kernel, Java in the engine expr) over the same authority-stripped,
 # query-cut path, lowercased, then set membership against the same deny
 # tuple the Spark query pins
+_HOST_ALLOWLIST_SQL = r"""
+WITH h AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 6 AS INTEGER)
+           WHEN 0 THEN 'news.example.org'
+           WHEN 1 THEN 'www.news.example.org'
+           WHEN 2 THEN 'docs.example.org'
+           WHEN 3 THEN 'cdn' || CAST(doc_id % 5 AS VARCHAR)
+                       || '.example.com'
+           WHEN 4 THEN 'blog.example.net'
+           WHEN 5 THEN 'news.example.org.evil.com'
+         END AS host
+  FROM documents
+)
+SELECT doc_id, host,
+       host IN ('news.example.org', 'docs.example.org', 'blog.example.net')
+         AS allowed
+FROM h
+"""
+
 _EXT_GATE_SQL = r"""
 WITH u AS (
   SELECT doc_id,
@@ -2880,6 +2941,7 @@ def oracle_sql() -> dict[str, str]:
         "strip_tracking": _STRIP_TRACKING_SQL,
         "exclude_gate": _EXCLUDE_GATE_SQL,
         "ext_gate": _EXT_GATE_SQL,
+        "host_allowlist": _HOST_ALLOWLIST_SQL,
         "adaptive_revisit": _ADAPTIVE_REVISIT_SQL,
         "host_cap_budget": _HOST_CAP_SQL,
         "collapse_www": _COLLAPSE_WWW_SQL,

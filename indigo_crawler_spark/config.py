@@ -306,8 +306,38 @@ class CrawlConfig:
     # Changes results ⇒ extension field in config_hash. Empty disables
     # (default).
     exclude_extensions: tuple[str, ...] = ()
+    # host allow-list gate (SEMANTICS.md §Host allow-list;
+    # kernels/traps.py::host_allowed is normative): with a non-empty set,
+    # frontier rows whose canonical host is NOT listed leave the crawl at
+    # the gate — permanently, like robots-denied — and children on
+    # non-allowed hosts never enter the frontier at discovery; counted
+    # ``host_excluded``. The "stay on these sites" knob of a site-scoped
+    # crawl: exclude_patterns can DENY families, this ALLOWS exactly a
+    # curated host set and drops the rest of the web. Entries are exact
+    # lowercase canonical hosts (with collapse_www on, list the bare
+    # host). Changes results ⇒ extension field in config_hash. Empty
+    # disables (default).
+    allow_hosts: tuple[str, ...] = ()
 
     def __post_init__(self) -> None:
+        # allow_hosts entries that can never equal a canonical host are
+        # config bugs, not no-ops: the canonical host is lowercase with no
+        # scheme/path/port text, so 'Example.org' or 'https://a.com'
+        # would silently exclude every page of the host it meant to allow.
+        for h in self.allow_hosts:
+            if (
+                not h
+                or h != h.lower()
+                or "/" in h
+                or ":" in h
+                or any(c.isspace() for c in h)
+            ):
+                raise ValueError(
+                    f"allow_hosts entry {h!r} can never match a canonical "
+                    "host: entries must be non-empty, lowercase, and carry "
+                    "no scheme, slash, port or whitespace ('example.org', "
+                    "not 'https://Example.org/')"
+                )
         # exclude_extensions entries the matcher can never produce are
         # config bugs, not no-ops: url_extension() returns the LAST
         # dot-segment lowercased, so an entry with a dot ('tar.gz'), an
@@ -375,6 +405,7 @@ class CrawlConfig:
         "collapse_index_enabled": False,
         "exclude_patterns": (),
         "exclude_extensions": (),
+        "allow_hosts": (),
     }
 
     # dependent extensions: inert unless their master knob is on. While the

@@ -111,3 +111,16 @@ def ext_expr(canon_url: Column, cfg: CrawlConfig) -> Column:
     if not cfg.exclude_extensions:
         return F.lit(False)
     return url_extension_expr(canon_url).isin(*cfg.exclude_extensions)
+
+
+def host_deny_expr(host: Column, cfg: CrawlConfig) -> Column:
+    """Boolean: does *host* fall OUTSIDE ``cfg.allow_hosts`` (kernel
+    semantics: kernels/traps.py::host_allowed — empty list allows all)?
+    Folds to ``lit(False)`` at the empty default; enabled cost is one
+    codegen'd set membership per row against the operator-curated literal
+    list (the right shape for hundreds–thousands of hosts; a
+    frontier-scale allow set would be a different knob with a semi-join).
+    True = the row leaves the crawl at the gate, permanently."""
+    if not cfg.allow_hosts:
+        return F.lit(False)
+    return ~host.isin(*cfg.allow_hosts)

@@ -154,3 +154,35 @@ def matches_ext(canon_url: str, extensions: tuple[str, ...]) -> bool:
     if not extensions:
         return False
     return url_extension(canon_url) in extensions
+
+
+# ---------------------------------------------------------------------------
+# Host allow-list gate — SEMANTICS.md §Host allow-list. The "stay on these
+# sites" knob every site-scoped crawl needs: with a non-empty allow set,
+# frontier rows whose canonical host is NOT in the set leave at the gate
+# permanently (like robots-denied) and discovered children on non-allowed
+# hosts never enter the frontier. Matching is exact string equality against
+# the CANONICAL host (already lowercased by canonicalize_url; with
+# --collapse-www the operator lists the bare host). The set is
+# operator-curated (hundreds–thousands of entries), so a frozenset lookup
+# here and a codegen'd isin on the Spark side are the right shapes — a
+# corpus-derived allow set of frontier scale would want a semi-join and a
+# different knob.
+# ---------------------------------------------------------------------------
+
+_ALLOW_CACHE: dict[tuple[str, ...], frozenset[str]] = {}
+
+
+def host_allowed(host: str, allow_hosts: tuple[str, ...]) -> bool:
+    """True iff *host* may be crawled under the allow-list.
+
+    Empty *allow_hosts* (the default) allows every host. Entries are
+    lowercase canonical hosts (CrawlConfig validates at construction).
+    """
+    if not allow_hosts:
+        return True
+    s = _ALLOW_CACHE.get(allow_hosts)
+    if s is None:
+        s = frozenset(allow_hosts)
+        _ALLOW_CACHE[allow_hosts] = s
+    return host in s

@@ -12,7 +12,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from indigo_crawler_spark.config import CrawlConfig
-from indigo_crawler_spark.functions.traps import exclude_expr, ext_expr, trap_expr
+from indigo_crawler_spark.functions.traps import (
+    exclude_expr,
+    ext_expr,
+    host_deny_expr,
+    trap_expr,
+)
 from indigo_crawler_spark.functions.udfs import (
     make_crawl_delay_udf,
     make_robots_allowed_udf,
@@ -93,6 +98,10 @@ def gate_frontier(
     # extension deny gate (SEMANTICS.md §Extension deny): same shape —
     # codegen'd, lit(False) at the empty default
     df = df.withColumn("_ext", ext_expr(F.col("canon_url"), cfg))
+    # host allow-list gate (SEMANTICS.md §Host allow-list): same shape —
+    # one codegen'd isin on the frontier's host column, lit(False) at the
+    # empty default; True = outside the allow set, leaves permanently
+    df = df.withColumn("_hostdrop", host_deny_expr(F.col("host"), cfg))
     b = F.broadcast(budgets.select("host", "budget", "backoff_until_round"))
     out = (
         df.join(b, on="host", how="left")

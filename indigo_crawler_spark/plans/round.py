@@ -820,11 +820,11 @@ def run_round(
     # 1-2. gates — one cached pass; counters observed, not re-counted
     from indigo_crawler_spark.operators.skew import politeness_topk_skew_aware
 
-    # gate precedence (SEMANTICS.md): robots → trap → exclude → ext → cap
-    # → backoff. Trap, pattern-excluded, extension-denied and host-capped
-    # rows leave the frontier permanently (like denied);
-    # _trap/_excluded/_ext/_capped fold to lit(False) with the default-off
-    # knobs, keeping the plan unchanged.
+    # gate precedence (SEMANTICS.md): robots → trap → exclude → ext →
+    # allow → cap → backoff. Trap, pattern-excluded, extension-denied,
+    # non-allowed-host and host-capped rows leave the frontier permanently
+    # (like denied); _trap/_excluded/_ext/_hostdrop/_capped fold to
+    # lit(False) with the default-off knobs, keeping the plan unchanged.
     emitted_totals = (
         state.host_emitted(round_no) if cfg.host_page_cap else None
     )
@@ -847,22 +847,29 @@ def run_round(
             ).alias("ext_excluded"),
             _sum0(
                 F.col("_allowed") & ~F.col("_trap") & ~F.col("_excluded")
-                & ~F.col("_ext") & F.col("_capped")
+                & ~F.col("_ext") & F.col("_hostdrop")
+            ).alias("host_excluded"),
+            _sum0(
+                F.col("_allowed") & ~F.col("_trap") & ~F.col("_excluded")
+                & ~F.col("_ext") & ~F.col("_hostdrop") & F.col("_capped")
             ).alias("host_capped"),
             _sum0(
                 F.col("_allowed") & ~F.col("_trap") & ~F.col("_excluded")
-                & ~F.col("_ext") & ~F.col("_capped") & F.col("_backoff")
+                & ~F.col("_ext") & ~F.col("_hostdrop") & ~F.col("_capped")
+                & F.col("_backoff")
             ).alias("backoff_skipped"),
             _sum0(
                 F.col("_allowed") & ~F.col("_trap") & ~F.col("_excluded")
-                & ~F.col("_ext") & ~F.col("_capped") & ~F.col("_backoff")
+                & ~F.col("_ext") & ~F.col("_hostdrop") & ~F.col("_capped")
+                & ~F.col("_backoff")
             ).alias("eligible"),
         )
         .cache()
     )
     eligible = gated.where(
         F.col("_allowed") & ~F.col("_trap") & ~F.col("_excluded")
-        & ~F.col("_ext") & ~F.col("_capped") & ~F.col("_backoff")
+        & ~F.col("_ext") & ~F.col("_hostdrop") & ~F.col("_capped")
+        & ~F.col("_backoff")
     )
     if cfg.age_weight:
         # priority aging (SEMANTICS.md §Priority aging): the RANK-TIME
@@ -1397,13 +1404,18 @@ def run_round(
         from indigo_crawler_spark.functions.traps import (
             exclude_expr,
             ext_expr,
+            host_deny_expr,
             trap_expr,
         )
 
+        # non-allowed-host children likewise (SEMANTICS.md §Host
+        # allow-list) — the host expr is recomputed here (children carry
+        # no host column yet); host_deny_expr folds to lit(False) when off
         children = children.where(
             ~trap_expr(F.col("canon_url"), cfg)
             & ~exclude_expr(F.col("canon_url"), cfg)
             & ~ext_expr(F.col("canon_url"), cfg)
+            & ~host_deny_expr(host_expr("canon_url"), cfg)
         )
         children = dedup_min_by(children, "canon_url", ["depth"]).withColumn(
             "host", host_expr("canon_url")
@@ -1467,7 +1479,7 @@ def run_round(
         # frontier-scale → SHUFFLE_HASH (broadcast builds would serialize).
         allowed_rows = gated.where(
             F.col("_allowed") & ~F.col("_trap") & ~F.col("_excluded")
-            & ~F.col("_ext") & ~F.col("_capped")
+            & ~F.col("_ext") & ~F.col("_hostdrop") & ~F.col("_capped")
         )
         # the frontier sheds the DONE slice only — retained transient
         # failures stay for re-emission (SEMANTICS.md §Transient failures)
@@ -1637,6 +1649,8 @@ def run_round(
         counters["pattern_excluded"] = _obs_int(gate_obs, "pattern_excluded")
     if cfg.exclude_extensions:
         counters["ext_excluded"] = _obs_int(gate_obs, "ext_excluded")
+    if cfg.allow_hosts:
+        counters["host_excluded"] = _obs_int(gate_obs, "host_excluded")
     if cfg.fail_every:
         counters["fetch_failed"] = _obs_int(fb_obs, "fetch_failed")
         counters["retry_exhausted"] = _obs_int(fb_obs, "retry_exhausted")

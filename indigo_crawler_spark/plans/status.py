@@ -25,7 +25,9 @@ _TOTALED = (
     # are correct whether or not the knob was on for (part of) the crawl
     "thin_hosts_demoted", "nofollow_dropped", "canonical_variants",
     "refresh_redirects", "anchor_nofollow_dropped", "pattern_excluded",
-    "recrawl_unchanged", "recrawl_changed", "host_capped",
+    "recrawl_unchanged", "recrawl_changed", "host_capped", "ext_excluded",
+    "host_excluded", "fetch_failed", "retry_exhausted", "failhost_backoff",
+    "hreflang_alternates",
 )
 
 

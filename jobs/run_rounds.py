@@ -39,6 +39,25 @@ def _norm_exts(ap, entries: list[str]) -> tuple[str, ...]:
     return tuple(out)
 
 
+def _norm_hosts(ap, entries: list[str]) -> tuple[str, ...]:
+    """Normalize --allow-host values to canonical-host grammar (lowercase,
+    trimmed) and refuse entries that can never equal a canonical host —
+    a scheme, slash or port would silently exclude the very host the
+    operator meant to allow (CrawlConfig re-validates for library users)."""
+    out = []
+    for raw in entries:
+        h = raw.strip().lower()
+        if not h:
+            continue
+        if "/" in h or ":" in h or any(c.isspace() for c in h):
+            ap.error(
+                f"--allow-host {raw!r}: pass the bare canonical host "
+                "('example.org'), not a URL or host:port"
+            )
+        out.append(h)
+    return tuple(out)
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--state-dir", required=True)
@@ -429,6 +448,14 @@ def main(argv: list[str] | None = None) -> int:
         "enter the frontier; counted ext_excluded",
     )
     ap.add_argument(
+        "--allow-host", action="append", default=[], metavar="HOST",
+        help="crawl ONLY these canonical hosts (repeatable; exact lowercase "
+        "host match — with --collapse-www list the bare host): frontier "
+        "rows on other hosts leave at the gate permanently and their "
+        "children never enter the frontier; counted host_excluded. "
+        "Empty (default) allows every host",
+    )
+    ap.add_argument(
         "--pagerank-every", type=int, default=0,
         help="link-graph prioritization: every Nth round, re-score the "
         "outgoing frontier with integer PageRank over the accumulated "
@@ -529,6 +556,7 @@ def main(argv: list[str] | None = None) -> int:
         strip_tracking_enabled=args.strip_tracking,
         exclude_patterns=tuple(args.exclude_pattern),
         exclude_extensions=_norm_exts(ap, args.exclude_ext),
+        allow_hosts=_norm_hosts(ap, args.allow_host),
     )
     state = CrawlState(io=TableIO(spark, args.state_dir), cfg=cfg)
 

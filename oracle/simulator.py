@@ -30,6 +30,7 @@ from indigo_crawler_spark.kernels.textextract import (
     extract_text_links_signals,
 )
 from indigo_crawler_spark.kernels.traps import (
+    host_allowed,
     is_trap_url,
     matches_exclude,
     matches_ext,
@@ -340,6 +341,8 @@ class OracleCrawl:
             counters["pattern_excluded"] = 0
         if cfg.exclude_extensions:
             counters["ext_excluded"] = 0
+        if cfg.allow_hosts:
+            counters["host_excluded"] = 0
         if cfg.fail_every:
             counters["fetch_failed"] = 0
             counters["retry_exhausted"] = 0
@@ -391,6 +394,13 @@ class OracleCrawl:
             ):
                 denied.add(row.canon_url)
                 counters["ext_excluded"] += 1
+                continue
+            # host allow-list (SEMANTICS.md §Host allow-list; mirror of
+            # gate_frontier's _hostdrop): non-allowed hosts leave
+            # permanently, like denied
+            if cfg.allow_hosts and not host_allowed(row.host, cfg.allow_hosts):
+                denied.add(row.canon_url)
+                counters["host_excluded"] += 1
                 continue
             # per-host lifetime emit cap (SEMANTICS.md §Host page cap;
             # mirror of gate_frontier's _capped): rows of a host AT the
@@ -662,6 +672,12 @@ class OracleCrawl:
                     continue
                 if cfg.exclude_extensions and matches_ext(
                     child, cfg.exclude_extensions
+                ):
+                    continue
+                # non-allowed-host children never enter the frontier
+                # (mirror of the engine's discovery-side filter)
+                if cfg.allow_hosts and not host_allowed(
+                    _host_of(child), cfg.allow_hosts
                 ):
                     continue
                 # host-capped children never enter the frontier — capped
