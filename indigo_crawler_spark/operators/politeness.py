@@ -109,25 +109,27 @@ def global_rank(
         offsets[pid] = acc
         acc += counts[pid]
 
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    out_schema = StructType(
-        [f for f in s.schema.fields if f.name != "_pid"] + [StructField("global_rank", LongType())]
+    # rank assignment is pure JVM arithmetic (r6 optimization — guide §4:
+    # eliminate the Python boundary): on the cached range-partitioned,
+    # partition-sorted frame, monotonically_increasing_id() is
+    # (partition_id << 33) + row_index_within_partition in the partition's
+    # row order — exactly the local index the old mapInPandas enumeration
+    # assigned — so global_rank = offset[pid] + local_index + 1 is a codegen
+    # projection, no Arrow crossing, no Python worker on the critical path.
+    # The offsets array literal is indexed O(1) per row; its length is the
+    # number of range partitions (= shuffle partitions, bounded config).
+    max_pid = max(offsets, default=-1)
+    offs_arr = F.array(
+        *[F.lit(offsets.get(p, 0)) for p in range(max_pid + 1)]
+    ) if max_pid >= 0 else F.array(F.lit(0))
+    local_idx = F.monotonically_increasing_id() - F.shiftleft(
+        F.col("_pid").cast("long"), 33
     )
-    col_names = [f.name for f in out_schema.fields]
-
-    def rank(batches):
-        local = 0
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            base = offsets[int(pdf["_pid"].iloc[0])]
-            out = pdf.drop(columns=["_pid"])
-            out["global_rank"] = range(base + local + 1, base + local + 1 + len(pdf))
-            local += len(pdf)
-            yield out[col_names]
-
-    return s.mapInPandas(rank, out_schema), acc, gathered, s
+    ranked = s.withColumn(
+        "global_rank",
+        (F.element_at(offs_arr, F.col("_pid") + 1) + local_idx + 1).cast("long"),
+    ).drop("_pid")
+    return ranked, acc, gathered, s
 
 
 def sequence_batches(
