@@ -95,6 +95,37 @@ def merge_blooms(prev: DataFrame, delta: DataFrame) -> DataFrame:
     )
 
 
+def fold_bloom(
+    prev: DataFrame, seen_delta: DataFrame, nbits: int, k: int
+) -> DataFrame:
+    """Build this round's delta bitmap AND OR-merge it into the cumulative
+    filter in ONE cogrouped pass (r6 optimization — guide §4: one Python
+    stage instead of build+merge's two, and the raw (pk, url_hash) delta
+    shuffles by pk once instead of delta-then-bitmap twice). Bit-identical
+    to ``merge_blooms(prev, build_bloom_delta(seen_delta, ...))``: the OR
+    of set bits is commutative and geometry is fixed, so insert order —
+    which cogroup does not guarantee — cannot change the result."""
+
+    def fold(key, prev_rows: pd.DataFrame, delta: pd.DataFrame) -> pd.DataFrame:
+        words = bloom_build(_digest_matrix(delta["url_hash"]), nbits, k)
+        for blob in prev_rows["bits"]:
+            words = np.bitwise_or(words, bytes_to_words(bytes(blob)))
+        return pd.DataFrame(
+            {
+                "pk": [int(key[0])],
+                "nbits": [nbits],
+                "k": [k],
+                "bits": [words_to_bytes(words)],
+            }
+        )
+
+    return (
+        prev.groupBy("pk")
+        .cogroup(seen_delta.select("pk", "url_hash").groupBy("pk"))
+        .applyInPandas(fold, schemas.SEEN_BLOOM)
+    )
+
+
 def probe_split(candidates: DataFrame, blooms: DataFrame) -> tuple[DataFrame, DataFrame]:
     """→ (certainly_new, maybe_seen) candidate rows.
 

@@ -77,6 +77,16 @@ def _obs_int(obs: Observation, name: str) -> int:
     return int(v) if v is not None else 0
 
 
+def _probe_min_seen() -> int:
+    """Committed-seen row count below which the round's discovery skips the
+    membership-filter probe and anti-joins children against the seen table
+    directly (results identical; see the discovery comment in run_round).
+    Physical knob only — env-overridable for measurement."""
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_PROBE_MIN_SEEN", "5000000"))
+
+
 def _timer():
     """Per-phase wall timing, enabled by SPARK_GRAFT_TIMINGS=1 (perf triage
     only — monotonic durations, never wall-clock values, never in results)."""
@@ -156,6 +166,24 @@ class CrawlState:
     cfg: CrawlConfig = field(default_factory=CrawlConfig)
     _heavy_n: int | None = field(default=None, init=False, repr=False)
     _filter_cap: int | None = field(default=None, init=False, repr=False)
+    _seen_rows: tuple[int, int] = field(default=(0, 0), init=False, repr=False)
+
+    def seen_rows_committed(self, r: int) -> int:
+        """Total committed seen rows over rounds < r, summed from the round
+        manifests' exact seen digests — driver-side JSON reads, no Spark
+        job, cached incrementally so a months-long crawl reads each
+        manifest once per process, not once per round."""
+        start, acc = self._seen_rows
+        if r < start:  # non-monotone caller (tests): recompute from scratch
+            start, acc = 0, 0
+        for i in range(start, r):
+            m = self.io.read_manifest(f"round_{i:05d}")
+            if m:
+                acc += int(
+                    ((m.get("digests") or {}).get("seen") or {}).get("rows", 0)
+                )
+        self._seen_rows = (max(start, r), acc)
+        return acc
 
     def filter_capacity(self) -> int:
         """Per-bucket membership-filter capacity. Geometry must be identical
@@ -1340,12 +1368,26 @@ def run_round(
                 from indigo_crawler_spark.operators.bloom_ops import (
                     bloom_geometry,
                     build_bloom_delta,
-                    merge_blooms,
+                    fold_bloom,
                 )
 
                 nbits, k = bloom_geometry(state.filter_capacity(), cfg.bloom_fpr)
+                if round_no > 0 and io.exists(prev_filter):
+                    # fused build+OR-merge: one cogrouped Python stage and
+                    # one pk shuffle of the raw delta instead of the old
+                    # build-then-merge pair (bit-identical — OR commutes)
+                    io.write(
+                        fold_bloom(
+                            io.read(prev_filter, schemas.SEEN_BLOOM),
+                            seen_delta,
+                            nbits,
+                            k,
+                        ),
+                        f"seen_bloom/round={round_no}",
+                    )
+                    return
                 delta_f = build_bloom_delta(seen_delta, nbits, k)
-                merge = merge_blooms
+                merge = None
             else:
                 from indigo_crawler_spark.operators.cuckoo_ops import (
                     build_cuckoo_delta,
@@ -1435,42 +1477,9 @@ def run_round(
             )
         children = children.withColumn(
             "pk", pk_expr(host_hash_expr(F.col("host")), cfg.num_buckets)
-        ).withColumn("url_hash", url_hash_expr(F.col("canon_url")))
+        )
 
         seen_prev = state.seen_through(round_no)
-
-        # seen check: Bloom/cuckoo prefilter (A5) in front of the exact
-        # anti-join (J1). No false negatives ⇒ only the maybe_seen sliver
-        # touches the full seen table; the certainly-new bulk skips it (this
-        # is what keeps the 10^10 seen set off the per-round shuffle).
-        # Probes round R-1's committed filter — unaffected by the round-R
-        # fold running concurrently above.
-        if (
-            cfg.filter_kind in ("bloom", "cuckoo")
-            and round_no > 0
-            and io.exists(prev_filter)
-        ):
-            filters = io.read(prev_filter, schemas.SEEN_BLOOM)
-            if cfg.filter_kind == "bloom":
-                from indigo_crawler_spark.operators.bloom_ops import probe_split
-
-                certainly_new, maybe_seen = probe_split(children, filters)
-            else:
-                from indigo_crawler_spark.operators.cuckoo_ops import (
-                    probe_split_cuckoo,
-                )
-
-                certainly_new, maybe_seen = probe_split_cuckoo(children, filters)
-            survivors = maybe_seen.join(
-                seen_prev.select("canon_url"), on="canon_url", how="left_anti"
-            )
-            children_unseen = certainly_new.unionByName(survivors)
-        else:
-            children_unseen = children.join(
-                seen_prev.select("canon_url").hint("SHUFFLE_HASH"),
-                on="canon_url",
-                how="left_anti",
-            )
 
         # frontier advance off the cached gate frame — denied rows leave by
         # FILTER (no anti-join against a recomputed denied side), emitted
@@ -1492,16 +1501,71 @@ def run_round(
             *[f.name for f in schemas.FRONTIER.fields]
         ).join(emitted_urls, on="canon_url", how="left_anti")
 
-        # children must not already be in (remaining ∪ emitted) = allowed
+        # children must not already be in seen OR in (remaining ∪ emitted)
+        # = allowed. Seen check: Bloom/cuckoo prefilter (A5) in front of
+        # the exact anti-join (J1). No false negatives ⇒ only the
+        # maybe_seen sliver touches the full seen table; the certainly-new
+        # bulk skips it (this is what keeps the 10^10 seen set off the
+        # per-round shuffle). Probes round R-1's committed filter —
+        # unaffected by the round-R fold running concurrently above.
+        # Scale-adaptive (r6, guide §1.2/§3.2): while the committed seen
+        # set is small — cheap to count from the round manifests, no Spark
+        # job — the probe's two cogrouped Python stages cost more than
+        # simply folding seen into the one exact anti-join every child
+        # already pays against the not-denied frontier (anti-joins against
+        # unioned sides compose: anti(anti(C,A),B) = anti(C, A ∪ B)), so
+        # the exact path runs one SHUFFLE_HASH anti-join total. The filter
+        # fold above still commits every round either way (resume/state
+        # are path-independent); results are identical by the
+        # no-false-negative property. Threshold: the probe pays off once
+        # scanning+shuffling the seen table dwarfs two fixed Python-stage
+        # launches — ~5M rows is conservative on any hardware
+        # (SPARK_GRAFT_PROBE_MIN_SEEN overrides for measurement).
         frontier_not_denied = allowed_rows.select("canon_url")
+        use_probe = (
+            cfg.filter_kind in ("bloom", "cuckoo")
+            and round_no > 0
+            and io.exists(prev_filter)
+            and state.seen_rows_committed(round_no) >= _probe_min_seen()
+        )
+        if use_probe:
+            children_h = children.withColumn(
+                "url_hash", url_hash_expr(F.col("canon_url"))
+            )
+            filters = io.read(prev_filter, schemas.SEEN_BLOOM)
+            if cfg.filter_kind == "bloom":
+                from indigo_crawler_spark.operators.bloom_ops import probe_split
+
+                certainly_new, maybe_seen = probe_split(children_h, filters)
+            else:
+                from indigo_crawler_spark.operators.cuckoo_ops import (
+                    probe_split_cuckoo,
+                )
+
+                certainly_new, maybe_seen = probe_split_cuckoo(children_h, filters)
+            survivors = maybe_seen.join(
+                seen_prev.select("canon_url"), on="canon_url", how="left_anti"
+            )
+            children_pre = (
+                certainly_new.unionByName(survivors)
+                .drop("url_hash")
+                .join(
+                    frontier_not_denied.hint("SHUFFLE_HASH"),
+                    on="canon_url",
+                    how="left_anti",
+                )
+            )
+        else:
+            barrier = seen_prev.select("canon_url").unionByName(
+                frontier_not_denied
+            )
+            children_pre = children.join(
+                barrier.hint("SHUFFLE_HASH"), on="canon_url", how="left_anti"
+            )
+
         hc = io.read("host_counts", schemas.HOST_COUNTS)
         children_full = (
-            children_unseen.drop("url_hash")
-            .join(
-                frontier_not_denied.hint("SHUFFLE_HASH"),
-                on="canon_url",
-                how="left_anti",
-            )
+            children_pre
             .join(hc.hint("SHUFFLE_HASH"), on="host", how="left")
             .withColumn("host_count", F.coalesce(F.col("host_count"), F.lit(0)))
             .select(
