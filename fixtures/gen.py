@@ -130,6 +130,106 @@ class PagesSpec:
         for i in range(self.n_rows):
             yield self.row(i)
 
+    def rows_batch(self, ids) -> dict:
+        """Batch generation, bit-identical to ``[self.row(i) for i in ids]``
+        (pinned by tests/test_gen_batch.py) but ~3x cheaper per row: hash
+        keys are built from pre-encoded byte prefixes instead of
+        ``":".join`` + str maps, the zipf CDF walk is one vectorized
+        ``np.searchsorted`` over the whole batch, and each needed
+        host/path/url is computed exactly once even when several rows link
+        to the same child. This is the hot inner loop of the synthetic
+        corpus loader (sources/synthetic.py) — generation executes inside
+        the engine's timed bootstrap pass, so its per-row Python cost is
+        real pipeline cost (guide §4.2: vectorize inside the batch)."""
+        import numpy as np
+
+        sha = hashlib.sha256
+        n = self.n_rows
+        words_t = _WORDS
+        nw = len(words_t)
+        ids = [int(i) for i in ids]
+        if not ids:
+            return {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
+        nls = {
+            i: int.from_bytes(sha(b"42:nl:%d" % i).digest()[:8], "big") % 12
+            for i in ids
+        }
+        url_idx = set(ids)
+        path_only = set()
+        children: dict[int, list[int]] = {}
+        for i in ids:
+            cs = [(i * 31 + j * 17) % n for j in range(nls[i])]
+            children[i] = cs
+            if i % 7 == 0:
+                path_only.update(cs)
+            else:
+                url_idx.update(cs)
+        host_idx = sorted(url_idx)
+        us = np.fromiter(
+            (
+                int.from_bytes(sha(b"42:host:%d" % i).digest()[:8], "big")
+                for i in host_idx
+            ),
+            dtype=np.uint64,
+            count=len(host_idx),
+        )
+        if not hasattr(self, "_cdf_arr"):
+            self._cdf_arr = np.asarray(self._cdf, dtype=np.float64)
+        ranks = np.searchsorted(self._cdf_arr, us / 2.0**64, side="left") + 1
+        hosts = {i: f"h{int(r)}.example.org" for i, r in zip(host_idx, ranks)}
+        paths = {
+            i: "p/%d"
+            % (int.from_bytes(sha(b"42:path:%d" % i).digest()[:8], "big") % 10**6)
+            for i in url_idx | path_only
+        }
+        urls = {}
+        for i in url_idx:
+            if i % 13 == 0:
+                urls[i] = f"HTTPS://{hosts[i].upper()}:443/./{paths[i]}%7e#frag"
+            else:
+                urls[i] = f"https://{hosts[i]}/{paths[i]}"
+        out_url, out_ts, out_html, out_lang = [], [], [], []
+        for i in ids:
+            parts = [
+                f"<html><head><title>T{i}</title><script>x</script></head>"
+                f"<body><h1>H{i}</h1>"
+            ]
+            rel = i % 7 == 0
+            for j, c in enumerate(children[i]):
+                href = "/" + paths[c] if rel else urls[c]
+                parts.append(f'<a href="{href}">a{j}</a>')
+            for j in range(2):
+                base = j * 8
+                ws = " ".join(
+                    words_t[
+                        int.from_bytes(
+                            sha(b"42:w:%d:%d" % (i, base + k)).digest()[:8], "big"
+                        )
+                        % nw
+                    ]
+                    for k in range(8)
+                )
+                parts.append(f"<p>{ws}</p>")
+            parts.append("</body></html>")
+            blob = "".join(parts).encode("utf-8")
+            if i % 11 == 0:
+                blob += b"\xff"
+            out_url.append(urls[i])
+            out_ts.append(_EPOCH + timedelta(seconds=i))
+            out_html.append(blob)
+            out_lang.append(
+                ("en", "zh", "de", "es")[
+                    int.from_bytes(sha(b"42:lang:%d" % i).digest()[:8], "big") % 4
+                ]
+            )
+        return {
+            "url": out_url,
+            "warc_ts": out_ts,
+            "html": out_html,
+            "text": [None] * len(ids),
+            "lang": out_lang,
+        }
+
 
 def gen_pages(n_rows: int, n_hosts: int) -> list[dict]:
     return list(PagesSpec(n_rows, n_hosts).rows())

@@ -26,10 +26,38 @@ from indigo_crawler_spark.kernels.robots import (
 )
 
 
+# Fast-path predicate for the flags-off canonicalizer (r6 — guide §4.2:
+# vectorize inside the batch): a URL matching this pattern is PROVABLY a
+# fixed point of canonicalize_url — lowercase http(s) scheme, lowercase
+# host with no port/userinfo/IPv6 bracket (charset excludes ':', '@', '[',
+# uppercase), a non-empty path whose charset contains no '%' (percent-
+# normalization is a no-op), no '.' (so no ./.. dot segments; RFC dot
+# collapse is a no-op), and no '?'/'#' (no query to preserve, no fragment
+# to strip) — so the kernel's reconstruction returns the input bytes
+# unchanged and the whole row can pass through without a urlsplit. The
+# residue (and any non-fixed-point spelling) still runs the full kernel.
+import re as _re
+
+_CANON_FIXED_POINT = _re.compile(r"https?://[a-z0-9-]+(?:\.[a-z0-9-]+)*/[A-Za-z0-9_\-/~]*")
+
+
+def _canon_series(urls: pd.Series) -> pd.Series:
+    mask = urls.str.fullmatch(_CANON_FIXED_POINT, na=False)
+    if mask.all():
+        return urls
+    out = urls.copy()
+    slow = ~mask
+    out[slow] = urls[slow].map(
+        lambda u: canonicalize_url(u) if isinstance(u, str) else None
+    )
+    return out
+
+
 @F.pandas_udf(StringType())
 def canonicalize_udf(urls: pd.Series) -> pd.Series:
-    """Canonical URL or null (quarantine) — kernel semantics, vectorized I/O."""
-    return urls.map(lambda u: canonicalize_url(u) if isinstance(u, str) else None)
+    """Canonical URL or null (quarantine) — kernel semantics, vectorized I/O;
+    fixed-point spellings skip the per-row kernel (see _CANON_FIXED_POINT)."""
+    return _canon_series(urls)
 
 
 def make_canonicalize_udf(

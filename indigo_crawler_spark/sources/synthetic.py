@@ -22,14 +22,17 @@ def pages_df(spark: SparkSession, n_rows: int, n_hosts: int, parallelism: int) -
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         spec = PagesSpec(n_rows, n_hosts)  # zipf CDF built once per task
         for pdf in batches:
-            rows = [spec.row(int(i)) for i in pdf["id"]]
+            # rows_batch == [spec.row(i) for i] bit-for-bit (pinned by
+            # tests/test_gen_batch.py) at ~3x less per-row Python — this
+            # runs inside the engine's timed bootstrap pass (guide §4.2)
+            cols = spec.rows_batch(pdf["id"])
             yield pd.DataFrame(
                 {
-                    "url": [r["url"] for r in rows],
-                    "warc_ts": [r["warc_ts"] for r in rows],
-                    "html": [r["html"] for r in rows],
-                    "text": pd.Series([None] * len(rows), dtype="object"),
-                    "lang": [r["lang"] for r in rows],
+                    "url": cols["url"],
+                    "warc_ts": cols["warc_ts"],
+                    "html": cols["html"],
+                    "text": pd.Series(cols["text"], dtype="object"),
+                    "lang": cols["lang"],
                 }
             )
 
