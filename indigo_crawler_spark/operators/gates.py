@@ -47,6 +47,7 @@ def gate_frontier(
     cfg: CrawlConfig,
     round_no: int,
     emitted_totals: DataFrame | None = None,
+    small_host_dim: bool = False,
 ) -> DataFrame:
     """ONE gate pass: frontier + ``_allowed`` (robots) + ``budget`` +
     ``_backoff`` flags, as a single frame the round caches once.
@@ -69,11 +70,20 @@ def gate_frontier(
     """
     honor_delay = cfg.robots_enabled and cfg.round_seconds > 0
     if cfg.robots_enabled:
+        # robots is per-host (frontier-scale at web scale, not
+        # dimension-scale): by default a broadcast build would serialize,
+        # so SHUFFLE_HASH parallelizes it and never sorts the text blobs.
+        # *small_host_dim* (r6): when the caller KNOWS the host dimension
+        # is small (bootstrap manifest count — no per-round job), broadcast
+        # it instead and skip shuffling the frontier by host entirely.
+        robots_side = robots.select("host", "robots_txt")
+        robots_side = (
+            F.broadcast(robots_side)
+            if small_host_dim
+            else robots_side.hint("SHUFFLE_HASH")
+        )
         df = frontier.join(
-            # robots is per-host (frontier-scale, not dimension-scale): a
-            # broadcast build would serialize; SHUFFLE_HASH parallelizes and
-            # never sorts the text blobs.
-            robots.select("host", "robots_txt").hint("SHUFFLE_HASH"),
+            robots_side,
             on="host",
             how="left",
         ).withColumn(

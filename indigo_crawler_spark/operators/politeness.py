@@ -73,7 +73,10 @@ def domain_topk(df: DataFrame, domain_budget: int, num_salts: int) -> DataFrame:
 
 
 def global_rank(
-    df: DataFrame, order_cols: list, gather_col: str | None = None
+    df: DataFrame,
+    order_cols: list,
+    gather_col: str | None = None,
+    single_partition: bool = False,
 ) -> tuple[DataFrame, int, list, DataFrame]:
     """Exact global row_number over a total order, DISTRIBUTED:
 
@@ -92,11 +95,27 @@ def global_rank(
     ranked output is materialized (recomputation could re-sample different
     range bounds and invalidate the offsets), then unpersist it.
     """
-    s = (
-        df.repartitionByRange(*order_cols)
-        .sortWithinPartitions(*order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-    )
+    # *single_partition* (r6 — guide §1.2: pick the algorithm by size): when
+    # the caller can BOUND the input rows cheaply (the crawl round reads the
+    # committed frontier row count from the previous round's manifest — no
+    # Spark job) and the bound is small, gather into ONE partition and sort
+    # there: repartitionByRange's separate range-bounds sampling job — a
+    # full pass over the gate+window chain — disappears, and the rank phase
+    # collapses to a single job. Ranks are identical either way (the same
+    # total order, offsets degenerate to {0: 0}); the range path remains
+    # the at-scale default.
+    if single_partition:
+        s = (
+            df.repartition(1)
+            .sortWithinPartitions(*order_cols)
+            .withColumn("_pid", F.spark_partition_id())
+        )
+    else:
+        s = (
+            df.repartitionByRange(*order_cols)
+            .sortWithinPartitions(*order_cols)
+            .withColumn("_pid", F.spark_partition_id())
+        )
     s = s.cache()
     aggs = [F.count("*").alias("n")]
     if gather_col is not None:
@@ -138,6 +157,7 @@ def sequence_batches(
     limit: int,
     batch_size: int,
     gather_col: str | None = None,
+    single_partition: bool = False,
 ) -> tuple[DataFrame, int, list, DataFrame]:
     """Global order (priority DESC, canon_url ASC) → top-*limit* rows with
     global_rank / batch_id — the emitted crawl ordering (BASELINE.json:2).
@@ -152,7 +172,10 @@ def sequence_batches(
     materialized (see global_rank), then be unpersisted.
     """
     ranked, total, gathered, cached = global_rank(
-        df, [F.desc("priority"), F.asc("canon_url")], gather_col
+        df,
+        [F.desc("priority"), F.asc("canon_url")],
+        gather_col,
+        single_partition=single_partition,
     )
     out = (
         ranked.where(F.col("global_rank") <= limit)

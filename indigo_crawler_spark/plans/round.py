@@ -77,6 +77,29 @@ def _obs_int(obs: Observation, name: str) -> int:
     return int(v) if v is not None else 0
 
 
+def _rank_single_max() -> int:
+    """Frontier-row bound below which the round ranks in ONE gathered
+    partition (no range-bounds sampling job) instead of the distributed
+    range-partitioned ranker. ~200k rows sort in well under a second in a
+    single task; the collect/offsets machinery is unchanged and ranks are
+    identical (operators/politeness.global_rank). Physical knob only."""
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_RANK_SINGLE_MAX", "200000"))
+
+
+def _dim_broadcast_max() -> int:
+    """Host-dimension row bound below which the robots / host_counts joins
+    broadcast the dimension instead of SHUFFLE_HASH. robots carries text
+    blobs, so the bound is conservative (~100k hosts ≈ tens of MB built);
+    beyond it the shuffle-hash plan — which parallelizes the build and
+    never sorts the blobs — remains the at-scale default. Physical knob
+    only; read once per round from the bootstrap manifest, never counted."""
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_DIM_BROADCAST_MAX", "100000"))
+
+
 def _probe_min_seen() -> int:
     """Committed-seen row count below which the round's discovery skips the
     membership-filter probe and anti-joins children against the seen table
@@ -684,8 +707,14 @@ def bootstrap(
                     state.io.write(df, table)
             return pool.submit(run)
 
+        # host-dimension size rides the host_counts write (r6): per-round
+        # join-strategy selection (broadcast vs SHUFFLE_HASH for the
+        # robots / host_counts dimensions) reads it from the manifest —
+        # zero extra actions, never a per-round count job
+        hosts_obs = Observation()
+        hc_obs = hc.observe(hosts_obs, F.count(F.lit(1)).alias("n_hosts"))
         futs = [
-            _w(hc, "host_counts", "host_counts_write"),
+            _w(hc_obs, "host_counts", "host_counts_write"),
             _w(heavy, "heavy_hosts", "heavy_write"),
             # unique labels: these two run concurrently on the pool, and a
             # shared label would interleave two read-modify-writes
@@ -769,6 +798,12 @@ def bootstrap(
                 F.lit(0).alias("discovered_round"),
             )
         )
+        # row count rides the write (r6): round 0's ranker reads it from the
+        # manifest to pick the single-partition rank path for small frontiers
+        fr_obs = Observation()
+        frontier0 = frontier0.observe(
+            fr_obs, F.count(F.lit(1)).alias("frontier_rows")
+        )
         with _timed(tm, "frontier_write"):
             state.io.write(frontier0, "frontier/round=0")
         for f in futs:
@@ -796,6 +831,8 @@ def bootstrap(
             else 0
         ),
         "n_heavy_hosts": n_heavy,
+        "n_hosts": _obs_int(hosts_obs, "n_hosts"),
+        "frontier_rows": _obs_int(fr_obs, "frontier_rows"),
         "distinct_urls_est": est,
         # the bucketing every committed table is laid out with — offline
         # tools (export) must use THIS, not whatever config their CLI
@@ -856,10 +893,31 @@ def run_round(
     emitted_totals = (
         state.host_emitted(round_no) if cfg.host_page_cap else None
     )
+    # r6 physical-plan inputs from the committed manifests — no Spark jobs:
+    # the bootstrap host count picks broadcast vs SHUFFLE_HASH for the
+    # host-dimension joins, and the committed frontier row count (previous
+    # round's frontier_next digest; bootstrap's frontier_rows for round 0)
+    # bounds the ranker input to pick the single-partition rank path. A
+    # state dir from before these manifest fields, or a round with injected
+    # seeds (rows uncounted), falls back to the at-scale plans.
+    bm = io.read_manifest("bootstrap") or {}
+    n_hosts = bm.get("n_hosts")
+    small_host_dim = n_hosts is not None and n_hosts <= _dim_broadcast_max()
+    if round_no == 0:
+        rank_bound = bm.get("frontier_rows")
+    else:
+        pm = io.read_manifest(f"round_{round_no - 1:05d}") or {}
+        rank_bound = ((pm.get("digests") or {}).get("frontier_next") or {}).get(
+            "rows"
+        )
+    if io.exists(f"injected/round={round_no}"):
+        rank_bound = None
+    rank_single = rank_bound is not None and rank_bound <= _rank_single_max()
     gate_obs = Observation()
     gated = (
         gate_frontier(
-            frontier, robots, budgets, cfg, round_no, emitted_totals
+            frontier, robots, budgets, cfg, round_no, emitted_totals,
+            small_host_dim=small_host_dim,
         )
         .observe(
             gate_obs,
@@ -973,7 +1031,8 @@ def run_round(
         kept = kept.cache()
         with _timed(tm, "gates_rank_collect"):
             emitted, n_kept, kept_pks, rank_cache = sequence_batches(
-                kept, round_no, cfg.round_limit, cfg.batch_size, gather_col="pk"
+                kept, round_no, cfg.round_limit, cfg.batch_size,
+                gather_col="pk", single_partition=rank_single,
             )
         n_emitted = min(n_kept, cfg.round_limit)
         from indigo_crawler_spark.operators.feedback import (
@@ -1025,21 +1084,43 @@ def run_round(
             *(["_attempt"] if rx is not None else []),
         ).observe(fb_obs, *fb_metrics)
         fetch_batches = fetch_batches.drop("_attempt")
-        with _timed(tm, "fetch_batches_write"):
-            io.write(fetch_batches, f"fetch_batches/round={round_no}")
-    # emitted is materialized now, but rank_cache/kept stay persisted until
-    # END of round: every later consumer of `emitted` (seen write, digest,
-    # metrics, budget fold, the extract join) reads the cache, and on a real
-    # cluster a lost cache block triggers recompute through the ranker —
-    # which re-samples range bounds and would produce DIFFERENT ranks than
-    # the frozen offsets if rank_cache were already gone (silent divergence
-    # between committed tables). While rank_cache lives, recompute replays
-    # the exact partition layout the offsets were collected from. Residual
-    # (double-loss of both caches mid-round) surfaces as a digest-verify
-    # refusal on resume — fail-loud, never silent.
+    # rank_cache/kept stay persisted until END of round: every consumer of
+    # `emitted` (the fetch_batches write below, seen write, digest, metrics,
+    # budget fold, the extract join) computes through the caches, and on a
+    # real cluster a lost cache block triggers recompute through the ranker
+    # — which re-samples range bounds and would produce DIFFERENT ranks
+    # than the frozen offsets if rank_cache were already gone (silent
+    # divergence between committed tables). While rank_cache lives,
+    # recompute replays the exact partition layout the offsets were
+    # collected from. Residual (double-loss of both caches mid-round)
+    # surfaces as a digest-verify refusal on resume — fail-loud, never
+    # silent.
+    #
+    # K-bounded output sizing (r6 — guide §6 small-files): the emitted-slice
+    # tables (fetch_batches, seen delta, retries) inherit the ranker's
+    # shuffle-partition count, which writes one near-empty file per
+    # partition at small K and is still only a physical layout at large K —
+    # derive the file count from the known row bound instead (n_emitted is
+    # already on the driver; no extra action). ~200k rows/file keeps
+    # production-K rounds at a handful of right-sized files and small
+    # rounds at one.
+    out_parts = max(1, -(-n_emitted // 200_000))
 
-    pool = ThreadPoolExecutor(max_workers=4)
+    pool = ThreadPoolExecutor(max_workers=5)
     try:
+        # the fetch_batches write overlaps the (driver-side, lazy) plan
+        # construction of the extract/discovery stages below instead of
+        # blocking the main thread (r6): its input is the cached ranker
+        # output, so concurrent consumers of `emitted` just re-project from
+        # rank_cache until the cache fills — deterministic either way.
+        def _w_fb():
+            with _timed(tm, "fetch_batches_write"):
+                io.write(
+                    fetch_batches.coalesce(out_parts),
+                    f"fetch_batches/round={round_no}",
+                )
+
+        f_fb = pool.submit(_w_fb)
         f_skew = pool.submit(_skew_fold)
         # seen takes the DONE slice (SEMANTICS.md §Transient failures):
         # fetched urls plus retry-exhausted give-ups; retained failures
@@ -1052,7 +1133,7 @@ def run_round(
         )
         def _w_seen():
             with _timed(tm, "seen_write"):
-                io.write(seen_delta, f"seen/round={round_no}")
+                io.write(seen_delta.coalesce(out_parts), f"seen/round={round_no}")
 
         f_seen = pool.submit(_w_seen)
 
@@ -1348,7 +1429,10 @@ def run_round(
 
             def _w_retries() -> None:
                 with _timed(tm, "retries_write"):
-                    io.write(retry_rows, f"retries/round={round_no}")
+                    io.write(
+                        retry_rows.coalesce(out_parts),
+                        f"retries/round={round_no}",
+                    )
 
             f_retries = pool.submit(_w_retries)
 
@@ -1564,9 +1648,12 @@ def run_round(
             )
 
         hc = io.read("host_counts", schemas.HOST_COUNTS)
+        hc_side = (
+            F.broadcast(hc) if small_host_dim else hc.hint("SHUFFLE_HASH")
+        )
         children_full = (
             children_pre
-            .join(hc.hint("SHUFFLE_HASH"), on="host", how="left")
+            .join(hc_side, on="host", how="left")
             .withColumn("host_count", F.coalesce(F.col("host_count"), F.lit(0)))
             .select(
                 "canon_url",
@@ -1670,6 +1757,7 @@ def run_round(
             f_retries.result()
         if f_emitcap is not None:
             f_emitcap.result()
+        f_fb.result()
         f_metrics.result()
         digests = f_digest.result()
         max_host_cand, n_heavy_next = f_skew.result()
