@@ -43,6 +43,16 @@ def bloom_geometry(bucket_capacity: int, fpr: float) -> tuple[int, int]:
     return bloom_params(bucket_capacity, fpr)
 
 
+def _pk_int(df: DataFrame) -> DataFrame:
+    """Coerce ``pk`` to int (the SEEN_BLOOM key type). Cogrouping two sides
+    whose pk types differ (int vs bigint) hash-partitions them by DIFFERENT
+    key bytes, silently splitting every (candidates, filter) pair into two
+    half-empty groups — i.e. false negatives; a no-op for int inputs."""
+    if dict(df.dtypes).get("pk") == "int":
+        return df
+    return df.withColumn("pk", F.col("pk").cast("int"))
+
+
 def _digest_matrix(col: pd.Series) -> np.ndarray:
     if len(col) == 0:
         return np.empty((0, 16), dtype=np.uint8)
@@ -64,7 +74,7 @@ def build_bloom_delta(seen_delta: DataFrame, nbits: int, k: int) -> DataFrame:
         )
 
     return (
-        seen_delta.select("pk", "url_hash")
+        _pk_int(seen_delta.select("pk", "url_hash"))
         .groupBy("pk")
         .applyInPandas(build, schemas.SEEN_BLOOM)
     )
@@ -121,7 +131,7 @@ def fold_bloom(
 
     return (
         prev.groupBy("pk")
-        .cogroup(seen_delta.select("pk", "url_hash").groupBy("pk"))
+        .cogroup(_pk_int(seen_delta.select("pk", "url_hash")).groupBy("pk"))
         .applyInPandas(fold, schemas.SEEN_BLOOM)
     )
 
@@ -159,7 +169,7 @@ def probe_split(candidates: DataFrame, blooms: DataFrame) -> tuple[DataFrame, Da
         return out
 
     flagged = (
-        candidates.groupBy("pk")
+        _pk_int(candidates).groupBy("pk")
         .cogroup(blooms.groupBy("pk"))
         .applyInPandas(probe, out_schema)
     )

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from indigo_crawler_spark.kernels.cuckoo import CuckooFilter, num_buckets_for
-from indigo_crawler_spark.operators.bloom_ops import _digest_matrix
+from indigo_crawler_spark.operators.bloom_ops import _digest_matrix, _pk_int
 from indigo_crawler_spark.plans import schemas
 
 _SLOTS = 4
@@ -50,7 +50,7 @@ def build_cuckoo_delta(seen_delta: DataFrame, nbuckets: int) -> DataFrame:
         )
 
     return (
-        seen_delta.select("pk", "url_hash")
+        _pk_int(seen_delta.select("pk", "url_hash"))
         .groupBy("pk")
         .applyInPandas(build, schemas.SEEN_BLOOM)
     )
@@ -100,7 +100,7 @@ def probe_split_cuckoo(candidates: DataFrame, filters: DataFrame) -> tuple[DataF
         return out
 
     flagged = (
-        candidates.groupBy("pk").cogroup(filters.groupBy("pk")).applyInPandas(probe, out_schema)
+        _pk_int(candidates).groupBy("pk").cogroup(filters.groupBy("pk")).applyInPandas(probe, out_schema)
     )
     return (
         flagged.where(~F.col("maybe_seen")).drop("maybe_seen"),
@@ -130,6 +130,6 @@ def delete_from_cuckoo(filters: DataFrame, retired: DataFrame) -> DataFrame:
 
     return (
         filters.groupBy("pk")
-        .cogroup(retired.select("pk", "url_hash").groupBy("pk"))
+        .cogroup(_pk_int(retired.select("pk", "url_hash")).groupBy("pk"))
         .applyInPandas(delete, schemas.SEEN_BLOOM)
     )

@@ -913,6 +913,17 @@ def run_round(
     if io.exists(f"injected/round={round_no}"):
         rank_bound = None
     rank_single = rank_bound is not None and rank_bound <= _rank_single_max()
+    # Small rounds run ENTIRELY without AQE (r6): every shape in a
+    # small-frontier round is fixed and explicitly planned (hinted joins,
+    # bounded top-K, coalesced writes), so adaptive re-planning only
+    # multiplies the round into extra per-stage driver jobs — measured
+    # ~0.3-0.4s/round here. At-scale rounds keep AQE for the
+    # variable-shape discovery suffix (skew splits, partition coalescing)
+    # exactly as before; the session conf is restored when the round ends.
+    _aqe_prev = None
+    if rank_single:
+        _aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
     gate_obs = Observation()
     gated = (
         gate_frontier(
@@ -1763,6 +1774,8 @@ def run_round(
         max_host_cand, n_heavy_next = f_skew.result()
     finally:
         pool.shutdown(wait=True)
+        if _aqe_prev is not None:
+            spark.conf.set("spark.sql.adaptive.enabled", _aqe_prev)
 
     host_kept = _obs_int(host_obs, "host_kept") if host_obs is not None else n_kept
     counters = {
