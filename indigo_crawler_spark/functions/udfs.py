@@ -13,6 +13,8 @@ transfer, one Python invocation per batch:
 
 from __future__ import annotations
 
+import functools
+
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, BooleanType, DoubleType, StringType
@@ -60,6 +62,7 @@ def canonicalize_udf(urls: pd.Series) -> pd.Series:
     return _canon_series(urls)
 
 
+@functools.lru_cache(maxsize=64)
 def make_canonicalize_udf(
     strip_tracking: bool = False,
     collapse_www: bool = False,
@@ -104,6 +107,7 @@ def make_canonicalize_udf(
     return _canonicalize_flags
 
 
+@functools.lru_cache(maxsize=32)
 def make_robots_allowed_udf(user_agent: str, wildcards: bool = False):
     """pandas_udf gating on *user_agent* — built per config so a non-default
     agent actually reaches the parser (the oracle passes cfg.user_agent; the
@@ -124,6 +128,7 @@ def make_robots_allowed_udf(user_agent: str, wildcards: bool = False):
     return _robots_allowed
 
 
+@functools.lru_cache(maxsize=32)
 def make_crawl_delay_udf(user_agent: str):
     """pandas_udf: robots_txt → Crawl-delay seconds for *user_agent* (null =
     none declared). Rides the same per-(host, robots_txt) parser cache as

@@ -100,6 +100,47 @@ def _dim_broadcast_max() -> int:
     return int(os.environ.get("SPARK_GRAFT_DIM_BROADCAST_MAX", "100000"))
 
 
+# Process-level cache for the round's STATIC Column expression trees (r6):
+# every Column op is a py4j round-trip, and the gate pass rebuilds ~100 of
+# them per round from the same fixed flag algebra. Columns are immutable
+# expression trees resolved per-plan, so one instance serves every round
+# and every crawl in the process (built lazily — Column construction needs
+# an active SparkContext, so never at import time).
+_EXPR_CACHE: dict = {}
+
+
+def _gate_exprs() -> dict:
+    cached = _EXPR_CACHE.get("gate")
+    if cached is None:
+        a = F.col("_allowed")
+        nt = ~F.col("_trap")
+        nx = ~F.col("_excluded")
+        ne = ~F.col("_ext")
+        nh = ~F.col("_hostdrop")
+        nc = ~F.col("_capped")
+        nb = ~F.col("_backoff")
+        not_denied = a & nt & nx & ne & nh & nc
+        eligible = not_denied & nb
+        metrics = (
+            F.count(F.lit(1)).alias("candidates"),
+            _sum0(~a).alias("robots_denied"),
+            _sum0(a & F.col("_trap")).alias("trap_dropped"),
+            _sum0(a & nt & F.col("_excluded")).alias("pattern_excluded"),
+            _sum0(a & nt & nx & F.col("_ext")).alias("ext_excluded"),
+            _sum0(a & nt & nx & ne & F.col("_hostdrop")).alias("host_excluded"),
+            _sum0(a & nt & nx & ne & nh & F.col("_capped")).alias("host_capped"),
+            _sum0(not_denied & F.col("_backoff")).alias("backoff_skipped"),
+            _sum0(eligible).alias("eligible"),
+        )
+        cached = {
+            "metrics": metrics,
+            "eligible": eligible,
+            "not_denied": not_denied,
+        }
+        _EXPR_CACHE["gate"] = cached
+    return cached
+
+
 def _probe_min_seen() -> int:
     """Committed-seen row count below which the round's discovery skips the
     membership-filter probe and anti-joins children against the seen table
@@ -924,50 +965,17 @@ def run_round(
     if rank_single:
         _aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.adaptive.enabled", "false")
+    gx = _gate_exprs()
     gate_obs = Observation()
     gated = (
         gate_frontier(
             frontier, robots, budgets, cfg, round_no, emitted_totals,
             small_host_dim=small_host_dim,
         )
-        .observe(
-            gate_obs,
-            F.count(F.lit(1)).alias("candidates"),
-            _sum0(~F.col("_allowed")).alias("robots_denied"),
-            _sum0(F.col("_allowed") & F.col("_trap")).alias("trap_dropped"),
-            _sum0(
-                F.col("_allowed") & ~F.col("_trap") & F.col("_excluded")
-            ).alias("pattern_excluded"),
-            _sum0(
-                F.col("_allowed") & ~F.col("_trap") & ~F.col("_excluded")
-                & F.col("_ext")
-            ).alias("ext_excluded"),
-            _sum0(
-                F.col("_allowed") & ~F.col("_trap") & ~F.col("_excluded")
-                & ~F.col("_ext") & F.col("_hostdrop")
-            ).alias("host_excluded"),
-            _sum0(
-                F.col("_allowed") & ~F.col("_trap") & ~F.col("_excluded")
-                & ~F.col("_ext") & ~F.col("_hostdrop") & F.col("_capped")
-            ).alias("host_capped"),
-            _sum0(
-                F.col("_allowed") & ~F.col("_trap") & ~F.col("_excluded")
-                & ~F.col("_ext") & ~F.col("_hostdrop") & ~F.col("_capped")
-                & F.col("_backoff")
-            ).alias("backoff_skipped"),
-            _sum0(
-                F.col("_allowed") & ~F.col("_trap") & ~F.col("_excluded")
-                & ~F.col("_ext") & ~F.col("_hostdrop") & ~F.col("_capped")
-                & ~F.col("_backoff")
-            ).alias("eligible"),
-        )
+        .observe(gate_obs, *gx["metrics"])
         .cache()
     )
-    eligible = gated.where(
-        F.col("_allowed") & ~F.col("_trap") & ~F.col("_excluded")
-        & ~F.col("_ext") & ~F.col("_hostdrop") & ~F.col("_capped")
-        & ~F.col("_backoff")
-    )
+    eligible = gated.where(gx["eligible"])
     if cfg.age_weight:
         # priority aging (SEMANTICS.md §Priority aging): the RANK-TIME
         # effective priority, applied on the eligible slice only — the
@@ -1581,10 +1589,7 @@ def run_round(
         # rows by one bounded-side join. Join strategy (10^10 scale): emitted
         # is bounded by K → broadcast; frontier/seen/host_counts are
         # frontier-scale → SHUFFLE_HASH (broadcast builds would serialize).
-        allowed_rows = gated.where(
-            F.col("_allowed") & ~F.col("_trap") & ~F.col("_excluded")
-            & ~F.col("_ext") & ~F.col("_hostdrop") & ~F.col("_capped")
-        )
+        allowed_rows = gated.where(gx["not_denied"])
         # the frontier sheds the DONE slice only — retained transient
         # failures stay for re-emission (SEMANTICS.md §Transient failures)
         emitted_urls = emitted_done.select("canon_url")
