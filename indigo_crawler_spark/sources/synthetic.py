@@ -36,10 +36,14 @@ def pages_df(spark: SparkSession, n_rows: int, n_hosts: int, parallelism: int) -
                 }
             )
 
-    return (
-        spark.range(n_rows)
-        .repartition(parallelism)
-        .mapInPandas(gen, schemas.PAGES)
+    # numPartitions on the range itself (r6): .repartition(p) was a full
+    # round-robin shuffle of the id column (plus Spark's sort-before-
+    # repartition pass) purely to set parallelism — range() can emit the
+    # same parallelism as contiguous splits with no exchange. Row content
+    # is a pure function of id, and everything downstream re-keys by pk,
+    # so the corpus is identical.
+    return spark.range(n_rows, numPartitions=parallelism).mapInPandas(
+        gen, schemas.PAGES
     )
 
 
@@ -71,7 +75,7 @@ def seeds_df(spark: SparkSession, n_rows: int, n_hosts: int, n_seeds: int) -> Da
                 {"url": [spec.url(i) for i in idx], "seed_rank": idx}
             )
 
-    return spark.range(n_seeds).repartition(64).mapInPandas(gen, schemas.SEEDS)
+    return spark.range(n_seeds, numPartitions=64).mapInPandas(gen, schemas.SEEDS)
 
 
 def robots_df(spark: SparkSession, n_hosts: int) -> DataFrame:
