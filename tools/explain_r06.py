@@ -97,9 +97,17 @@ def main(tag: str) -> None:
             & ~F.col("_ext") & ~F.col("_hostdrop") & ~F.col("_capped")
             & ~F.col("_backoff")
         )
+        from indigo_crawler_spark.plans.round import _rank_single_max
+
+        bm = state.io.read_manifest("bootstrap") or {}
+        rank_single = (
+            bm.get("frontier_rows") is not None
+            and bm.get("frontier_rows") <= _rank_single_max()
+        )
         kept = politeness_topk_skew_aware(eligible, cfg, state.heavy_hosts(0))
         emitted, _n, _pks, rank_cache = sequence_batches(
-            kept, 0, cfg.round_limit, cfg.batch_size, gather_col="pk"
+            kept, 0, cfg.round_limit, cfg.batch_size, gather_col="pk",
+            single_partition=rank_single,
         )
         with open(os.path.join(outdir, f"rank_emitted_{tag}.txt"), "w") as f:
             f.write(grab(emitted))
@@ -141,45 +149,63 @@ def main(tag: str) -> None:
         )
         children = children.withColumn(
             "pk", pk_expr(host_hash_expr(F.col("host")), cfg.num_buckets)
-        ).withColumn(
-            "url_hash",
-            __import__(
-                "indigo_crawler_spark.functions.keys", fromlist=["url_hash_expr"]
-            ).url_hash_expr(F.col("canon_url")),
         )
         seen_prev = state.seen_through(2)
         prev_filter = "seen_bloom/round=1"
-        if cfg.filter_kind == "bloom" and state.io.exists(prev_filter):
-            from indigo_crawler_spark.operators.bloom_ops import probe_split
-
-            filters = state.io.read(prev_filter, schemas.SEEN_BLOOM)
-            certainly_new, maybe_seen = probe_split(children, filters)
-            survivors = maybe_seen.join(
-                seen_prev.select("canon_url"), on="canon_url", how="left_anti"
-            )
-            children_unseen = certainly_new.unionByName(survivors)
-        else:
-            children_unseen = children.join(
-                seen_prev.select("canon_url").hint("SHUFFLE_HASH"),
-                on="canon_url",
-                how="left_anti",
-            )
         allowed_rows = gated2.where(
             F.col("_allowed") & ~F.col("_trap") & ~F.col("_excluded")
             & ~F.col("_ext") & ~F.col("_hostdrop") & ~F.col("_capped")
         )
         frontier_not_denied = allowed_rows.select("canon_url")
+        from indigo_crawler_spark.plans.round import _probe_min_seen
+
+        use_probe = (
+            cfg.filter_kind == "bloom"
+            and state.io.exists(prev_filter)
+            and state.seen_rows_committed(2) >= _probe_min_seen()
+        )
+        if use_probe:
+            from indigo_crawler_spark.functions.keys import url_hash_expr
+            from indigo_crawler_spark.operators.bloom_ops import probe_split
+
+            children_h = children.withColumn(
+                "url_hash", url_hash_expr(F.col("canon_url"))
+            )
+            filters = state.io.read(prev_filter, schemas.SEEN_BLOOM)
+            certainly_new, maybe_seen = probe_split(children_h, filters)
+            survivors = maybe_seen.join(
+                seen_prev.select("canon_url"), on="canon_url", how="left_anti"
+            )
+            children_pre = (
+                certainly_new.unionByName(survivors)
+                .drop("url_hash")
+                .join(
+                    frontier_not_denied.hint("SHUFFLE_HASH"),
+                    on="canon_url",
+                    how="left_anti",
+                )
+            )
+        else:
+            barrier = seen_prev.select("canon_url").unionByName(
+                frontier_not_denied
+            )
+            children_pre = children.join(
+                barrier.hint("SHUFFLE_HASH"), on="canon_url", how="left_anti"
+            )
         hc = state.io.read("host_counts", schemas.HOST_COUNTS)
         from indigo_crawler_spark.functions.scoring import priority_expr
 
+        n_hosts = (state.io.read_manifest("bootstrap") or {}).get("n_hosts")
+        from indigo_crawler_spark.plans.round import _dim_broadcast_max
+
+        hc_side = (
+            F.broadcast(hc)
+            if n_hosts is not None and n_hosts <= _dim_broadcast_max()
+            else hc.hint("SHUFFLE_HASH")
+        )
         children_full = (
-            children_unseen.drop("url_hash")
-            .join(
-                frontier_not_denied.hint("SHUFFLE_HASH"),
-                on="canon_url",
-                how="left_anti",
-            )
-            .join(hc.hint("SHUFFLE_HASH"), on="host", how="left")
+            children_pre
+            .join(hc_side, on="host", how="left")
             .withColumn("host_count", F.coalesce(F.col("host_count"), F.lit(0)))
             .select(
                 "canon_url",
