@@ -1284,21 +1284,33 @@ def run_round(
             if cfg.meta_robots_enabled
             else extracted
         )
-        with _timed(tm, "extract_text_write"):
-            # under meta_robots / rel_canonical the page-level indexing
-            # signals ride the text table so the corpus export can honor
-            # them; text bytes are unchanged either way
-            text_cols = ["canon_url", "text"]
-            if cfg.meta_robots_enabled:
-                text_cols.append("noindex")
-            if cfg.rel_canonical_enabled:
-                text_cols.append("canonical_url")
-            if cfg.meta_refresh_enabled:
-                text_cols.append("redirect")
-            io.write(
-                extracted.select(*text_cols),
-                f"fetched_text/round={round_no}",
-            )
+        # under meta_robots / rel_canonical the page-level indexing
+        # signals ride the text table so the corpus export can honor
+        # them; text bytes are unchanged either way
+        text_cols = ["canon_url", "text"]
+        if cfg.meta_robots_enabled:
+            text_cols.append("noindex")
+        if cfg.rel_canonical_enabled:
+            text_cols.append("canonical_url")
+        if cfg.meta_refresh_enabled:
+            text_cols.append("redirect")
+
+        # pooled (r6): the extract write — the Arrow parse pass that fills
+        # the `extracted` cache — overlaps the driver-side construction of
+        # the discovery plan below. Every OTHER reader of the extracted
+        # cache (links, thin-host fold, revisit, the discovery jobs) waits
+        # on this future first so exactly one task pays the parse; the pool
+        # has a free worker by submission order (at most fb/skew/seen/
+        # metrics are in flight, max_workers=5), so the future always
+        # RUNS rather than queuing behind its own waiters.
+        def _w_extract():
+            with _timed(tm, "extract_text_write"):
+                io.write(
+                    extracted.select(*text_cols),
+                    f"fetched_text/round={round_no}",
+                )
+
+        f_extract = pool.submit(_w_extract)
 
         # link-graph edges (SEMANTICS.md §PageRank priority): every fetched
         # page's out-links as (src, dst) rows — extraction facts, recorded
@@ -1314,6 +1326,7 @@ def run_round(
             )
 
             def _w_links() -> None:
+                f_extract.result()  # one parse: wait for the cache fill
                 with _timed(tm, "links_write"):
                     io.write(links_edges, f"links/round={round_no}")
 
@@ -1370,9 +1383,12 @@ def run_round(
                     )
                     .drop("_thin_demoted")
                 )
-            f_budgets = pool.submit(
-                io.write, budgets_next, f"host_budgets/round={round_no + 1}"
-            )
+            def _w_budgets() -> None:
+                if cfg.thin_host_min_words:
+                    f_extract.result()  # thin fold reads the extracted cache
+                io.write(budgets_next, f"host_budgets/round={round_no + 1}")
+
+            f_budgets = pool.submit(_w_budgets)
 
         # lifetime emit-totals fold (SEMANTICS.md §Host page cap): previous
         # totals ∪ this round's per-host emitted counts, ONE hash agg over
@@ -1419,6 +1435,7 @@ def run_round(
             )
 
             def _w_revisit() -> None:
+                f_extract.result()  # revisit_delta reads the extracted cache
                 with _timed(tm, "revisit_write"):
                     io.write(rv_rows, f"revisit/round={round_no}")
                 if (
@@ -1731,6 +1748,9 @@ def run_round(
             fn_obs,
             _sum0(F.col("discovered_round") == round_no + 1).alias("links_new"),
         ).cache()
+        # discovery executes over the extracted cache — ensure the pooled
+        # parse finished so the frontier-write job never re-parses
+        f_extract.result()
         with _timed(tm, "discover_frontier_write"):
             io.write(frontier_next, f"frontier/round={round_no + 1}")
 
@@ -1774,6 +1794,7 @@ def run_round(
         if f_emitcap is not None:
             f_emitcap.result()
         f_fb.result()
+        f_extract.result()
         f_metrics.result()
         digests = f_digest.result()
         max_host_cand, n_heavy_next = f_skew.result()
