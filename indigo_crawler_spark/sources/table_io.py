@@ -50,16 +50,17 @@ class TableIO:
         if self.fmt == "parquet" and not _WRITE_WARM:
             _WRITE_WARM = True
             import shutil
-            import uuid
 
-            scratch = os.path.join(
-                tempfile.gettempdir(), f"_tio_warm_{uuid.uuid4().hex}"
-            )
+            scratch = tempfile.mkdtemp(prefix="_tio_warm_")
             try:
                 self.spark.range(1).coalesce(1).write.mode("overwrite").parquet(
-                    scratch
+                    os.path.join(scratch, "w")
                 )
-                self.spark.read.parquet(scratch).collect()
+                # read-back through the noop sink (never a driver collect —
+                # the determinism lint sanctions no materialization here)
+                self.spark.read.parquet(os.path.join(scratch, "w")).write.format(
+                    "noop"
+                ).mode("overwrite").save()
             finally:
                 shutil.rmtree(scratch, ignore_errors=True)
         if self.fmt == "iceberg":
