@@ -109,6 +109,51 @@ def _dim_broadcast_max() -> int:
 _EXPR_CACHE: dict = {}
 
 
+def _child_exprs(cfg: CrawlConfig) -> dict:
+    """Round-invariant Column trees of the discovery tail (r6): the child
+    gate predicate and the frontier-row projection are pure functions of the
+    frozen config (num_buckets, trap/exclude knobs), yet were rebuilt from
+    ~40 py4j round-trips every round. Columns are immutable expression
+    trees, so one instance serves every round; only the round-varying
+    literals (discovered_round) stay per-round. CrawlConfig is frozen ⇒
+    hashable ⇒ usable as the cache key, so two interleaved crawls with
+    different configs never share trees."""
+    key = ("child", cfg)
+    cached = _EXPR_CACHE.get(key)
+    if cached is None:
+        from indigo_crawler_spark.functions.traps import (
+            exclude_expr,
+            ext_expr,
+            host_deny_expr,
+            trap_expr,
+        )
+
+        hh = host_hash_expr(F.col("host"))
+        cached = {
+            "gate": (
+                ~trap_expr(F.col("canon_url"), cfg)
+                & ~exclude_expr(F.col("canon_url"), cfg)
+                & ~ext_expr(F.col("canon_url"), cfg)
+                & ~host_deny_expr(host_expr("canon_url"), cfg)
+            ),
+            "host": host_expr("canon_url"),
+            "host_hash": hh.alias("host_hash"),
+            "pk": pk_expr(hh, cfg.num_buckets).alias("pk"),
+            "child_pk": pk_expr(
+                host_hash_expr(F.col("host")), cfg.num_buckets
+            ).alias("pk"),
+            "seed_rank": F.lit(None).cast("int").alias("seed_rank"),
+            "priority": priority_expr(
+                F.col("depth"), F.lit(None).cast("int"), F.col("host_count")
+            ).alias("priority"),
+            "host_count0": F.coalesce(F.col("host_count"), F.lit(0)).alias(
+                "host_count"
+            ),
+        }
+        _EXPR_CACHE[key] = cached
+    return cached
+
+
 def _gate_exprs() -> dict:
     cached = _EXPR_CACHE.get("gate")
     if cached is None:
@@ -299,11 +344,13 @@ class CrawlState:
         base, start = None, 0
         for upto in sorted(self._links_compact_uptos(), reverse=True):
             if upto <= r:
-                base = self.io.read(f"links_compact/upto={upto}", schemas.LINKS)
+                base = self.io.read(
+                    f"links_compact/upto={upto}", schemas.LINKS, cached=True
+                )
                 start = upto + 1
                 break
         dfs = ([base] if base is not None else []) + [
-            self.io.read(f"links/round={i}", schemas.LINKS)
+            self.io.read(f"links/round={i}", schemas.LINKS, cached=True)
             for i in range(start, r + 1)
             if self.io.exists(f"links/round={i}")
         ]
@@ -346,13 +393,22 @@ class CrawlState:
         tie-break per canon_url as bootstrap. Batch-mode rounds take the
         plain pruned scan (no union, no dedup shuffle); streaming rounds
         dedup only the pruned slice."""
-        store = self.io.read("page_store", schemas.PAGE_STORE).where(
-            F.col("pk").isin(pks)
+        # one-expression IN list (r6): `Column.isin(pks)` ships every pk as
+        # its own literal Column through py4j (~P round-trips per round);
+        # the parsed SQL predicate is the same In(pk, literals) filter in
+        # ONE round-trip. pks are ints collected from the ranker offsets.
+        pk_in = F.expr(
+            "pk IN ({})".format(",".join(str(int(p)) for p in pks))
+            if pks
+            else "false"
+        )
+        store = self.io.read("page_store", schemas.PAGE_STORE, cached=True).where(
+            pk_in
         )
         if not self.io.exists("page_store_stream"):
             return store.select("canon_url", "html")
         stream = self.io.read("page_store_stream", schemas.PAGE_STORE).where(
-            F.col("pk").isin(pks)
+            pk_in
         )
         both = store.unionByName(stream).select(
             "canon_url", "url", "warc_ts", "html"
@@ -370,14 +426,14 @@ class CrawlState:
         plan had, byte-identical. Delta chains are operator-batch-sized
         (one dir per --add-robots round), host-scale rows; the fold is one
         min_by agg, no window."""
-        static = self.io.read("robots", schemas.ROBOTS)
+        static = self.io.read("robots", schemas.ROBOTS, cached=True)
         # parent-dir short-circuit: an update-free crawl pays ONE exists()
         # per round here, not O(rounds) — robots_through runs every round
         # unconditionally, unlike the knob-gated state folds
         if not self.io.exists("robots_delta"):
             return static
         deltas = [
-            self.io.read(f"robots_delta/round={i}", schemas.ROBOTS_DELTA)
+            self.io.read(f"robots_delta/round={i}", schemas.ROBOTS_DELTA, cached=True)
             for i in range(r + 1)
             if self.io.exists(f"robots_delta/round={i}")
         ]
@@ -407,7 +463,7 @@ class CrawlState:
             and self.io.exists(f"host_budgets/round={r}")
         ):
             return self.io.read(f"host_budgets/round={r}", schemas.HOST_BUDGETS)
-        return self.io.read("host_budgets", schemas.HOST_BUDGETS)
+        return self.io.read("host_budgets", schemas.HOST_BUDGETS, cached=True)
 
     def host_emitted(self, r: int) -> DataFrame:
         """Per-host lifetime emitted totals ENTERING round r (SEMANTICS.md
@@ -443,7 +499,7 @@ class CrawlState:
                 )
             self._heavy_n = int(n)
         static = (
-            self.io.read("heavy_hosts", schemas.HEAVY_HOSTS)
+            self.io.read("heavy_hosts", schemas.HEAVY_HOSTS, cached=True)
             if self._heavy_n
             else None
         )
@@ -480,11 +536,13 @@ class CrawlState:
         start = 0
         for upto in sorted(self._compact_uptos(), reverse=True):
             if upto < r:
-                base = self.io.read(f"seen_compact/upto={upto}", schemas.SEEN)
+                base = self.io.read(
+                    f"seen_compact/upto={upto}", schemas.SEEN, cached=True
+                )
                 start = upto + 1
                 break
         dfs = ([base] if base is not None else []) + [
-            self.io.read(f"seen/round={i}", schemas.SEEN)
+            self.io.read(f"seen/round={i}", schemas.SEEN, cached=True)
             for i in range(start, r)
             if self.io.exists(f"seen/round={i}")
         ]
@@ -500,7 +558,7 @@ class CrawlState:
         # unaffected.
         if self.io.exists("retired"):
             ret = (
-                self.io.read("retired", schemas.RETIRED)
+                self.io.read("retired", schemas.RETIRED, cached=True)
                 .select(
                     F.col("canon_url").alias("_r_url"),
                     F.col("retired_after_round").alias("_r_after"),
@@ -528,7 +586,7 @@ class CrawlState:
         are stale-but-harmless: those urls sit in seen and never reach the
         status join again."""
         dfs = [
-            self.io.read(f"retries/round={i}", schemas.RETRIES)
+            self.io.read(f"retries/round={i}", schemas.RETRIES, cached=True)
             for i in range(r)
             if self.io.exists(f"retries/round={i}")
         ]
@@ -558,12 +616,12 @@ class CrawlState:
         for upto in sorted(self._revisit_compact_uptos(), reverse=True):
             if upto < r:
                 base = self.io.read(
-                    f"revisit_compact/upto={upto}", schemas.REVISIT
+                    f"revisit_compact/upto={upto}", schemas.REVISIT, cached=True
                 )
                 start = upto + 1
                 break
         dfs = ([base] if base is not None else []) + [
-            self.io.read(f"revisit/round={i}", schemas.REVISIT)
+            self.io.read(f"revisit/round={i}", schemas.REVISIT, cached=True)
             for i in range(start, r)
             if self.io.exists(f"revisit/round={i}")
         ]
@@ -1562,25 +1620,14 @@ def run_round(
         # the frontier (SEMANTICS.md §Traps / §Exclude patterns /
         # §Extension deny) — dropping an unbounded URL family at discovery
         # beats re-gating it every round; all three exprs fold to
-        # lit(False) when their gate is off
-        from indigo_crawler_spark.functions.traps import (
-            exclude_expr,
-            ext_expr,
-            host_deny_expr,
-            trap_expr,
-        )
-
-        # non-allowed-host children likewise (SEMANTICS.md §Host
-        # allow-list) — the host expr is recomputed here (children carry
-        # no host column yet); host_deny_expr folds to lit(False) when off
-        children = children.where(
-            ~trap_expr(F.col("canon_url"), cfg)
-            & ~exclude_expr(F.col("canon_url"), cfg)
-            & ~ext_expr(F.col("canon_url"), cfg)
-            & ~host_deny_expr(host_expr("canon_url"), cfg)
-        )
+        # lit(False) when their gate is off. Non-allowed-host children
+        # likewise (SEMANTICS.md §Host allow-list) — the host expr is
+        # recomputed here (children carry no host column yet). All of these
+        # trees are round-invariant ⇒ cached (_child_exprs, r6).
+        cx = _child_exprs(cfg)
+        children = children.where(cx["gate"])
         children = dedup_min_by(children, "canon_url", ["depth"]).withColumn(
-            "host", host_expr("canon_url")
+            "host", cx["host"]
         )
         # host-capped children never enter the frontier (SEMANTICS.md §Host
         # page cap): the capped set is derived from the SAME totals table
@@ -1595,9 +1642,7 @@ def run_round(
             children = children.join(
                 capped_hosts.hint("SHUFFLE_HASH"), on="host", how="left_anti"
             )
-        children = children.withColumn(
-            "pk", pk_expr(host_hash_expr(F.col("host")), cfg.num_buckets)
-        )
+        children = children.withColumn("pk", cx["pk"])
 
         seen_prev = state.seen_through(round_no)
 
@@ -1680,24 +1725,22 @@ def run_round(
                 barrier.hint("SHUFFLE_HASH"), on="canon_url", how="left_anti"
             )
 
-        hc = io.read("host_counts", schemas.HOST_COUNTS)
+        hc = io.read("host_counts", schemas.HOST_COUNTS, cached=True)
         hc_side = (
             F.broadcast(hc) if small_host_dim else hc.hint("SHUFFLE_HASH")
         )
         children_full = (
             children_pre
             .join(hc_side, on="host", how="left")
-            .withColumn("host_count", F.coalesce(F.col("host_count"), F.lit(0)))
+            .withColumn("host_count", cx["host_count0"])
             .select(
                 "canon_url",
                 "host",
-                host_hash_expr(F.col("host")).alias("host_hash"),
-                pk_expr(host_hash_expr(F.col("host")), cfg.num_buckets).alias("pk"),
+                cx["host_hash"],
+                cx["child_pk"],
                 "depth",
-                F.lit(None).cast("int").alias("seed_rank"),
-                priority_expr(
-                    F.col("depth"), F.lit(None).cast("int"), F.col("host_count")
-                ).alias("priority"),
+                cx["seed_rank"],
+                cx["priority"],
                 F.lit(round_no + 1).alias("discovered_round"),
             )
         )

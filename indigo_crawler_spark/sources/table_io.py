@@ -24,7 +24,7 @@ import json
 import os
 import re
 import tempfile
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
@@ -38,6 +38,16 @@ class TableIO:
     spark: SparkSession
     root: str
     fmt: str = "parquet"  # "parquet" | "iceberg"
+    # per-instance reuse of STATIC-table DataFrame plans (r6, guide §6
+    # listing cost): creating a parquet DataFrame lists the directory and
+    # builds the relation through several py4j round-trips, and the round
+    # loop re-reads the same immutable tables (page_store, robots,
+    # host_counts, the seen/links delta chains) every round. `read(...,
+    # cached=True)` memoizes the lazy PLAN object — never data; nothing is
+    # persisted and every job still scans the files — and every mutation
+    # seam (write / rewrite / delete) invalidates the entry, so a replayed
+    # or rewritten table is re-listed before its next read.
+    _read_cache: dict = field(default_factory=dict, repr=False)
 
     def __post_init__(self) -> None:
         # One-time-per-process parquet-write primer: the first parquet write
@@ -83,8 +93,23 @@ class TableIO:
         'frontier/round=3' → '<root>.frontier_round_3'."""
         return f"{self.root}.{re.sub(r'[^A-Za-z0-9_]', '_', table)}"
 
+    def _invalidate(self, table: str) -> None:
+        """Drop cached read plans for *table* and any path-nested relative
+        (a write to ``page_store`` invalidates ``page_store`` itself; a
+        write to a subdir invalidates a cached parent read and vice versa)."""
+        stale = [
+            k
+            for k in self._read_cache
+            if k == table
+            or k.startswith(table + "/")
+            or table.startswith(k + "/")
+        ]
+        for k in stale:
+            del self._read_cache[k]
+
     # ---- data ------------------------------------------------------------
     def write(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
+        self._invalidate(table)
         if self.fmt == "iceberg":
             w = df.writeTo(self._ident(table))
             if partition_by:
@@ -106,6 +131,7 @@ class TableIO:
         ``__old`` backup is restored if the live dir is missing). Iceberg
         backend: ``createOrReplace`` is already an atomic snapshot commit
         computed before the swap, so it replaces this dance entirely."""
+        self._invalidate(table)
         if self.fmt == "iceberg":
             self.write(df, table)
             return
@@ -130,12 +156,22 @@ class TableIO:
         table: str,
         schema: StructType | None = None,
         snapshot_id: int | None = None,
+        cached: bool = False,
     ) -> DataFrame:
+        """``cached=True`` reuses the lazy DataFrame plan built by an earlier
+        cached read of the same table (parquet backend only; plan reuse, not
+        data caching — see ``_read_cache``). Only for call sites that pass a
+        FIXED schema per table and re-read across rounds; a missing dir is
+        never cached (the table may appear later)."""
         if self.fmt == "iceberg":
             r = self.spark.read
             if snapshot_id is not None:
                 r = r.option("snapshot-id", str(snapshot_id))
             return r.table(self._ident(table))
+        if cached:
+            hit = self._read_cache.get(table)
+            if hit is not None:
+                return hit
         self._repair(table)  # heal a crash mid-rewrite before reading
         p = self.path(table)
         if not self._exists(p):
@@ -145,7 +181,10 @@ class TableIO:
         r = self.spark.read
         if schema is not None:
             r = r.schema(schema)
-        return r.parquet(p)
+        df = r.parquet(p)
+        if cached:
+            self._read_cache[table] = df
+        return df
 
     def _exists(self, p: str) -> bool:
         return os.path.exists(p)
@@ -180,6 +219,7 @@ class TableIO:
         """Drop *table* entirely (state GC). Parquet backend: remove the dir
         plus any crashed-rewrite leftovers; iceberg: DROP TABLE (one catalog
         commit). Returns True iff something existed."""
+        self._invalidate(table)
         if self.fmt == "iceberg":
             if not self.exists(table):
                 return False
