@@ -24,6 +24,50 @@ from indigo_crawler_spark.functions.udfs import (
 )
 
 
+# Process-level cache of the gate pass's round-invariant Column trees (r6,
+# same discipline as plans/round._EXPR_CACHE): every tree below is a pure
+# function of the frozen config — the robots/crawl-delay UDF applications,
+# the trap/exclude/ext/allow-list predicates, the budget default — yet was
+# rebuilt through dozens of py4j round-trips each round. Only the literals
+# that vary per round (the backoff comparison against round_no) stay
+# per-call. Keyed by the CrawlConfig instance value (frozen ⇒ hashable), so
+# crawls with different configs never share trees.
+_GATE_COLS: dict = {}
+
+
+def _gate_cols(cfg: CrawlConfig) -> dict:
+    c = _GATE_COLS.get(cfg)
+    if c is None:
+        c = {
+            "trap": trap_expr(F.col("canon_url"), cfg),
+            "excluded": exclude_expr(F.col("canon_url"), cfg),
+            "ext": ext_expr(F.col("canon_url"), cfg),
+            "hostdrop": host_deny_expr(F.col("host"), cfg),
+            "budget0": F.coalesce(F.col("budget"), F.lit(cfg.default_budget)),
+            "backoff0": F.coalesce(F.col("backoff_until_round"), F.lit(0)),
+        }
+        if cfg.robots_enabled:
+            c["allowed"] = make_robots_allowed_udf(
+                cfg.user_agent, cfg.robots_wildcards_enabled
+            )(F.col("canon_url"), F.col("robots_txt"))
+        if cfg.robots_enabled and cfg.round_seconds > 0:
+            c["delay"] = make_crawl_delay_udf(cfg.user_agent)(
+                F.col("robots_txt")
+            )
+            cap = F.greatest(
+                F.lit(1),
+                F.floor(
+                    F.lit(float(cfg.round_seconds)) / F.col("_delay")
+                ).cast("int"),
+            )
+            c["delay_budget"] = F.when(
+                F.col("_delay").isNotNull() & (F.col("_delay") > 0),
+                F.least(F.col("budget"), cap),
+            ).otherwise(F.col("budget"))
+        _GATE_COLS[cfg] = c
+    return c
+
+
 def host_cap_exprs(budget, emitted_total, cap: int):
     """Per-host lifetime emit cap (SEMANTICS.md §Host page cap), shared by
     ``gate_frontier`` and the SQL-checked driver query: a host whose
@@ -69,6 +113,7 @@ def gate_frontier(
     joined pass so robots_txt still crosses into Python once per row.
     """
     honor_delay = cfg.robots_enabled and cfg.round_seconds > 0
+    gc = _gate_cols(cfg)
     if cfg.robots_enabled:
         # robots is per-host (frontier-scale at web scale, not
         # dimension-scale): by default a broadcast build would serialize,
@@ -86,57 +131,32 @@ def gate_frontier(
             robots_side,
             on="host",
             how="left",
-        ).withColumn(
-            "_allowed",
-            make_robots_allowed_udf(
-                cfg.user_agent, cfg.robots_wildcards_enabled
-            )(
-                F.col("canon_url"), F.col("robots_txt")
-            ),
-        )
+        ).withColumn("_allowed", gc["allowed"])
         if honor_delay:
-            df = df.withColumn(
-                "_delay", make_crawl_delay_udf(cfg.user_agent)(F.col("robots_txt"))
-            )
+            df = df.withColumn("_delay", gc["delay"])
         df = df.drop("robots_txt")
     else:
         df = frontier.withColumn("_allowed", F.lit(True))
-    df = df.withColumn("_trap", trap_expr(F.col("canon_url"), cfg))
-    # exclude-pattern gate (SEMANTICS.md §Exclude patterns): like _trap, a
-    # codegen'd projection that folds to lit(False) at the empty default
-    df = df.withColumn("_excluded", exclude_expr(F.col("canon_url"), cfg))
-    # extension deny gate (SEMANTICS.md §Extension deny): same shape —
-    # codegen'd, lit(False) at the empty default
-    df = df.withColumn("_ext", ext_expr(F.col("canon_url"), cfg))
-    # host allow-list gate (SEMANTICS.md §Host allow-list): same shape —
-    # one codegen'd isin on the frontier's host column, lit(False) at the
-    # empty default; True = outside the allow set, leaves permanently
-    df = df.withColumn("_hostdrop", host_deny_expr(F.col("host"), cfg))
+    # trap / exclude-pattern / extension-deny / host-allow-list gates
+    # (SEMANTICS.md §Traps / §Exclude patterns / §Extension deny / §Host
+    # allow-list): pure codegen'd predicates, each folding to lit(False)
+    # at its disabled default — round-invariant trees from _gate_cols
+    df = df.withColumn("_trap", gc["trap"])
+    df = df.withColumn("_excluded", gc["excluded"])
+    df = df.withColumn("_ext", gc["ext"])
+    df = df.withColumn("_hostdrop", gc["hostdrop"])
     b = F.broadcast(budgets.select("host", "budget", "backoff_until_round"))
     out = (
         df.join(b, on="host", how="left")
-        .withColumn("budget", F.coalesce(F.col("budget"), F.lit(cfg.default_budget)))
-        .withColumn(
-            "_backoff",
-            F.coalesce(F.col("backoff_until_round"), F.lit(0)) > F.lit(round_no),
-        )
+        .withColumn("budget", gc["budget0"])
+        .withColumn("_backoff", gc["backoff0"] > F.lit(round_no))
         .drop("backoff_until_round")
     )
     if honor_delay:
         # delay ≤ 0 or absent ⇒ no cap; else budget = min(budget,
         # max(1, floor(round_seconds / delay))) — float division + floor,
         # same IEEE arithmetic as the oracle's kernel call
-        cap = F.greatest(
-            F.lit(1),
-            F.floor(F.lit(float(cfg.round_seconds)) / F.col("_delay")).cast("int"),
-        )
-        out = out.withColumn(
-            "budget",
-            F.when(
-                F.col("_delay").isNotNull() & (F.col("_delay") > 0),
-                F.least(F.col("budget"), cap),
-            ).otherwise(F.col("budget")),
-        ).drop("_delay")
+        out = out.withColumn("budget", gc["delay_budget"]).drop("_delay")
     # per-host lifetime emit cap (SEMANTICS.md §Host page cap): hosts at the
     # cap are flagged for permanent removal; uncapped hosts' budgets clip to
     # their remaining headroom. Totals are a per-host dimension joined with
