@@ -88,6 +88,25 @@ def _rank_single_max() -> int:
     return int(os.environ.get("SPARK_GRAFT_RANK_SINGLE_MAX", "200000"))
 
 
+def _small_round_shuffle() -> int:
+    """Reduce-partition count for SMALL rounds (the same manifest-derived
+    ``rank_single`` marker that drives the AQE policy): a round whose
+    committed frontier bound is ≤ ``SPARK_GRAFT_RANK_SINGLE_MAX`` rows
+    needs a handful of reduce partitions, not the session default sized
+    for at-scale rounds — every extra near-empty task is pure scheduling
+    overhead on the round's many small shuffles, and every extra shuffle
+    partition becomes one more near-empty file under the frontier write.
+    Scale-adaptive, not machine-tuned: the trigger is the committed row
+    bound, the at-scale default is untouched, and every operator is
+    partition-count-independent by construction (content-XOR digests,
+    min_by dedups, offset-based ranks — SEMANTICS.md determinism rules),
+    so results are identical at any value. 0 disables.
+    (``SPARK_GRAFT_SMALL_ROUND_SHUFFLE`` overrides for measurement.)"""
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_SMALL_ROUND_SHUFFLE", "8"))
+
+
 def _dim_broadcast_max() -> int:
     """Host-dimension row bound below which the robots / host_counts joins
     broadcast the dimension instead of SHUFFLE_HASH. robots carries text
@@ -1020,9 +1039,17 @@ def run_round(
     # variable-shape discovery suffix (skew splits, partition coalescing)
     # exactly as before; the session conf is restored when the round ends.
     _aqe_prev = None
+    _shuf_prev = None
     if rank_single:
         _aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.adaptive.enabled", "false")
+        # small rounds also shrink the reduce-partition count (r6 second
+        # pass — guide §2.2 fewer/larger partitions, §6 small files): see
+        # _small_round_shuffle. Restored with AQE when the round ends.
+        nshuf = _small_round_shuffle()
+        if nshuf > 0:
+            _shuf_prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+            spark.conf.set("spark.sql.shuffle.partitions", str(nshuf))
     gx = _gate_exprs()
     gate_obs = Observation()
     gated = (
@@ -1845,6 +1872,8 @@ def run_round(
         pool.shutdown(wait=True)
         if _aqe_prev is not None:
             spark.conf.set("spark.sql.adaptive.enabled", _aqe_prev)
+        if _shuf_prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", _shuf_prev)
 
     host_kept = _obs_int(host_obs, "host_kept") if host_obs is not None else n_kept
     counters = {
